@@ -1,0 +1,120 @@
+"""Bit-packed document / term metadata — bit-exact with the reference.
+
+Reference:
+- DocumentMetadata packing: code/common/model/java/nu/marginalia/model/idx/
+  DocumentMetadata.java:46-67 (masks/shifts), :113-124 (encode),
+  :130-160 (field decoders).
+- WordFlags: code/common/model/java/nu/marginalia/model/idx/WordFlags.java:6-43
+  (bit = 1 << ordinal).
+- Term-meta position bitmask: code/functions/language-processing/java/nu/
+  marginalia/keyword/model/DocumentKeywordsBuilder.java:144-159 — one bit
+  per 256-word window mod 56, with half-window smearing, stored in bits
+  8..63 of the term meta; low byte is the WordFlags byte.
+
+All vectorized numpy int64 ops.
+"""
+
+from __future__ import annotations
+
+from enum import IntFlag
+
+import numpy as np
+
+
+class WordFlags(IntFlag):
+    """WordFlags.java:6-39 — bit = 1 << ordinal."""
+
+    TITLE = 1 << 0
+    SUBJECTS = 1 << 1
+    NAMES_WORDS = 1 << 2
+    SYNTHETIC = 1 << 3
+    SITE = 1 << 4
+    SITE_ADJACENT = 1 << 5
+    URL_PATH = 1 << 6
+    URL_DOMAIN = 1 << 7
+    EXTERNAL_LINK = 1 << 8  # note: overflows the stored byte exactly as in Java
+
+
+# DocumentMetadata.java:46-67
+ASL_SHIFT, ASL_MASK = 56, 0x03
+RANK_SHIFT, RANK_MASK = 48, 0xFF
+ENC_DOMAIN_SIZE_SHIFT, ENC_DOMAIN_SIZE_MASK = 40, 0xFF
+ENC_DOMAIN_SIZE_MULTIPLIER = 5
+TOPOLOGY_SHIFT, TOPOLOGY_MASK = 32, 0xFF
+YEAR_SHIFT, YEAR_MASK = 24, 0xFF
+SETS_SHIFT, SETS_MASK = 16, 0xF
+QUALITY_SHIFT, QUALITY_MASK = 8, 0xF
+
+POSITIONS_BITMASK_WINDOW_SIZE = 256  # DocumentKeywordsBuilder.java:33
+MAX_WORD_LENGTH = 64  # DocumentKeywordsBuilder.java:30
+MAX_POSITIONS_PER_WORD = 512  # DocumentKeywordsBuilder.java:31
+MAX_SPANS_PER_TYPE = 8192  # DocumentKeywordsBuilder.java:32
+
+
+def _clamp(v, mask):
+    return np.minimum(np.int64(mask), np.maximum(np.int64(0), np.asarray(v, dtype=np.int64)))
+
+
+def encode_document_meta(avg_sent_length=0, rank=0, enc_domain_size=0, topology=0,
+                         year=0, sets=0, quality=0, flags=0) -> np.ndarray:
+    """DocumentMetadata.encode() — DocumentMetadata.java:113-124."""
+    ret = np.asarray(flags, dtype=np.int64) & 0xFF
+    ret = ret | (_clamp(quality, QUALITY_MASK) << QUALITY_SHIFT)
+    ret = ret | (_clamp(sets, SETS_MASK) << SETS_SHIFT)
+    ret = ret | (_clamp(year, YEAR_MASK) << YEAR_SHIFT)
+    ret = ret | (_clamp(topology, TOPOLOGY_MASK) << TOPOLOGY_SHIFT)
+    ret = ret | (_clamp(enc_domain_size, ENC_DOMAIN_SIZE_MASK) << ENC_DOMAIN_SIZE_SHIFT)
+    ret = ret | (_clamp(rank, RANK_MASK) << RANK_SHIFT)
+    ret = ret | (_clamp(avg_sent_length, ASL_MASK) << ASL_SHIFT)
+    return ret
+
+
+def decode_quality(meta) -> np.ndarray:
+    return (np.asarray(meta, dtype=np.int64) >> QUALITY_SHIFT) & QUALITY_MASK
+
+
+def decode_topology(meta) -> np.ndarray:
+    return (np.asarray(meta, dtype=np.int64) >> TOPOLOGY_SHIFT) & TOPOLOGY_MASK
+
+
+def decode_year_byte(meta) -> np.ndarray:
+    return (np.asarray(meta, dtype=np.int64) >> YEAR_SHIFT) & YEAR_MASK
+
+
+def decode_rank(meta) -> np.ndarray:
+    return (np.asarray(meta, dtype=np.int64) >> RANK_SHIFT) & RANK_MASK
+
+
+def decode_size(meta) -> np.ndarray:
+    """decodeSize — ENC_DOMAIN_SIZE_MULTIPLIER * encDomainSize."""
+    enc = (np.asarray(meta, dtype=np.int64) >> ENC_DOMAIN_SIZE_SHIFT) & ENC_DOMAIN_SIZE_MASK
+    return ENC_DOMAIN_SIZE_MULTIPLIER * enc
+
+
+def encode_domain_size(size) -> np.ndarray:
+    """withSizeAndTopology's encSize = min(255, max(1, size/5))."""
+    s = np.asarray(size, dtype=np.int64) // ENC_DOMAIN_SIZE_MULTIPLIER
+    return np.minimum(np.int64(ENC_DOMAIN_SIZE_MASK), np.maximum(np.int64(1), s))
+
+
+def position_bitmask(positions: np.ndarray) -> int:
+    """calculatePositionMask — DocumentKeywordsBuilder.java:144-159.
+
+    Bits 8..63 of the term meta: bit (pos/256)%56 set, plus the
+    half-window-smeared bit ((pos+128)/256)%56.
+    """
+    if len(positions) == 0:
+        return 0
+    p = np.asarray(positions, dtype=np.int64)
+    w = POSITIONS_BITMASK_WINDOW_SIZE
+    bits = np.concatenate([(p // w) % 56, ((p + w // 2) // w) % 56])
+    mask = np.int64(0)
+    for b in np.unique(bits):
+        mask |= np.int64(1) << np.int64(8 + int(b))
+    return int(mask)
+
+
+def make_term_meta(flags: int, positions: np.ndarray) -> int:
+    """Term meta word: low byte = WordFlags byte, bits 8..63 = coarse
+    position bitmask (IndexJournalPage termMetadata semantics)."""
+    return (int(flags) & 0xFF) | position_bitmask(positions)

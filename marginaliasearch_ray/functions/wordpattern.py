@@ -1,0 +1,146 @@
+"""Token admission + code-aware tokenizer.
+
+Reference: code/functions/language-processing/java/nu/marginalia/keyword/
+DocumentPositionMapper.java:201-260 (``matchesWordPattern``) — a word is
+admissible iff it is <= 48 chars and consists of an alnum run of 1..15
+chars followed by up to 8 groups of (1..2 separator chars from
+``.-_/:+*@#`` then an alnum run of 1..10 chars), consuming the entire
+string.
+
+Two implementations:
+
+- ``matches_word_pattern`` — a literal port of the codepoint loop
+  (unit-test oracle).
+- ``ADMIT_RE`` — an equivalent anchored regex.  Equivalence holds because
+  alnum runs are homogeneous: no backtracking parse can split a run
+  across two bounded groups without an intervening separator, so the
+  greedy regex accepts exactly the strings the loop accepts (tested by
+  randomized cross-check in tests/test_wordpattern.py).
+
+Tokenizer semantics for the source-code corpus (this engine's own
+definition — the reference's SentenceExtractor is HTML/NLP-specific):
+
+1. lowercase the content;
+2. candidate words = maximal runs of ``[0-9a-z.\\-_/:+*@#]`` (everything
+   else — whitespace, brackets, quotes, non-ASCII — separates words);
+3. strip leading/trailing separator chars (sentence-final periods etc.);
+4. admit via the word pattern + length caps.
+
+Restricting the alphabet to ASCII alnum keeps the tokenizer exactly
+reproducible in DuckDB SQL (see ``SQL_*`` fragments) for the driver's
+correctness oracle; non-ASCII keyword hashing parity is pinned
+separately by the murmur test vectors.
+"""
+
+from __future__ import annotations
+
+import re
+
+SEPARATORS = ".-_/:+*@#"
+MAX_WORD_LEN = 48
+
+# anchored admission pattern (ASCII-alnum variant; RE2-compatible).
+# Quirk preserved from the Java loop: a trailing run of 1-2 separators IS
+# accepted (the ``i == s.length()`` acceptance check sits at the top of
+# the *next* group iteration, DocumentPositionMapper.java:223-224), but
+# only when at most 7 joined groups precede it — after the 8th group the
+# final check requires the string to end exactly.
+_A = r"[0-9a-z]{1,15}"
+_S = r"[.\-_/:+*@#]{1,2}"
+_B = r"[0-9a-z]{1,10}"
+ADMIT_PATTERN = rf"{_A}(?:(?:{_S}{_B}){{0,8}}|(?:{_S}{_B}){{0,7}}{_S})"
+ADMIT_RE = re.compile(ADMIT_PATTERN)
+
+# candidate extraction: maximal runs of token-alphabet characters
+CANDIDATE_PATTERN = r"[0-9a-z.\-_/:+*@#]+"
+CANDIDATE_RE = re.compile(CANDIDATE_PATTERN)
+
+STRIP_RE = re.compile(r"^[.\-_/:+*@#]+|[.\-_/:+*@#]+$")
+
+# DuckDB-SQL equivalents (regexp_extract_all / regexp_replace /
+# regexp_full_match use RE2 — same language as the Python patterns above).
+SQL_CANDIDATE_PATTERN = r"[0-9a-z.\-_/:+*@#]+"
+SQL_STRIP_PATTERN = r"^[.\-_/:+*@#]+|[.\-_/:+*@#]+$"
+SQL_ADMIT_PATTERN = (
+    r"[0-9a-z]{1,15}(?:(?:[.\-_/:+*@#]{1,2}[0-9a-z]{1,10}){0,8}"
+    r"|(?:[.\-_/:+*@#]{1,2}[0-9a-z]{1,10}){0,7}[.\-_/:+*@#]{1,2})"
+)
+
+
+def sql_tokenize_expr(text_col: str) -> str:
+    """DuckDB expression producing the exact token list ``tokenize``
+    produces for ``text_col`` (list<varchar>, in order)."""
+    return (
+        "list_filter("
+        f"list_transform(regexp_extract_all(lower({text_col}), '{SQL_CANDIDATE_PATTERN}'),"
+        f" w -> regexp_replace(w, '{SQL_STRIP_PATTERN}', '', 'g')),"
+        f" w -> length(w) BETWEEN 1 AND {MAX_WORD_LEN}"
+        f" AND regexp_full_match(w, '{SQL_ADMIT_PATTERN}'))"
+    )
+
+
+def matches_word_pattern(s: str) -> bool:
+    """Literal port of DocumentPositionMapper.matchesWordPattern:201-260.
+
+    Uses Java semantics: alphabetic-or-digit per Unicode, codepoint
+    stepping.  (The vectorized tokenizer uses the ASCII regex; this port
+    is the fidelity oracle.)
+    """
+    if len(s) > 48:
+        return False
+
+    i = 0
+    n = len(s)
+
+    run = 0
+    while run < 15 and i < n:
+        if s[i].isalpha() or s[i].isdigit():
+            i += 1
+            run += 1
+            continue
+        break
+
+    if i == 0:
+        return False
+
+    for _ in range(8):
+        if i == n:
+            return True
+
+        seps = 0
+        while seps < 3 and i < n:
+            c = s[i]
+            if c.isalpha() or c.isdigit():
+                break
+            elif c not in SEPARATORS:
+                return False
+            else:
+                i += 1
+                seps += 1
+        if seps > 2 or seps == 0:
+            return False
+
+        run = 0
+        while run < 10 and i < n:
+            if s[i].isalpha() or s[i].isdigit():
+                i += 1
+                run += 1
+                continue
+            break
+
+    return i == n
+
+
+def admit_word(w: str) -> bool:
+    """Regex-equivalent admission for the ASCII-lowercase token alphabet."""
+    return 1 <= len(w) <= MAX_WORD_LEN and ADMIT_RE.fullmatch(w) is not None
+
+
+def tokenize(text: str) -> list[str]:
+    """Tokenize one document (already matches sql_tokenize_expr)."""
+    out = []
+    for cand in CANDIDATE_RE.findall(text.lower()):
+        w = STRIP_RE.sub("", cand)
+        if w and len(w) <= MAX_WORD_LEN and ADMIT_RE.fullmatch(w):
+            out.append(w)
+    return out

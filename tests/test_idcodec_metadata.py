@@ -1,0 +1,84 @@
+import numpy as np
+
+from marginaliasearch_ray.functions import idcodec, metadata
+
+
+def test_encode_decode_roundtrip():
+    d = np.array([0, 1, 12345, (1 << 31) - 1], dtype=np.int64)
+    o = np.array([0, 1, 99, (1 << 26) - 1], dtype=np.int64)
+    ids = idcodec.encode_id(d, o)
+    assert idcodec.get_domain_id(ids).tolist() == d.tolist()
+    assert idcodec.get_ordinal(ids).tolist() == o.tolist()
+    assert idcodec.get_rank(ids).tolist() == [0, 0, 0, 0]
+
+    ranked = idcodec.encode_id_with_rank(np.array([0, 1, 33, 63]), d, o)
+    assert idcodec.get_rank(ranked).tolist() == [0, 1, 33, 63]
+    assert idcodec.get_domain_id(ranked).tolist() == d.tolist()
+    assert idcodec.remove_rank(ranked).tolist() == ids.tolist()
+
+
+def test_add_rank_float_quantization():
+    # UrlIdCodec.addRank:64-71 — quantize to [0,63]
+    base = idcodec.encode_id(np.array([5]), np.array([7]))
+    assert idcodec.get_rank(idcodec.add_rank_float(np.array([0.0]), base)).tolist() == [0]
+    assert idcodec.get_rank(idcodec.add_rank_float(np.array([1.0]), base)).tolist() == [63]
+    assert idcodec.get_rank(idcodec.add_rank_float(np.array([0.5]), base)).tolist() == [32]
+    assert idcodec.get_rank(idcodec.add_rank_float(np.array([-1.0]), base)).tolist() == [0]
+
+
+def test_rank_major_sort_order():
+    # sorting by combined id sorts by (rank, domain, ordinal) — UrlIdCodec.java:3-7
+    a = int(idcodec.encode_id_with_rank(1, 0, 0))
+    b = int(idcodec.encode_id_with_rank(0, (1 << 31) - 1, (1 << 26) - 1))
+    assert b < a
+    c = int(idcodec.encode_id_with_rank(2, 3, 0))
+    d = int(idcodec.encode_id_with_rank(2, 2, (1 << 26) - 1))
+    assert d < c
+
+
+def test_domain_id_range():
+    lo, hi = idcodec.domain_id_range(3, 77)
+    inside = int(idcodec.encode_id_with_rank(3, 77, 12345))
+    assert lo <= inside < hi
+    outside = int(idcodec.encode_id_with_rank(3, 78, 0))
+    assert outside >= hi
+
+
+def test_document_meta_pack_unpack():
+    m = metadata.encode_document_meta(
+        avg_sent_length=2, rank=17, enc_domain_size=9, topology=4,
+        year=30, sets=3, quality=5, flags=0b1010,
+    )
+    assert int(metadata.decode_quality(m)) == 5
+    assert int(metadata.decode_topology(m)) == 4
+    assert int(metadata.decode_year_byte(m)) == 30
+    assert int(metadata.decode_rank(m)) == 17
+    assert int(metadata.decode_size(m)) == 45
+    assert int(m) & 0xFF == 0b1010
+
+
+def test_document_meta_clamping():
+    m = metadata.encode_document_meta(quality=99, rank=300, year=-5)
+    assert int(metadata.decode_quality(m)) == 15
+    assert int(metadata.decode_rank(m)) == 255
+    assert int(metadata.decode_year_byte(m)) == 0
+
+
+def test_position_bitmask():
+    # DocumentKeywordsBuilder.calculatePositionMask:144-159
+    # pos 1: bit (1/256)%56=0 and smear (129/256)%56=0 -> bit 8
+    assert metadata.position_bitmask(np.array([1])) == 1 << 8
+    # pos 200: main bit 0, smear bit (328/256)=1 -> bits 8 and 9
+    assert metadata.position_bitmask(np.array([200])) == (1 << 8) | (1 << 9)
+    # window wraps mod 56
+    pos = np.array([56 * 256 + 1])
+    assert metadata.position_bitmask(pos) & (1 << 8)
+    assert metadata.position_bitmask(np.array([], dtype=np.int64)) == 0
+
+
+def test_make_term_meta():
+    tm = metadata.make_term_meta(int(metadata.WordFlags.TITLE | metadata.WordFlags.URL_PATH),
+                                 np.array([1, 300]))
+    assert tm & 0xFF == 0b1000001
+    assert tm & (1 << 8)  # pos 1 window
+    assert tm & (1 << 9)  # pos 300 window
