@@ -1,0 +1,353 @@
+"""Query serving: compiler + shared-nothing partition searcher actors +
+driver-side merge.
+
+Reference shape (SURVEY.md §3.2): QueryFactory/QueryParser compile the
+human query; IndexClient fans the identical request out to every index
+partition; per partition the query runs lookup -> intersect/exclude ->
+gather -> rank; the driver concatenates, sorts by score, dedups by
+content hash and decorates.  Here each partition is a Ray actor holding
+its segment's term table, postings and forward index in memory (ST6
+analog); the Dataset API cannot express a shared queryable index, so
+this is one of the few places raw actors are warranted.
+
+Scoring is BM25 (Bm25GraphVisitor formulas, k1=1.2 b=0.5, global idf —
+divergence: the reference uses per-partition df/N; global idf is
+order-independent of the partitioning and is what the SQL oracle
+computes).  Results are rank-deterministic: sort key is
+(round(score, 6) DESC, doc ordinal ASC).
+
+Query syntax (QueryParser.java:13-100 subset): bare terms (AND),
+``-term`` exclusion, ``"quoted phrase"`` mandatory adjacency constraint,
+``repo:name`` domain filter.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import bm25, idcodec
+from ..functions.codecs import decode_counts, decode_doc_ids
+from ..functions.wordpattern import tokenize
+from ..functions.murmur import hash_nearly_ascii
+from ..stages.reverse import split_positions_blob
+
+
+@dataclass
+class CompiledQuery:
+    include: list[str] = field(default_factory=list)  # AND terms (token strings)
+    exclude: list[str] = field(default_factory=list)
+    phrases: list[list[str]] = field(default_factory=list)
+    repo: str | None = None
+
+    @property
+    def include_ids(self) -> list[int]:
+        return [hash_nearly_ascii(t) for t in self.include]
+
+    @property
+    def exclude_ids(self) -> list[int]:
+        return [hash_nearly_ascii(t) for t in self.exclude]
+
+    def phrase_ids(self) -> list[list[int]]:
+        return [[hash_nearly_ascii(t) for t in p] for p in self.phrases]
+
+
+_QUOTE_RE = re.compile(r'"([^"]*)"')
+
+
+def compile_query(q: str) -> CompiledQuery:
+    """Parse the human query into a compiled query (QueryParser subset).
+
+    Quoted phrases contribute their terms to the include set AND add a
+    mandatory adjacency constraint (QueryFactory.java:100-113 analog).
+    """
+    out = CompiledQuery()
+    rest = q
+
+    def grab_phrase(m):
+        toks = tokenize(m.group(1))
+        if toks:
+            out.phrases.append(toks)
+            out.include.extend(t for t in toks if t not in out.include)
+        return " "
+
+    rest = _QUOTE_RE.sub(grab_phrase, rest)
+    for word in rest.split():
+        if word.startswith("repo:") and len(word) > 5:
+            out.repo = word[5:]
+        elif word.startswith("-") and len(word) > 1:
+            for t in tokenize(word[1:]):
+                if t not in out.exclude:
+                    out.exclude.append(t)
+        else:
+            for t in tokenize(word):
+                if t not in out.include:
+                    out.include.append(t)
+    return out
+
+
+class _Segment:
+    """In-memory view of one partition's index files."""
+
+    def __init__(self, out_dir: str, part: int):
+        self.part = part
+        post = pq.read_table(
+            os.path.join(out_dir, "postings", f"part={part}"),
+            columns=["term_id", "df", "docs", "tfs", "metas", "positions"],
+        )
+        order = np.argsort(post["term_id"].to_numpy(zero_copy_only=False))
+        post = post.take(pa.array(order))
+        self.term_ids = post["term_id"].to_numpy(zero_copy_only=False)
+        self.df = post["df"].to_numpy(zero_copy_only=False)
+        self.docs_blobs = post["docs"].to_pylist()
+        self.tfs_blobs = post["tfs"].to_pylist()
+        self.pos_blobs = post["positions"].to_pylist()
+
+        fwd = pq.read_table(
+            os.path.join(out_dir, "forward", f"part={part}"),
+            columns=["combined_id", "document_meta", "features", "size"],
+        )
+        cid = fwd["combined_id"].to_numpy(zero_copy_only=False)
+        o = np.argsort(cid)
+        self.fwd_ids = cid[o]
+        self.fwd_size = fwd["size"].to_numpy(zero_copy_only=False)[o]
+        self.fwd_meta = fwd["document_meta"].to_numpy(zero_copy_only=False)[o]
+
+        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def term_row(self, tid: int) -> int:
+        i = int(np.searchsorted(self.term_ids, tid))
+        if i < len(self.term_ids) and self.term_ids[i] == tid:
+            return i
+        return -1
+
+    def postings(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted combined ids, tfs) for a term; decoded lazily, cached."""
+        cached = self._decoded.get(tid)
+        if cached is not None:
+            return cached
+        r = self.term_row(tid)
+        if r < 0:
+            out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        else:
+            out = (
+                decode_doc_ids(self.docs_blobs[r]),
+                decode_counts(self.tfs_blobs[r]),
+            )
+        if len(self._decoded) < 4096:
+            self._decoded[tid] = out
+        return out
+
+    def positions_for(self, tid: int, doc_idx: np.ndarray) -> list[np.ndarray]:
+        r = self.term_row(tid)
+        if r < 0:
+            return []
+        all_pos = split_positions_blob(self.pos_blobs[r], int(self.df[r]))
+        return [all_pos[int(i)] for i in doc_idx]
+
+    def doc_sizes(self, ids: np.ndarray) -> np.ndarray:
+        i = np.searchsorted(self.fwd_ids, ids)
+        return self.fwd_size[i]
+
+
+class SearcherLogic:
+    """Pure search logic over a _Segment (testable without Ray)."""
+
+    def __init__(self, out_dir: str, part: int):
+        self.seg = _Segment(out_dir, part)
+
+    def local_df(self, term_ids: list[int]) -> dict[int, int]:
+        seg = self.seg
+        out = {}
+        for t in term_ids:
+            r = seg.term_row(t)
+            out[t] = int(seg.df[r]) if r >= 0 else 0
+        return out
+
+    def search(
+        self,
+        include_ids: list[int],
+        exclude_ids: list[int],
+        phrase_ids: list[list[int]],
+        global_df: dict[int, int],
+        total_docs: int,
+        k: int,
+        domain_range: tuple[int, int] | None = None,
+    ) -> dict:
+        seg = self.seg
+        if not include_ids:
+            return {"combined_id": [], "score_r": []}
+
+        # rarest-first execution ordering (CombinedIndexReader.createQueries
+        # :94-130 heuristic) — cheapest posting list drives the intersection
+        ordered = sorted(include_ids, key=lambda t: global_df.get(t, 0))
+        cand, _ = seg.postings(ordered[0])
+        for t in ordered[1:]:
+            if len(cand) == 0:
+                break
+            docs, _ = seg.postings(t)
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+        for t in exclude_ids:
+            if len(cand) == 0:
+                break
+            docs, _ = seg.postings(t)
+            cand = cand[~np.isin(cand, docs, assume_unique=True)]
+        if domain_range is not None:
+            lo, hi = domain_range
+            cand = cand[(cand >= lo) & (cand < hi)]
+
+        # mandatory phrase constraints: successive (pos_a + 1) ∩ pos_b
+        # (SequenceOperations.intersectSequences analog)
+        for phrase in phrase_ids:
+            if len(cand) == 0 or len(phrase) < 2:
+                continue
+            keep = np.ones(len(cand), dtype=bool)
+            per_term = []
+            ok = True
+            for t in phrase:
+                docs, _ = seg.postings(t)
+                ix = np.searchsorted(docs, cand)
+                present = (ix < len(docs)) & (docs[np.minimum(ix, len(docs) - 1)] == cand)
+                if not present.all():
+                    keep &= present
+                per_term.append((t, docs))
+            for ci, c in enumerate(cand):
+                if not keep[ci]:
+                    continue
+                prev = None
+                for t, docs in per_term:
+                    di = int(np.searchsorted(docs, c))
+                    if di >= len(docs) or docs[di] != c:
+                        keep[ci] = False
+                        break
+                    pos = self.seg.positions_for(t, np.array([di]))[0]
+                    prev = pos if prev is None else np.intersect1d(prev + 1, pos)
+                    if len(prev) == 0:
+                        keep[ci] = False
+                        break
+            cand = cand[keep]
+
+        if len(cand) == 0:
+            return {"combined_id": [], "score_r": []}
+
+        # BM25 over included terms, global idf (Bm25GraphVisitor formulas)
+        sizes = seg.doc_sizes(cand).astype(np.float64)
+        score = np.zeros(len(cand), dtype=np.float64)
+        for t in include_ids:
+            docs, tfs = seg.postings(t)
+            ix = np.searchsorted(docs, cand)
+            tf = tfs[ix].astype(np.float64)
+            score += bm25.bm25_term_score(
+                total_docs, global_df.get(t, 0), tf, sizes
+            )
+
+        score_r = np.round(score, 6)
+        ordinals = idcodec.get_ordinal(cand)
+        top = np.lexsort((ordinals, -score_r))[:k]
+        return {
+            "combined_id": cand[top].tolist(),
+            "score_r": score_r[top].tolist(),
+        }
+
+
+def _make_searcher_actor():
+    import ray
+
+    @ray.remote
+    class PartitionSearcher(SearcherLogic):
+        pass
+
+    return PartitionSearcher
+
+
+class IndexSearch:
+    """Driver-side handle: one searcher actor per partition; fan-out +
+    merge (IndexClient.executeQueries:85-176 analog)."""
+
+    def __init__(self, out_dir: str, use_actors: bool = True):
+        from ..state import manifest as mf
+
+        self.out_dir = out_dir
+        root = mf.read_manifest(out_dir, "root")
+        self.total_docs = root["n_docs"]
+        self.num_parts = root["num_parts"]
+        self.parts = [
+            p
+            for p in range(self.num_parts)
+            if os.path.isdir(os.path.join(out_dir, "postings", f"part={p}"))
+        ]
+        reg = pq.read_table(os.path.join(out_dir, "registry.parquet"))
+        self._registry = {
+            r["repo"]: (r["domain_id"], r["rank"], r["part"])
+            for r in reg.to_pylist()
+        }
+        self.use_actors = use_actors
+        if use_actors:
+            Actor = _make_searcher_actor()
+            self.searchers = [Actor.remote(out_dir, p) for p in self.parts]
+        else:
+            self.searchers = [SearcherLogic(out_dir, p) for p in self.parts]
+
+    def _call(self, method: str, *args):
+        if self.use_actors:
+            import ray
+
+            return ray.get(
+                [getattr(s, method).remote(*args) for s in self.searchers]
+            )
+        return [getattr(s, method)(*args) for s in self.searchers]
+
+    def search(self, query: str, k: int = 10) -> pa.Table:
+        cq = compile_query(query)
+        inc, exc, phr = cq.include_ids, cq.exclude_ids, cq.phrase_ids()
+
+        domain_range = None
+        if cq.repo is not None:
+            ent = self._registry.get(cq.repo)
+            if ent is None:
+                return _result_table([], [])
+            dom, rank, _part = ent
+            domain_range = idcodec.domain_id_range(int(rank), int(dom))
+
+        # phase 1: global df = sum of per-partition dfs
+        all_ids = inc + exc + [t for p in phr for t in p]
+        dfs = self._call("local_df", all_ids)
+        global_df = {t: sum(d.get(t, 0) for d in dfs) for t in all_ids}
+
+        # phase 2: scatter, merge per-partition top-k
+        results = self._call(
+            "search", inc, exc, phr, global_df, self.total_docs, k, domain_range
+        )
+        ids = np.concatenate(
+            [np.asarray(r["combined_id"], dtype=np.int64) for r in results]
+        )
+        scores = np.concatenate(
+            [np.asarray(r["score_r"], dtype=np.float64) for r in results]
+        )
+        ordinals = idcodec.get_ordinal(ids)
+        top = np.lexsort((ordinals, -scores))[:k]
+        return _result_table(ids[top].tolist(), scores[top].tolist())
+
+    def shutdown(self):
+        if self.use_actors:
+            import ray
+
+            for s in self.searchers:
+                ray.kill(s)
+        self.searchers = []
+
+
+def _result_table(ids: list[int], scores: list[float]) -> pa.Table:
+    ords = [int(i) & idcodec.DOCORD_MASK for i in ids]
+    return pa.table(
+        {
+            "doc_id": pa.array(ords, pa.int64()),
+            "combined_id": pa.array(ids, pa.int64()),
+            "score_r": pa.array(scores, pa.float64()),
+        }
+    )

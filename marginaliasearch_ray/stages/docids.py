@@ -1,0 +1,70 @@
+"""Domain (repo) registry + rank assignment + combined-id construction.
+
+Reference semantics:
+- domain -> int id registry: code/processes/loading-process/java/nu/
+  marginalia/loading/domains/DomainLoaderService.java (DB-backed registry;
+  ours is a deterministic groupby + sorted enumeration).
+- 6-bit domain rank injected into the id at index-construction time:
+  DocIdRewriter / IndexConstructorMain.java:210-218; rank source is
+  DomainRankings (PageRank-derived).  For the code corpus, rank is a
+  deterministic hash of the repo name (no link graph at synth time),
+  fixed here so build and oracle agree.
+
+The registry is a small table: build once with a groupby, broadcast with
+``ray.put``, look up inside map_batches — never a shuffle join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.murmur import hash_nearly_ascii
+
+
+def repo_rank(repo: str) -> int:
+    """Deterministic 6-bit rank for a repo (0 = best).  Derived from the
+    keyword hash so it is stable across runs and languages."""
+    return (hash_nearly_ascii("rank$" + repo) >> 7) & 0x3F
+
+
+class DomainRegistry:
+    """repo -> (domain_id, rank, part).  domain_id is the rank of the repo
+    name in sorted order (deterministic, like the reference's insertion-
+    order DB ids but reproducible); part = domain_id % num_parts keeps a
+    repo's documents in one shared-nothing index partition."""
+
+    def __init__(self, repos: list[str], num_parts: int):
+        self.num_parts = num_parts
+        self.repos = sorted(set(repos))
+        self._map = {
+            r: (i, repo_rank(r), i % num_parts) for i, r in enumerate(self.repos)
+        }
+
+    def lookup(self, repo: str) -> tuple[int, int, int]:
+        return self._map[repo]
+
+    def lookup_many(self, repos) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n = len(repos)
+        dom = np.empty(n, dtype=np.int64)
+        rank = np.empty(n, dtype=np.int64)
+        part = np.empty(n, dtype=np.int32)
+        m = self._map
+        for i, r in enumerate(repos):
+            d, rk, p = m[r]
+            dom[i] = d
+            rank[i] = rk
+            part[i] = p
+        return dom, rank, part
+
+    def domain_of(self, repo: str) -> int:
+        return self._map[repo][0]
+
+    def __len__(self) -> int:
+        return len(self.repos)
+
+
+def build_domain_registry(corpus_ds, num_parts: int) -> DomainRegistry:
+    """One small shuffle: distinct repo names.  The result is tiny (one
+    row per repo) and is broadcast to all tokenize actors."""
+    repos = corpus_ds.select_columns(["repo"]).unique("repo")
+    return DomainRegistry(list(repos), num_parts)

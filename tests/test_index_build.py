@@ -1,0 +1,195 @@
+"""End-to-end: synth corpus -> build_index -> posting-list + search parity
+with a brute-force oracle (mirrors the reference's integration tests,
+IndexQueryServiceIntegrationSmokeTest.java:105-150, and the SURVEY §5
+oracle plan)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from marginaliasearch_ray.functions import bm25, idcodec
+from marginaliasearch_ray.functions.codecs import decode_doc_ids, decode_counts
+from marginaliasearch_ray.functions.murmur import hash_nearly_ascii
+from marginaliasearch_ray.functions.wordpattern import tokenize
+from marginaliasearch_ray.pipelines.build_index import BuildConfig, build_index
+from marginaliasearch_ray.pipelines.query import IndexSearch, SearcherLogic, compile_query
+from marginaliasearch_ray.sources.corpus import synthesize_corpus
+from marginaliasearch_ray.stages.docids import DomainRegistry
+
+NUM_PARTS = 3
+
+
+@pytest.fixture(scope="session")
+def corpus_table():
+    return synthesize_corpus(n_repos=6, files_per_repo=12, seed=7)
+
+
+@pytest.fixture(scope="session")
+def index_dir(ray_session, corpus_table, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("index"))
+    cfg = BuildConfig(num_parts=NUM_PARTS, num_buckets=8, num_salts=2,
+                      hot_df_threshold=20)
+    build_index(ray.data.from_arrow(corpus_table), out, cfg)
+    return out
+
+
+@pytest.fixture(scope="session")
+def oracle(corpus_table):
+    """Brute-force in-memory oracle with identical formulas."""
+    repos = corpus_table["repo"].to_pylist()
+    paths = corpus_table["path"].to_pylist()
+    contents = corpus_table["content"].to_pylist()
+    ordinals = corpus_table["ordinal"].to_pylist()
+    reg = DomainRegistry(repos, NUM_PARTS)
+    docs = []
+    for i in range(len(repos)):
+        dom, rank, part = reg.lookup(repos[i])
+        cid = int(idcodec.encode_id_with_rank(rank, dom, ordinals[i]))
+        toks = tokenize(contents[i])
+        docs.append(
+            {
+                "repo": repos[i],
+                "path": paths[i],
+                "cid": cid,
+                "ordinal": ordinals[i],
+                "toks": toks,
+                "tf": {},
+            }
+        )
+        for t in toks:
+            docs[-1]["tf"][t] = docs[-1]["tf"].get(t, 0) + 1
+    return {"docs": docs, "registry": reg}
+
+
+def oracle_search(oracle, query, k=10):
+    cq = compile_query(query)
+    docs = oracle["docs"]
+    n = len(docs)
+    df = {}
+    for t in set(cq.include) | set(cq.exclude):
+        df[t] = sum(1 for d in docs if t in d["tf"])
+    out = []
+    for d in docs:
+        if not cq.include or any(t not in d["tf"] for t in cq.include):
+            continue
+        if any(t in d["tf"] for t in cq.exclude):
+            continue
+        if cq.repo is not None and d["repo"] != cq.repo:
+            continue
+        ok = True
+        for phrase in cq.phrases:
+            if len(phrase) < 2:
+                continue
+            hits = False
+            toks = d["toks"]
+            for s in range(len(toks) - len(phrase) + 1):
+                if toks[s : s + len(phrase)] == phrase:
+                    hits = True
+                    break
+            if not hits:
+                ok = False
+                break
+        if not ok:
+            continue
+        score = 0.0
+        for t in cq.include:
+            score += float(
+                bm25.bm25_term_score(n, df[t], d["tf"][t], len(d["toks"]))
+            )
+        out.append((round(score, 6), d["ordinal"], d["cid"]))
+    out.sort(key=lambda x: (-x[0], x[1]))
+    return out[:k]
+
+
+def test_journal_sha_invariant(index_dir, corpus_table):
+    import hashlib
+
+    j = pq.read_table(os.path.join(index_dir, "journal"),
+                      columns=["repo", "path", "data_hash"])
+    got = {(r, p): h for r, p, h in zip(j["repo"].to_pylist(),
+                                        j["path"].to_pylist(),
+                                        j["data_hash"].to_pylist())}
+    for r, p, c in zip(corpus_table["repo"].to_pylist(),
+                       corpus_table["path"].to_pylist(),
+                       corpus_table["content"].to_pylist()):
+        assert got[(r, p)] == hashlib.sha256(c.encode()).hexdigest()
+    assert len(got) == corpus_table.num_rows
+
+
+def test_posting_lists_match_bruteforce(index_dir, oracle):
+    # mirrors FullReverseIndexReaderTest exact-array assertions
+    segs = [SearcherLogic(index_dir, p).seg for p in range(NUM_PARTS)]
+    for term in ["license", "uniq_0_1_token", "parse_tree", "nosuchterm_xyz"]:
+        tid = hash_nearly_ascii(term)
+        got = np.sort(np.concatenate([s.postings(tid)[0] for s in segs]))
+        want = np.sort(
+            np.array(
+                [d["cid"] for d in oracle["docs"] if term in d["tf"]],
+                dtype=np.int64,
+            )
+        )
+        assert got.tolist() == want.tolist(), term
+        # tfs match too
+        for s in segs:
+            docs, tfs = s.postings(tid)
+            by_cid = {d["cid"]: d["tf"].get(term, 0) for d in oracle["docs"]}
+            for c, tf in zip(docs.tolist(), tfs.tolist()):
+                assert tf == by_cid[c]
+
+
+def test_forward_sorted_and_complete(index_dir, oracle):
+    total = 0
+    for p in range(NUM_PARTS):
+        part_dir = os.path.join(index_dir, "forward", f"part={p}")
+        if not os.path.isdir(part_dir):
+            continue
+        t = pq.read_table(part_dir, columns=["combined_id", "size"])
+        ids = t["combined_id"].to_numpy()
+        total += len(ids)
+    assert total == len(oracle["docs"])
+
+
+def test_search_parity_with_oracle(index_dir, oracle, ray_session):
+    idx = IndexSearch(index_dir, use_actors=False)
+    queries = [
+        "license",
+        "parse_tree",
+        "license import",
+        "parse tree -license",
+        "uniq_0_1_token",
+        '"parse_tree parse_tree"',
+        "license repo:org0000/repo0000",
+        "nosuchterm_xyz",
+        "license -license",
+    ]
+    for q in queries:
+        got = idx.search(q, k=10)
+        want = oracle_search(oracle, q, k=10)
+        got_pairs = list(zip(got["doc_id"].to_pylist(), got["score_r"].to_pylist()))
+        want_pairs = [(w[1], w[0]) for w in want]
+        assert got_pairs == want_pairs, q
+
+
+def test_search_with_actor_pool(index_dir, oracle, ray_session):
+    idx = IndexSearch(index_dir, use_actors=True)
+    try:
+        got = idx.search("license import", k=5)
+        want = oracle_search(oracle, "license import", k=5)
+        assert got["doc_id"].to_pylist() == [w[1] for w in want]
+    finally:
+        idx.shutdown()
+
+
+def test_resume_skips_committed_phases(index_dir, ray_session, corpus_table):
+    import time
+    import ray.data
+
+    t0 = time.time()
+    build_index(ray.data.from_arrow(corpus_table), index_dir,
+                BuildConfig(num_parts=NUM_PARTS, num_buckets=8, num_salts=2,
+                            hot_df_threshold=20))
+    assert time.time() - t0 < 5  # all phases skipped via manifests
