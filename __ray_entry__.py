@@ -1,44 +1,452 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + reference query set)
+at sf0.001; ``queries()`` exposes one callable per implemented operator
+(SURVEY.md §2 + training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible operator, sharing the tokenizer /
+shingle / BM25 definitions with the engine (see
+marginaliasearch_ray.functions.wordpattern / bm25).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in __import__("sys").path:
+    __import__("sys").path.insert(0, _REPO_ROOT)
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+
+def _ensure_pickle_by_value() -> None:
+    """Serialize the package by value so Ray workers never need this repo
+    on their import path (the driver may import us from anywhere)."""
+    import importlib
+    import pkgutil
+
+    import marginaliasearch_ray
+    from ray import cloudpickle
+
+    mods = [marginaliasearch_ray]
+    for m in pkgutil.walk_packages(
+        marginaliasearch_ray.__path__, marginaliasearch_ray.__name__ + "."
+    ):
+        mods.append(importlib.import_module(m.name))
+    for mod in mods:
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:
+            pass
+
+
+_ensure_pickle_by_value()
+
+from marginaliasearch_ray.functions import idcodec  # noqa: E402
+from marginaliasearch_ray.functions.bm25 import sql_bm25_term_expr  # noqa: E402
+from marginaliasearch_ray.functions.murmur import hash_nearly_ascii  # noqa: E402
+from marginaliasearch_ray.functions.wordpattern import sql_tokenize_expr  # noqa: E402
+from marginaliasearch_ray.pipelines import (  # noqa: E402
+    events as events_ops,
+    similarity,
+    textops,
+)
+from marginaliasearch_ray.pipelines.build_index import (  # noqa: E402
+    BuildConfig,
+    build_index,
+)
+from marginaliasearch_ray.pipelines.query import IndexSearch  # noqa: E402
+from marginaliasearch_ray.sources.corpus import documents_corpus_dataset  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# index cache per sf_dir
+
+_INDEX_HANDLES: dict[str, IndexSearch] = {}
+
+REFERENCE_QUERIES = [
+    "customer",
+    "merge sort",
+    "customer merge table",
+    "scan filter -customer",
+    '"fast table" scan',
+    "customer repo:src3",
+    "window stream group",
+    "nosuchterm12345",
+]
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp/msray_index_cache", tag)
+
+
+def _build_cfg() -> BuildConfig:
+    return BuildConfig(
+        num_parts=4, num_buckets=16, num_salts=4, hot_df_threshold=300
+    )
+
+
+def _index_for(sf_dir: str) -> IndexSearch:
+    handle = _INDEX_HANDLES.get(sf_dir)
+    if handle is not None:
+        return handle
+    out = _index_dir_for(sf_dir)
+    build_index(documents_corpus_dataset(sf_dir), out, _build_cfg())
+    try:
+        handle = IndexSearch(out, use_actors=True)
+        handle.search("customer", k=1)  # smoke the actors
+    except Exception:
+        handle = IndexSearch(out, use_actors=False)
+    _INDEX_HANDLES[sf_dir] = handle
+    return handle
+
+
+# ---------------------------------------------------------------------------
+# engine-side query callables
+
+
+def _journal_sizes(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+
+    _index_for(sf_dir)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        doc_id = idcodec.get_ordinal(
+            batch["combined_id"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "size": batch["size"].cast(pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(_index_dir_for(sf_dir), "journal"),
+        columns=["combined_id", "size"],
+    ).map_batches(to_rows, batch_format="pyarrow")
+
+
+def _forward_docmeta(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+
+    _index_for(sf_dir)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        doc_id = idcodec.get_ordinal(
+            batch["combined_id"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "size": batch["size"].cast(pa.int64()),
+                "lang": batch["lang"],
+                "data_hash": batch["data_hash"],
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(_index_dir_for(sf_dir), "journal"),
+        columns=["combined_id", "size", "lang", "data_hash"],
+    ).map_batches(to_rows, batch_format="pyarrow")
+
+
+def _posting_list(sf_dir: str, term: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.functions.codecs import decode_doc_ids
+
+    _index_for(sf_dir)
+    tid = hash_nearly_ascii(term)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tids = batch["term_id"].to_numpy(zero_copy_only=False)
+        hits = np.flatnonzero(tids == tid)
+        out = []
+        for h in hits:
+            ids = decode_doc_ids(batch["docs"][int(h)].as_py())
+            out.append(idcodec.get_ordinal(ids))
+        doc = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(doc, pa.int64())})
+
+    return ray.data.read_parquet(
+        os.path.join(_index_dir_for(sf_dir), "postings"),
+        columns=["term_id", "docs"],
+    ).map_batches(decode, batch_format="pyarrow")
+
+
+def _search(sf_dir: str, query: str, k: int = 10):
+    idx = _index_for(sf_dir)
+    t = idx.search(query, k=k)
+    return t.select(["doc_id", "score_r"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q: dict[str, Callable[[str], Any]] = {}
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # index internals
+    q["journal_sizes"] = _journal_sizes
+    q["forward_docmeta"] = _forward_docmeta
+    q["posting_list_merge"] = lambda sf: _posting_list(sf, "merge")
+    q["posting_list_customer"] = lambda sf: _posting_list(sf, "customer")
+
+    # BM25 search (the north-star surface)
+    q["bm25_single"] = lambda sf: _search(sf, "customer")
+    q["bm25_conj"] = lambda sf: _search(sf, "customer merge table")
+    q["bm25_exclude"] = lambda sf: _search(sf, "scan filter -customer")
+    q["bm25_phrase"] = lambda sf: _search(sf, '"fast table" scan')
+    q["bm25_repo"] = lambda sf: _search(sf, "customer repo:src3")
+
+    # term statistics / dedup / quality / fingerprints
+    q["term_df_top100"] = lambda sf: textops.term_df_top(
+        documents_corpus_dataset(sf), k=100
+    )
+    q["exact_dedup"] = lambda sf: textops.exact_dedup(documents_corpus_dataset(sf))
+    q["lang_id"] = lambda sf: textops.lang_id(documents_corpus_dataset(sf))
+    q["quality_scores"] = lambda sf: textops.quality_scores(
+        documents_corpus_dataset(sf)
+    )
+    q["simhash64"] = lambda sf: textops.simhash64(documents_corpus_dataset(sf))
+    q["ngram_jaccard_pairs"] = lambda sf: textops.ngram_jaccard_pairs(
+        documents_corpus_dataset(sf), threshold=0.5
+    )
+    q["minhash_lsh_pairs"] = lambda sf: textops.minhash_lsh_pairs(
+        documents_corpus_dataset(sf), threshold=0.5
+    )
+
+    # similarity search
+    q["ann_cosine_top10"] = lambda sf: similarity.ann_topk(sf, vec_id=0, k=10)
+    q["embedding_top_pairs"] = lambda sf: similarity.top_similar_pairs(sf, k=20)
+    q["lsh_ann_topk"] = lambda sf: similarity.lsh_ann_topk(sf, vec_id=0, k=10)
+
+    # stream-shaped windows
+    q["events_tumbling_1h"] = lambda sf: events_ops.tumbling_window(sf, 3600)
+    q["events_sessions"] = lambda sf: events_ops.session_windows(sf, 1800)
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _tok(col: str = "text") -> str:
+    return sql_tokenize_expr(col)
+
+
+def _bm25_sql(
+    terms: list[str],
+    k: int = 10,
+    exclude: list[str] | None = None,
+    phrase: list[str] | None = None,
+    source: str | None = None,
+) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    extra = []
+    if exclude:
+        for t in exclude:
+            extra.append(f"NOT list_contains(c.toks, '{t}')")
+    if phrase:
+        needle = "|" + "|".join(phrase) + "|"
+        extra.append(f"contains(c.joined, '{needle}')")
+    if source:
+        extra.append(f"c.source = '{source}'")
+    where = (" AND " + " AND ".join(extra)) if extra else ""
+    term_score = sql_bm25_term_expr("tf.tf", "df.df", "n.n", "c.dl")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {_tok()} AS toks,
+         '|' || array_to_string({_tok()}, '|') || '|' AS joined
+  FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+terms(term) AS (VALUES {vals}),
+tf AS (
+  SELECT t.doc_id, m.term,
+         len(list_filter(t.toks, x -> x = m.term)) AS tf
+  FROM tok t CROSS JOIN terms m
+),
+df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+cand AS (
+  SELECT t.doc_id, len(t.toks) AS dl, t.source, t.joined, t.toks
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tf WHERE tf.doc_id = t.doc_id AND tf.tf = 0
+  )
+)
+SELECT c.doc_id,
+       round(sum({term_score}), 6) AS score_r
+FROM cand c
+JOIN tf ON tf.doc_id = c.doc_id
+JOIN df ON df.term = tf.term
+CROSS JOIN n
+WHERE true{where}
+GROUP BY c.doc_id
+ORDER BY score_r DESC, c.doc_id
+LIMIT {k}
+"""
+
+
+def _lang_sql() -> str:
+    counts = []
+    for lang, markers in textops.LANG_MARKERS:
+        lst = ", ".join(f"'{m}'" for m in markers)
+        counts.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) AS c_{lang}"
+        )
+    cases = []
+    for lang, _ in textops.LANG_MARKERS:
+        cases.append(
+            f"WHEN c_{lang} = greatest(c_de, c_en, c_es, c_fr) THEN '{lang}'"
+        )
+    return f"""
+WITH t AS (SELECT doc_id, {_tok()} AS toks FROM documents),
+c AS (SELECT doc_id, {', '.join(counts)} FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+       {' '.join(cases)}
+  END AS lang_pred
+FROM c
+"""
+
+
+def _shingle_sql() -> str:
+    return (
+        f"list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+        f"for i in generate_series(1, len(t) - 2)])"
+    )
+
+
+def _jaccard_sql(threshold: float) -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, {_tok()} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql()} AS s FROM tk WHERE len(t) >= 3)
+SELECT doc_a, doc_b, jaccard_r FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+           AS jaccard_r
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard_r >= {threshold}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    sqls: dict[str, str] = {
+        "journal_sizes": f"SELECT doc_id, len({_tok()}) AS size FROM documents",
+        "forward_docmeta": (
+            f"SELECT doc_id, len({_tok()}) AS size, lang, sha256(text) AS data_hash "
+            "FROM documents"
+        ),
+        "posting_list_merge": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_tok()}, 'merge')"
+        ),
+        "posting_list_customer": (
+            f"SELECT doc_id FROM documents WHERE list_contains({_tok()}, 'customer')"
+        ),
+        "bm25_single": _bm25_sql(["customer"]),
+        "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
+        "bm25_exclude": _bm25_sql(["scan", "filter"], exclude=["customer"]),
+        "bm25_phrase": _bm25_sql(
+            ["fast", "table", "scan"], phrase=["fast", "table"]
+        ),
+        "bm25_repo": _bm25_sql(["customer"], source="src3"),
+        "term_df_top100": f"""
+            SELECT term, count(*) AS df FROM (
+              SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents
+            ) GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "exact_dedup": (
+            "SELECT sha256(text) AS data_hash, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY sha256(text)"
+        ),
+        "lang_id": _lang_sql(),
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id, {_tok()} AS toks FROM documents)
+            SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+              END AS uniq_ratio_r,
+              CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE round(len(list_filter(toks, x -> list_contains([{stop}], x)))::DOUBLE
+                              / len(toks), 6)
+              END AS stop_ratio_r
+            FROM t
+        """,
+        "ngram_jaccard_pairs": _jaccard_sql(0.5),
+        "minhash_lsh_pairs": _jaccard_sql(0.5),
+        "ann_cosine_top10": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], q.v), 6) AS cos_r
+            FROM embeddings, q
+            ORDER BY cos_r DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_top_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ORDER BY cos_r DESC, vec_a, vec_b
+            LIMIT 20
+        """,
+        "events_tumbling_1h": """
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                     AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value_r
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+    }
+    # simhash64 / lsh_ann_topk: bit-level / probabilistic — no SQL oracle
+    return sqls
+
+
+# ---------------------------------------------------------------------------
+
+
+def entry() -> Any:
+    """Flagship: build the full index over sf0.001 and evaluate the
+    reference query set; returns one row per (query, rank)."""
+    import pandas as pd
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _index_for(sf_dir)
+    rows = []
+    for qstr in REFERENCE_QUERIES:
+        t = idx.search(qstr, k=10)
+        for rank, (doc, score) in enumerate(
+            zip(t["doc_id"].to_pylist(), t["score_r"].to_pylist())
+        ):
+            rows.append(
+                {"query": qstr, "rank": rank, "doc_id": doc, "score_r": score}
+            )
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score_r"])

@@ -1,0 +1,194 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+--scaling: runs the same bench twice in fresh processes (8 then 32 CPUs)
+on identical input and prints throughputs at both plus the scaling
+efficiency (sandbox stand-in for the N vs 4N node-cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+SYNTH_REPOS = int(os.environ.get("MSRAY_BENCH_REPOS", "150"))
+SYNTH_FILES = int(os.environ.get("MSRAY_BENCH_FILES", "100"))
+
+
+def _synth_corpus_path() -> str:
+    path = f"/tmp/msray_bench_corpus_{SYNTH_REPOS}x{SYNTH_FILES}.parquet"
+    if not os.path.exists(path):
+        from marginaliasearch_ray.sources.corpus import synthesize_corpus, write_corpus
+
+        write_corpus(synthesize_corpus(SYNTH_REPOS, SYNTH_FILES, seed=42), path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+    from marginaliasearch_ray.pipelines import events as events_ops
+    from marginaliasearch_ray.pipelines import similarity, textops
+    from marginaliasearch_ray.pipelines.build_index import build_index
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+    from marginaliasearch_ray.sources.corpus import documents_corpus_dataset
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for t in ("documents", "embeddings", "events"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            f.read()
+
+    # 1) index build over the sf documents corpus (fresh)
+    sf_index = e._index_dir_for(SF_DIR)
+    shutil.rmtree(sf_index, ignore_errors=True)
+    timed(
+        "index_build_sf",
+        lambda: build_index(
+            documents_corpus_dataset(SF_DIR), sf_index, e._build_cfg()
+        ),
+    )
+
+    # 2) index build over the deterministic synthetic source-code corpus
+    synth_path = _synth_corpus_path()
+    synth_out = "/tmp/msray_bench_index"
+    shutil.rmtree(synth_out, ignore_errors=True)
+    n_docs = SYNTH_REPOS * SYNTH_FILES
+
+    def build_synth():
+        import ray.data as rd
+
+        from marginaliasearch_ray.pipelines.build_index import BuildConfig
+
+        cfg = BuildConfig(
+            num_parts=8, num_buckets=32, num_salts=4, hot_df_threshold=2000
+        )
+        return build_index(rd.read_parquet(synth_path), synth_out, cfg)
+
+    timed("index_build_synth", build_synth)
+    extras["synth_docs"] = n_docs
+    extras["synth_build_docs_per_s"] = round(n_docs / timings["index_build_synth"], 1)
+
+    # 3) query throughput on the synthetic index
+    idx = IndexSearch(synth_out, use_actors=True)
+    qset = [
+        "license import",
+        "parse_tree visitor",
+        "merge_buffer -license",
+        '"license import"',
+        "copyright return the",
+        "uniq_3_7_token",
+    ]
+
+    def run_queries():
+        n = 0
+        for _ in range(5):
+            for q in qset:
+                idx.search(q, k=10)
+                n += 1
+        return n
+
+    nq = timed("query_set", run_queries)
+    extras["queries_per_s"] = round(nq / timings["query_set"], 1)
+    idx.shutdown()
+
+    # 4) training-data ops at sf scale
+    timed(
+        "dedup_minhash",
+        lambda: textops.minhash_lsh_pairs(
+            documents_corpus_dataset(SF_DIR), 0.5
+        ).materialize(),
+    )
+    timed(
+        "term_df",
+        lambda: textops.term_df_top(
+            documents_corpus_dataset(SF_DIR), 100
+        ).materialize(),
+    )
+    timed("ann_topk", lambda: similarity.ann_topk(SF_DIR, 0, 10).materialize())
+    timed(
+        "events_window",
+        lambda: events_ops.tumbling_window(SF_DIR, 3600).materialize(),
+    )
+
+    ray.shutdown()
+
+    return {
+        "metric": "marginalia-ray headline pipelines (index build + BM25 query + text ops)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    # throughput on the synthetic index build — the shuffle-heavy core
+    thr_lo = r_lo["synth_build_docs_per_s"]
+    thr_hi = r_hi["synth_build_docs_per_s"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (synthetic index build docs/s)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "docs_per_s_lo": thr_lo,
+        "docs_per_s_hi": thr_hi,
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

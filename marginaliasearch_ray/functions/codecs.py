@@ -140,6 +140,41 @@ def decode_counts(buf: bytes) -> np.ndarray:
     return vals[1 : 1 + n]
 
 
+def encode_stream_blob(
+    values: np.ndarray, lengths: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode many ``[len+1, v1..vk]`` varint streams in ONE vectorized
+    pass.  ``values`` is the concatenation of all stream payloads (already
+    delta-coded by the caller), ``lengths`` the per-stream payload length.
+
+    Returns (blob, byte_offsets) where byte_offsets has ``len(lengths)+1``
+    entries and stream i occupies ``blob[byte_offsets[i]:byte_offsets[i+1]]``
+    — callers can also slice across consecutive streams to build grouped
+    blobs without re-encoding.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    if n == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    tot = int(lengths.sum())
+    start_pos = np.cumsum(lengths) - lengths
+    hdr_idx = start_pos + np.arange(n)
+    comb = np.empty(n + tot, dtype=np.int64)
+    comb[hdr_idx] = lengths + 1
+    mask = np.ones(n + tot, dtype=bool)
+    mask[hdr_idx] = False
+    comb[mask] = values
+    widths = _varint_widths(comb.astype(np.uint64))
+    ends = np.cumsum(widths)
+    blob = encode_varints(comb)
+    byte_offsets = np.empty(n + 1, dtype=np.int64)
+    byte_offsets[0] = 0
+    if n > 1:
+        byte_offsets[1:n] = ends[hdr_idx[1:] - 1]
+    byte_offsets[n] = ends[-1] if len(ends) else 0
+    return blob, byte_offsets
+
+
 def decode_many_sequences(bufs) -> list[np.ndarray]:
     """Decode a batch of position sequences in one vectorized pass by
     concatenating buffers (each stream is self-delimiting via its count

@@ -25,6 +25,7 @@ moves compressed blobs only).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -108,10 +109,16 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     pool = cfg.tokenize_concurrency or (1, max(2, ncpu - 2))
     merge_pool = cfg.merge_concurrency or (1, max(2, ncpu // 2))
 
+    max_pool = pool if isinstance(pool, int) else pool[1]
+
     # ---- phase: journal -------------------------------------------------
     if not mf.is_committed(out_dir, "journal"):
+        t_phase = time.time()
         registry = build_domain_registry(corpus_ds, cfg.num_parts)
         reg_ref = ray.put(registry)
+        # single-file corpora arrive as a handful of blocks; split so the
+        # tokenize pool actually fans out (repartition without shuffle)
+        corpus_ds = corpus_ds.repartition(max_pool * 2)
         journal = corpus_ds.map_batches(
             TokenizeStage,
             fn_constructor_args=(reg_ref,),
@@ -151,6 +158,7 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
                 "n_docs": n_docs,
                 "n_repos": len(registry.repos),
                 "num_parts": cfg.num_parts,
+                "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "journal"),
             },
         )
@@ -160,6 +168,7 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
 
     # ---- phase: stats (global df + hot terms) ---------------------------
     if not mf.is_committed(out_dir, "stats"):
+        t_phase = time.time()
         js = read_journal(out_dir, "reverse")
 
         def partial_df(batch: pa.Table) -> pa.Table:
@@ -206,6 +215,7 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
                 "hot_terms": hot_terms,
                 "hot_df_threshold": cfg.hot_df_threshold,
                 "num_buckets": cfg.num_buckets,
+                "seconds": round(time.time() - t_phase, 3),
             },
         )
 
@@ -213,6 +223,7 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
 
     # ---- phase: forward -------------------------------------------------
     if not mf.is_committed(out_dir, "forward"):
+        t_phase = time.time()
         fwd = (
             read_journal(out_dir, "forward")
             .groupby("part")
@@ -234,12 +245,14 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
             "forward",
             {
                 "per_part_docs": {str(r["part"]): r["count()"] for r in counts},
+                "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "forward"),
             },
         )
 
     # ---- phase: reverse -------------------------------------------------
     if not mf.is_committed(out_dir, "reverse"):
+        t_phase = time.time()
         hot_ref = __import__("ray").put(set(stats_manifest["hot_terms"]))
         runs = (
             read_journal(out_dir, "reverse")
@@ -278,6 +291,7 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
                 "num_buckets": cfg.num_buckets,
                 "num_salts": cfg.num_salts,
                 "hot_terms": len(stats_manifest["hot_terms"]),
+                "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "postings"),
                 "lineage": {
                     "journal_files": journal_manifest.get("files", []),

@@ -60,6 +60,24 @@ class CompiledQuery:
 _QUOTE_RE = re.compile(r'"([^"]*)"')
 
 
+def _membership(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    """Boolean mask: which sorted-unique cand ids appear in sorted docs
+    (searchsorted semi-join — SkipListReader retain/reject analog)."""
+    if len(docs) == 0:
+        return np.zeros(len(cand), dtype=bool)
+    ix = np.searchsorted(docs, cand)
+    ix_c = np.minimum(ix, len(docs) - 1)
+    return (docs[ix_c] == cand) & (ix < len(docs))
+
+
+def _retain(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    return cand[_membership(cand, docs)]
+
+
+def _reject(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    return cand[~_membership(cand, docs)]
+
+
 def compile_query(q: str) -> CompiledQuery:
     """Parse the human query into a compiled query (QueryParser subset).
 
@@ -119,6 +137,7 @@ class _Segment:
         self.fwd_meta = fwd["document_meta"].to_numpy(zero_copy_only=False)[o]
 
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._pos_decoded: dict[int, list[np.ndarray]] = {}
 
     def term_row(self, tid: int) -> int:
         i = int(np.searchsorted(self.term_ids, tid))
@@ -143,12 +162,17 @@ class _Segment:
             self._decoded[tid] = out
         return out
 
-    def positions_for(self, tid: int, doc_idx: np.ndarray) -> list[np.ndarray]:
+    def positions_decoded(self, tid: int) -> list[np.ndarray]:
+        """All per-doc position arrays of a term, decoded once and cached
+        (one vectorized varint pass over the whole blob)."""
+        cached = self._pos_decoded.get(tid)
+        if cached is not None:
+            return cached
         r = self.term_row(tid)
-        if r < 0:
-            return []
-        all_pos = split_positions_blob(self.pos_blobs[r], int(self.df[r]))
-        return [all_pos[int(i)] for i in doc_idx]
+        out = [] if r < 0 else split_positions_blob(self.pos_blobs[r], int(self.df[r]))
+        if len(self._pos_decoded) < 256:
+            self._pos_decoded[tid] = out
+        return out
 
     def doc_sizes(self, ids: np.ndarray) -> np.ndarray:
         i = np.searchsorted(self.fwd_ids, ids)
@@ -190,43 +214,39 @@ class SearcherLogic:
         for t in ordered[1:]:
             if len(cand) == 0:
                 break
-            docs, _ = seg.postings(t)
-            cand = cand[np.isin(cand, docs, assume_unique=True)]
+            cand = _retain(cand, seg.postings(t)[0])
         for t in exclude_ids:
             if len(cand) == 0:
                 break
-            docs, _ = seg.postings(t)
-            cand = cand[~np.isin(cand, docs, assume_unique=True)]
+            cand = _reject(cand, seg.postings(t)[0])
         if domain_range is not None:
             lo, hi = domain_range
             cand = cand[(cand >= lo) & (cand < hi)]
 
         # mandatory phrase constraints: successive (pos_a + 1) ∩ pos_b
-        # (SequenceOperations.intersectSequences analog)
+        # (SequenceOperations.intersectSequences analog).  Each term's
+        # positions blob is decoded once per query, not per candidate.
         for phrase in phrase_ids:
             if len(cand) == 0 or len(phrase) < 2:
                 continue
-            keep = np.ones(len(cand), dtype=bool)
             per_term = []
-            ok = True
             for t in phrase:
                 docs, _ = seg.postings(t)
-                ix = np.searchsorted(docs, cand)
-                present = (ix < len(docs)) & (docs[np.minimum(ix, len(docs) - 1)] == cand)
-                if not present.all():
-                    keep &= present
-                per_term.append((t, docs))
-            for ci, c in enumerate(cand):
-                if not keep[ci]:
-                    continue
+                per_term.append((docs, seg.positions_decoded(t)))
+            keep = np.ones(len(cand), dtype=bool)
+            idx_per_term = [
+                np.searchsorted(docs, cand) for docs, _ in per_term
+            ]
+            for ci in range(len(cand)):
+                c = cand[ci]
                 prev = None
-                for t, docs in per_term:
-                    di = int(np.searchsorted(docs, c))
+                for (docs, pos), ixs in zip(per_term, idx_per_term):
+                    di = int(ixs[ci])
                     if di >= len(docs) or docs[di] != c:
                         keep[ci] = False
                         break
-                    pos = self.seg.positions_for(t, np.array([di]))[0]
-                    prev = pos if prev is None else np.intersect1d(prev + 1, pos)
+                    p = pos[di]
+                    prev = p if prev is None else np.intersect1d(prev + 1, p)
                     if len(prev) == 0:
                         keep[ci] = False
                         break

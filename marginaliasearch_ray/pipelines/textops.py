@@ -1,0 +1,437 @@
+"""Training-data text operators over the corpus: term statistics, exact
+and near deduplication, language id, quality scoring, fingerprinting.
+
+All operators are streaming Dataset pipelines over the corpus shape
+(repo, path, lang, content, ordinal).  Where an operator is checked by a
+DuckDB oracle, the implementation and the SQL share one token/shingle
+definition (functions/wordpattern.py) and one rounding rule (6 dp).
+
+Reference anchors: TermFrequencyDict build (TermFrequencyDict.java:26-104
+— ST1, regenerated from the corpus as a groupby-count), dataHash dedup
+(IndexQueryExecution.java:512-524 — D2), EasyLSH near-dup family
+(code/libraries/easy-lsh/) generalized to MinHash-LSH / SimHash /
+n-gram-Jaccard as first-class pipeline operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.murmur import hash_nearly_ascii
+from ..functions.wordpattern import tokenize
+
+# ---------------------------------------------------------------------------
+# term statistics (TermFrequencyDict analog)
+
+
+def term_df(corpus_ds):
+    """(term, df) — number of documents containing each term.  Partial
+    per-batch counts (pre-aggregation) feed a vocabulary-sized groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["content"].to_pylist():
+            c.update(set(tokenize(t)))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        corpus_ds.select_columns(["content"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="df"))
+    )
+
+
+def term_df_top(corpus_ds, k: int = 100):
+    return term_df(corpus_ds).sort(["df", "term"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-partitioned, first doc per content hash)
+
+
+def exact_dedup(corpus_ds):
+    """(data_hash, doc_id) — the minimum ordinal per sha256(content);
+    groupby on the hash is the distributed hash-partition + per-group
+    first pattern."""
+    from ray.data.aggregate import Min
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            for t in batch["content"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "data_hash": pa.array(hs, pa.string()),
+                "ordinal": batch["ordinal"],
+            }
+        )
+
+    return (
+        corpus_ds.select_columns(["content", "ordinal"])
+        .map_batches(with_hash, batch_format="pyarrow")
+        .groupby("data_hash")
+        .aggregate(Min("ordinal", alias_name="doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# language id + quality scoring (SQL-expressible heuristics)
+
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("de", ("und", "der", "das", "nicht")),
+    ("en", ("the", "a", "of", "to")),
+    ("es", ("el", "los", "una", "y")),
+    ("fr", ("le", "les", "une", "est")),
+]
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def lang_id(corpus_ds):
+    """(doc_id, lang_pred) — argmax of per-language marker-token counts,
+    first language in LANG_MARKERS order wins ties; 'und' when no marker
+    occurs.  Deliberately simple so the oracle SQL mirrors it exactly."""
+
+    def pred(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["content"].to_pylist():
+            toks = tokenize(t)
+            best_lang, best_n = "und", 0
+            for lang, markers in LANG_MARKERS:
+                n = sum(1 for w in toks if w in markers)
+                if n > best_n:
+                    best_lang, best_n = lang, n
+            out.append(best_lang)
+        return pa.table(
+            {
+                "doc_id": batch["ordinal"].cast(pa.int64()),
+                "lang_pred": pa.array(out, pa.string()),
+            }
+        )
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        pred, batch_format="pyarrow"
+    )
+
+
+def quality_scores(corpus_ds):
+    """(doc_id, n_tokens, uniq_ratio_r, stop_ratio_r) — simple quality
+    signals, rounded to 6 dp."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_toks, uniq_r, stop_r = [], [], []
+        for t in batch["content"].to_pylist():
+            toks = tokenize(t)
+            n = len(toks)
+            n_toks.append(n)
+            if n:
+                uniq_r.append(round(len(set(toks)) / n, 6))
+                stop_r.append(round(sum(1 for w in toks if w in STOPWORDS) / n, 6))
+            else:
+                uniq_r.append(0.0)
+                stop_r.append(0.0)
+        return pa.table(
+            {
+                "doc_id": batch["ordinal"].cast(pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "uniq_ratio_r": pa.array(uniq_r, pa.float64()),
+                "stop_ratio_r": pa.array(stop_r, pa.float64()),
+            }
+        )
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+
+def simhash64(corpus_ds):
+    """(doc_id, simhash) — 64-bit SimHash over tokens weighted by tf,
+    bit-hash = keyword murmur hash.  Deterministic; no SQL oracle
+    (bit-level ops are not reasonably SQL-expressible)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["content"].to_pylist():
+            c = Counter(tokenize(t))
+            acc = np.zeros(64, dtype=np.int64)
+            for w, tf in c.items():
+                h = np.uint64(hash_nearly_ascii(w) & ((1 << 64) - 1))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), tf, -tf)
+            sh = 0
+            for b in range(64):
+                if acc[b] > 0:
+                    sh |= 1 << b
+            out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+        return pa.table(
+            {
+                "doc_id": batch["ordinal"].cast(pa.int64()),
+                "simhash": pa.array(out, pa.int64()),
+            }
+        )
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup: n-gram shingle Jaccard (exact) and MinHash-LSH (scale path)
+
+SHINGLE_N = 3
+
+
+def shingles_of(toks: list[str]) -> set[str]:
+    return {
+        " ".join(toks[i : i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)
+    }
+
+
+def _shingle_rows(batch: pa.Table) -> pa.Table:
+    doc_ids, sh_hash, sizes = [], [], []
+    size_doc, size_n = [], []
+    for d, t in zip(
+        batch["ordinal"].to_pylist(), batch["content"].to_pylist()
+    ):
+        sh = shingles_of(tokenize(t))
+        size_doc.append(int(d))
+        size_n.append(len(sh))
+        for s in sh:
+            doc_ids.append(int(d))
+            sh_hash.append(hash_nearly_ascii(s))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "shingle": pa.array(sh_hash, pa.int64()),
+        }
+    )
+
+
+def _doc_shingle_sizes(batch: pa.Table) -> pa.Table:
+    ids, ns = [], []
+    for d, t in zip(batch["ordinal"].to_pylist(), batch["content"].to_pylist()):
+        ids.append(int(d))
+        ns.append(len(shingles_of(tokenize(t))))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "n_sh": pa.array(ns, pa.int64())}
+    )
+
+
+def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5):
+    """(doc_a, doc_b, jaccard_r) — EXACT pairs with 3-gram shingle
+    Jaccard >= threshold.
+
+    Distributed shape: explode (shingle, doc) -> groupby(shingle) ->
+    per-group pair generation (vectorized meshgrid) -> groupby(pair)
+    count of shared shingles -> join with per-doc shingle counts
+    (broadcast; at 10^12-doc scale this join becomes a hash-partitioned
+    Dataset.join and pair generation is capped per shingle — the LSH
+    variant below is the intended scale path).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    sizes = dict(
+        (r["doc_id"], r["n_sh"])
+        for r in corpus_ds.select_columns(["content", "ordinal"])
+        .map_batches(_doc_shingle_sizes, batch_format="pyarrow")
+        .take_all()
+    )
+    sizes_ref = ray.put(sizes)
+
+    pairs = (
+        corpus_ds.select_columns(["content", "ordinal"])
+        .map_batches(_shingle_rows, batch_format="pyarrow")
+        .groupby("shingle")
+        .map_groups(_pairs_of_group, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("one", alias_name="shared"))
+    )
+
+    def finish(batch: pa.Table, *, threshold=threshold) -> pa.Table:
+        sz = ray.get(sizes_ref)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        shared = batch["shared"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = np.array([sz[int(x)] for x in a], dtype=np.float64)
+        nb = np.array([sz[int(x)] for x in b], dtype=np.float64)
+        j = shared / (na + nb - shared)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "jaccard_r": pa.array(np.round(j[keep], 6), pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def _pairs_of_group(group: pa.Table) -> pa.Table:
+    docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    if len(docs) < 2:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+    ai, bi = np.triu_indices(len(docs), k=1)
+    return pa.table(
+        {
+            "doc_a": pa.array(docs[ai], pa.int64()),
+            "doc_b": pa.array(docs[bi], pa.int64()),
+            "one": pa.array(np.ones(len(ai), dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+# MinHash-LSH --------------------------------------------------------------
+
+NUM_PERM = 128
+LSH_BANDS = 64  # 64 bands x 2 rows: P(candidate | j) = 1-(1-j^2)^64
+# Mersenne prime 2^31-1: keeps a*x+b products within uint64 (no modmul needed)
+_MERS_P = (1 << 31) - 1
+
+
+def _perm_coeffs(seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERS_P, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERS_P, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(corpus_ds):
+    """(doc_id, sig: list<int64>) — 128-perm MinHash over 3-gram shingle
+    hashes (universal hashing a*x+b mod 2^61-1, vectorized)."""
+    a, b = _perm_coeffs()
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for d, t in zip(batch["ordinal"].to_pylist(), batch["content"].to_pylist()):
+            sh = shingles_of(tokenize(t))
+            ids.append(int(d))
+            if not sh:
+                sigs.append([0] * NUM_PERM)
+                continue
+            x = np.array(
+                [hash_nearly_ascii(s) for s in sh], dtype=np.int64
+            ).astype(np.uint64)[:, None]
+            # (a*x + b) mod p with x,a,b < 2^31: products fit in uint64
+            xr = x % np.uint64(_MERS_P)
+            vals = (xr * a + b) % np.uint64(_MERS_P)
+            sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.list_(pa.int64())),
+            }
+        )
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        sig, batch_format="pyarrow"
+    )
+
+
+def minhash_lsh_pairs(corpus_ds, threshold: float = 0.5):
+    """(doc_a, doc_b, jaccard_r) — MinHash-LSH candidates (banding) with
+    exact shingle-Jaccard verification.  With 64 bands x 2 rows the miss
+    probability at j=0.5 is (1-0.25)^64 ~ 1e-8, so the verified output
+    matches the exact ngram_jaccard_pairs oracle in practice."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rows_per_band = NUM_PERM // LSH_BANDS
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sig = np.array(batch["sig"].to_pylist(), dtype=np.int64)
+        n = len(ids)
+        sig = sig.reshape(n, LSH_BANDS, rows_per_band)
+        bh = np.zeros((n, LSH_BANDS), dtype=np.int64)
+        for r in range(rows_per_band):
+            bh = bh * np.int64(1000003) + sig[:, :, r]
+        band_id = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, LSH_BANDS), pa.int64()),
+                "band": pa.array(band_id, pa.int64()),
+                "bh": pa.array(bh.reshape(-1), pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        if len(docs) < 2:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                 "one": pa.array([], pa.int64())}
+            )
+        ai, bi = np.triu_indices(len(docs), k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(docs[ai], pa.int64()),
+                "doc_b": pa.array(docs[bi], pa.int64()),
+                "one": pa.array(np.ones(len(ai), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    candidates = (
+        minhash_signatures(corpus_ds)
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "bh"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("one", alias_name="nbands"))
+    )
+
+    # exact verification against the true shingle sets (broadcast at test
+    # scale; partitioned join at real scale)
+    sets = {}
+    for r in (
+        corpus_ds.select_columns(["content", "ordinal"]).take_all()
+    ):
+        sets[int(r["ordinal"])] = shingles_of(tokenize(r["content"]))
+    sets_ref = ray.put(sets)
+
+    def verify(batch: pa.Table, *, threshold=threshold) -> pa.Table:
+        ss = ray.get(sets_ref)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        keep_a, keep_b, jr = [], [], []
+        for x, y in zip(a, b):
+            sa, sb = ss[int(x)], ss[int(y)]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                keep_a.append(int(x))
+                keep_b.append(int(y))
+                jr.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard_r": pa.array(jr, pa.float64()),
+            }
+        )
+
+    return candidates.map_batches(verify, batch_format="pyarrow")

@@ -108,12 +108,16 @@ def _encode_positions_blob(pos_lists: list[np.ndarray]) -> bytes:
 
 def encode_run_group(group: pa.Table) -> pa.Table:
     """One (part, bucket, salt) group: encode each term's sorted posting
-    run.  Sorting is a single vectorized lexsort; the per-term loop is
-    numpy slicing + varint encodes.
+    run.  Fully vectorized: one lexsort, one first-wins dedup mask, and
+    ONE varint pass each for the doc/tf/position streams of every term in
+    the group (encode_stream_blob); the per-term loop only slices bytes.
 
     Doc order is rank-major combined-id order, mirroring
-    FullPreindexDocuments.construct:92-99.
+    FullPreindexDocuments.construct:92-99; duplicate (term, doc) elision
+    mirrors FullPreindex.merge:191-195.
     """
+    from ..functions.codecs import encode_stream_blob
+
     if len(group) == 0:
         return _empty_run_table()
 
@@ -123,54 +127,91 @@ def encode_run_group(group: pa.Table) -> pa.Table:
 
     tids_s = tids[order]
     docs_s = docs[order]
+    # first-wins dedup of duplicate (term, doc) pairs (stable lexsort
+    # keeps original order within ties)
+    keep = np.ones(len(tids_s), dtype=bool)
+    keep[1:] = (tids_s[1:] != tids_s[:-1]) | (docs_s[1:] != docs_s[:-1])
+    order = order[keep]
+    tids_s = tids_s[keep]
+    docs_s = docs_s[keep]
     tfs_s = group["tf"].to_numpy(zero_copy_only=False)[order]
-    metas_s = group["meta"].to_numpy(zero_copy_only=False)[order]
-    pos_col = group["positions"].combine_chunks()
-    pos_off = np.asarray(pos_col.offsets)
-    pos_vals = np.asarray(pos_col.values)
+    metas_s = group["meta"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
 
+    pos_col = group["positions"].combine_chunks()
+    pos_off = np.asarray(pos_col.offsets).astype(np.int64)
+    pos_vals = np.asarray(pos_col.values).astype(np.int64)
+
+    n = len(tids_s)
     uniq, starts = np.unique(tids_s, return_index=True)
-    bounds = np.append(starts, len(tids_s))
+    bounds = np.append(starts, n)
+    dfs = np.diff(bounds)
+    is_term_start = np.zeros(n, dtype=bool)
+    is_term_start[starts] = True
+
+    # --- doc-id streams: per-term [df+1, deltas...] with prev = -1
+    doc_deltas = np.empty(n, dtype=np.int64)
+    doc_deltas[0] = docs_s[0] + 1
+    doc_deltas[1:] = docs_s[1:] - docs_s[:-1]
+    doc_deltas[starts] = docs_s[starts] + 1
+    docs_blob, docs_off = encode_stream_blob(doc_deltas, dfs)
+
+    # --- tf streams: per-term [df+1, raw tfs...]
+    tfs_blob, tfs_off = encode_stream_blob(tfs_s, dfs)
+
+    # --- metas: raw little-endian int64, sliced per term
+    metas_bytes = metas_s.tobytes()
+
+    # --- position streams: per-POSTING [len+1, deltas...], then sliced
+    # per term across its postings' consecutive streams
+    L = pos_off[order + 1] - pos_off[order]
+    starts_flat = pos_off[order]
+    tot = int(L.sum())
+    gi = np.repeat(starts_flat - (np.cumsum(L) - L), L) + np.arange(tot)
+    flat = pos_vals[gi]
+    row_start = np.cumsum(L) - L
+    pdeltas = np.empty(tot, dtype=np.int64)
+    if tot:
+        pdeltas[0] = flat[0]
+        pdeltas[1:] = flat[1:] - flat[:-1]
+        nonempty = L > 0
+        pdeltas[row_start[nonempty]] = flat[row_start[nonempty]]
+    pos_blob, pos_stream_off = encode_stream_blob(pdeltas, L)
+    # byte boundary of each term = start of its first posting's stream
+    term_pos_off = pos_stream_off[bounds]
 
     part = group["part"][0].as_py()
     bucket = group["bucket"][0].as_py()
     salt = group["salt"][0].as_py()
+    k = len(uniq)
 
-    out = {
-        "part": [],
-        "bucket": [],
-        "salt": [],
-        "term_id": [],
-        "df": [],
-        "docs": [],
-        "tfs": [],
-        "metas": [],
-        "positions": [],
-    }
-    for k in range(len(uniq)):
-        lo, hi = bounds[k], bounds[k + 1]
-        d = docs_s[lo:hi]
-        # first-wins dedup of duplicate (term, doc) pairs
-        keep = np.ones(hi - lo, dtype=bool)
-        keep[1:] = d[1:] != d[:-1]
-        idx = np.flatnonzero(keep)
-        d = d[idx]
-        t = tfs_s[lo:hi][idx]
-        m = metas_s[lo:hi][idx]
-        plists = []
-        for j in idx:
-            r = int(order[lo + j])  # original row index of this posting
-            plists.append(pos_vals[pos_off[r] : pos_off[r + 1]].astype(np.int64))
-        out["part"].append(part)
-        out["bucket"].append(bucket)
-        out["salt"].append(salt)
-        out["term_id"].append(int(uniq[k]))
-        out["df"].append(len(d))
-        out["docs"].append(encode_doc_ids(d))
-        out["tfs"].append(encode_counts(t))
-        out["metas"].append(m.astype(np.int64).tobytes())
-        out["positions"].append(_encode_positions_blob(plists))
-    return _run_table(out)
+    return pa.table(
+        {
+            "part": pa.array(np.full(k, part, dtype=np.int32), pa.int32()),
+            "bucket": pa.array(np.full(k, bucket, dtype=np.int32), pa.int32()),
+            "salt": pa.array(np.full(k, salt, dtype=np.int32), pa.int32()),
+            "term_id": pa.array(uniq, pa.int64()),
+            "df": pa.array(dfs, pa.int64()),
+            "docs": pa.array(
+                [docs_blob[docs_off[i] : docs_off[i + 1]] for i in range(k)],
+                pa.binary(),
+            ),
+            "tfs": pa.array(
+                [tfs_blob[tfs_off[i] : tfs_off[i + 1]] for i in range(k)],
+                pa.binary(),
+            ),
+            "metas": pa.array(
+                [
+                    metas_bytes[8 * int(bounds[i]) : 8 * int(bounds[i + 1])]
+                    for i in range(k)
+                ],
+                pa.binary(),
+            ),
+            "positions": pa.array(
+                [pos_blob[term_pos_off[i] : term_pos_off[i + 1]] for i in range(k)],
+                pa.binary(),
+            ),
+        }
+    )
 
 
 def _run_fields():

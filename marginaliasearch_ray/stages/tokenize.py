@@ -35,9 +35,9 @@ import pyarrow as pa
 
 from ..functions.metadata import (
     MAX_POSITIONS_PER_WORD,
+    POSITIONS_BITMASK_WINDOW_SIZE,
     WordFlags,
     encode_document_meta,
-    position_bitmask,
 )
 from ..functions.murmur import KeywordHashCache
 from ..functions.wordpattern import tokenize
@@ -77,81 +77,133 @@ class TokenizeStage:
         dom, rank, part = self.registry.lookup_many(repos)
         combined = idcodec.encode_id_with_rank(rank, dom, np.asarray(ordinals))
 
-        sizes = np.zeros(n, dtype=np.int32)
-        doc_meta = np.zeros(n, dtype=np.int64)
-        term_ids_col: list[list[int]] = []
-        term_tfs_col: list[list[int]] = []
-        term_meta_col: list[list[int]] = []
-        term_pos_col: list[list[list[int]]] = []
+        # --- tokenize every doc; collect one flat token stream per batch
+        tok_lists: list[list[str]] = []
         titles: list[str] = []
         descriptions: list[str] = []
         hashes: list[str] = []
-
         for i in range(n):
             content = contents[i]
-            toks = tokenize(content)
-            sizes[i] = len(toks)
+            tok_lists.append(tokenize(content))
             hashes.append(hashlib.sha256(content.encode("utf-8")).hexdigest())
-            filename = paths[i].rsplit("/", 1)[-1]
-            titles.append(filename)
-            first_line = content.split("\n", 1)[0]
-            descriptions.append(first_line[:128])
+            titles.append(paths[i].rsplit("/", 1)[-1])
+            descriptions.append(content.split("\n", 1)[0][:128])
 
-            if toks:
-                arr = np.asarray(toks)
-                uniq, inv, counts = np.unique(
-                    arr, return_inverse=True, return_counts=True
-                )
-                order = np.argsort(inv, kind="stable")
-                positions_sorted = (order + 1).astype(np.int32)
-                splits = np.cumsum(counts)[:-1]
-                pos_lists = np.split(positions_sorted, splits)
+        lengths = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        sizes = lengths.astype(np.int32)
+        total = int(lengths.sum())
+        doc_starts = np.cumsum(lengths) - lengths
 
-                tids = self.cache.hash_many(uniq.tolist())
+        if total:
+            flat = np.asarray(
+                [w for toks in tok_lists for w in toks], dtype=object
+            ).astype("U48")
+            # ONE unique per batch — docs share a Zipfian vocabulary
+            uniq_batch, inv = np.unique(flat, return_inverse=True)
+            tids_uniq = self.cache.hash_many(uniq_batch.tolist())
 
-                title_set = self._tokens_of(filename)
-                path_set = self._tokens_of(paths[i])
-                repo_set = self._tokens_of(repos[i])
-                flags = np.zeros(len(uniq), dtype=np.int64)
-                for j, w in enumerate(uniq.tolist()):
-                    f = 0
-                    if w in title_set:
-                        f |= WordFlags.TITLE
-                    if w in path_set:
-                        f |= WordFlags.URL_PATH
-                    if w in repo_set:
-                        f |= WordFlags.URL_DOMAIN
-                    flags[j] = f
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            pos_in_doc = (np.arange(total, dtype=np.int64) -
+                          np.repeat(doc_starts, lengths) + 1)
 
-                metas = []
-                plists = []
-                for j in range(len(uniq)):
-                    p = pos_lists[j][:MAX_POSITIONS_PER_WORD]
-                    metas.append(int(flags[j]) & 0xFF | position_bitmask(p))
-                    plists.append(p.tolist())
+            # group occurrences by (doc, term); stable sort keeps positions
+            # strictly increasing within each segment
+            order = np.lexsort((inv, doc_idx))
+            d_s = doc_idx[order]
+            t_s = inv[order]
+            p_s = pos_in_doc[order]
 
-                term_ids_col.append(tids.tolist())
-                term_tfs_col.append(counts.astype(np.int32).tolist())
-                term_meta_col.append(metas)
-                term_pos_col.append(plists)
-            else:
-                term_ids_col.append([])
-                term_tfs_col.append([])
-                term_meta_col.append([])
-                term_pos_col.append([])
+            seg_start = np.ones(total, dtype=bool)
+            seg_start[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+            starts = np.flatnonzero(seg_start)
+            counts = np.diff(np.append(starts, total))
+            seg_doc = d_s[starts]
+            seg_term = t_s[starts]
 
-            # doc-level metadata: rank in bits 48-55 (ForwardIndexConverter
-            # injects DomainRankings there, ForwardIndexConverter.java:104-109);
-            # enc size from document length.
-            doc_meta[i] = int(
-                encode_document_meta(
-                    rank=int(rank[i]) << 2,  # 6-bit rank scaled into the 8-bit field
-                    enc_domain_size=max(1, int(sizes[i]) // 5),
-                    year=0,
-                    quality=0,
-                    flags=0,
-                )
+            # positions cap (DocumentKeywordsBuilder.java:31): drop
+            # occurrences ranked >= 512 within their segment
+            rank_in_seg = np.arange(total, dtype=np.int64) - np.repeat(
+                starts, counts
             )
+            keep = rank_in_seg < MAX_POSITIONS_PER_WORD
+            pos_vals = p_s[keep].astype(np.int32)
+            counts_capped = np.minimum(counts, MAX_POSITIONS_PER_WORD)
+
+            # coarse position bitmask over the capped positions
+            # (calculatePositionMask:144-159), OR-reduced per segment
+            pk = p_s[keep]
+            w = POSITIONS_BITMASK_WINDOW_SIZE
+            pm = (
+                np.int64(1) << (8 + (pk // w) % 56)
+            ) | (np.int64(1) << (8 + ((pk + w // 2) // w) % 56))
+            seg_starts_capped = np.cumsum(counts_capped) - counts_capped
+            seg_mask = np.bitwise_or.reduceat(pm, seg_starts_capped)
+
+            # WordFlags per segment: membership of the term string in the
+            # doc's filename/path/repo token sets
+            seg_flags = np.zeros(len(starts), dtype=np.int64)
+            seg_words = uniq_batch[seg_term]
+            doc_seg_bounds = np.flatnonzero(
+                np.diff(np.append(-1, seg_doc)) != 0
+            )
+            doc_seg_bounds = np.append(doc_seg_bounds, len(starts))
+            for bi in range(len(doc_seg_bounds) - 1):
+                a, b = doc_seg_bounds[bi], doc_seg_bounds[bi + 1]
+                d = int(seg_doc[a])
+                words = seg_words[a:b]
+                f = np.zeros(b - a, dtype=np.int64)
+                ts = self._tokens_of(titles[d])
+                ps = self._tokens_of(paths[d])
+                rs = self._tokens_of(repos[d])
+                if ts:
+                    f |= np.isin(words, list(ts)) * np.int64(WordFlags.TITLE)
+                if ps:
+                    f |= np.isin(words, list(ps)) * np.int64(WordFlags.URL_PATH)
+                if rs:
+                    f |= np.isin(words, list(rs)) * np.int64(WordFlags.URL_DOMAIN)
+                seg_flags[a:b] = f
+
+            seg_meta = (seg_flags & 0xFF) | seg_mask
+            seg_tids = tids_uniq[seg_term]
+
+            # per-doc segment counts -> list offsets
+            segs_per_doc = np.zeros(n, dtype=np.int64)
+            np.add.at(segs_per_doc, seg_doc, 1)
+            doc_offsets = np.concatenate(
+                [[0], np.cumsum(segs_per_doc)]
+            ).astype(np.int32)
+            pos_offsets = np.concatenate(
+                [[0], np.cumsum(counts_capped)]
+            ).astype(np.int32)
+
+            term_ids_arr = pa.ListArray.from_arrays(
+                pa.array(doc_offsets), pa.array(seg_tids, pa.int64())
+            )
+            term_tfs_arr = pa.ListArray.from_arrays(
+                pa.array(doc_offsets), pa.array(counts.astype(np.int32), pa.int32())
+            )
+            term_meta_arr = pa.ListArray.from_arrays(
+                pa.array(doc_offsets), pa.array(seg_meta, pa.int64())
+            )
+            inner = pa.ListArray.from_arrays(
+                pa.array(pos_offsets), pa.array(pos_vals, pa.int32())
+            )
+            term_pos_arr = pa.ListArray.from_arrays(pa.array(doc_offsets), inner)
+        else:
+            term_ids_arr = pa.array([[]] * n, pa.list_(pa.int64()))
+            term_tfs_arr = pa.array([[]] * n, pa.list_(pa.int32()))
+            term_meta_arr = pa.array([[]] * n, pa.list_(pa.int64()))
+            term_pos_arr = pa.array([[]] * n, pa.list_(pa.list_(pa.int32())))
+
+        # doc-level metadata: rank in bits 48-55 (ForwardIndexConverter
+        # injects DomainRankings there, ForwardIndexConverter.java:104-109)
+        doc_meta = encode_document_meta(
+            rank=rank << 2,
+            enc_domain_size=np.maximum(1, sizes.astype(np.int64) // 5),
+            year=0,
+            quality=0,
+            flags=0,
+        )
 
         return pa.table(
             {
@@ -161,12 +213,10 @@ class TokenizeStage:
                 "features": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
                 "size": pa.array(sizes, pa.int32()),
                 "lang": pa.array(langs, pa.string()),
-                "term_ids": pa.array(term_ids_col, pa.list_(pa.int64())),
-                "term_tfs": pa.array(term_tfs_col, pa.list_(pa.int32())),
-                "term_meta": pa.array(term_meta_col, pa.list_(pa.int64())),
-                "term_positions": pa.array(
-                    term_pos_col, pa.list_(pa.list_(pa.int32()))
-                ),
+                "term_ids": term_ids_arr,
+                "term_tfs": term_tfs_arr,
+                "term_meta": term_meta_arr,
+                "term_positions": term_pos_arr,
                 "repo": pa.array(repos, pa.string()),
                 "path": pa.array(paths, pa.string()),
                 "commit": pa.array(commits, pa.string()),
