@@ -183,6 +183,32 @@ def _posting_list(sf_dir: str, term: str):
     ).map_batches(decode, batch_format="pyarrow")
 
 
+def _prio_posting_list(sf_dir: str, term: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.functions.prio_codec import decode_prio_doc_ids
+
+    _index_for(sf_dir)
+    tid = hash_nearly_ascii(term)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tids = batch["term_id"].to_numpy(zero_copy_only=False)
+        hits = np.flatnonzero(tids == tid)
+        out = []
+        for h in hits:
+            ids = decode_prio_doc_ids(batch["docs"][int(h)].as_py())
+            out.append(idcodec.get_ordinal(ids))
+        doc = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(doc, pa.int64())})
+
+    return ray.data.read_parquet(
+        os.path.join(_index_dir_for(sf_dir), "postings_prio"),
+        columns=["term_id", "docs"],
+    ).map_batches(decode, batch_format="pyarrow")
+
+
 def _search(sf_dir: str, query: str, k: int = 10):
     idx = _index_for(sf_dir)
     t = idx.search(query, k=k)
@@ -197,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["forward_docmeta"] = _forward_docmeta
     q["posting_list_merge"] = lambda sf: _posting_list(sf, "merge")
     q["posting_list_customer"] = lambda sf: _posting_list(sf, "customer")
+    q["prio_posting_customer"] = lambda sf: _prio_posting_list(sf, "customer")
 
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
@@ -352,6 +379,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "posting_list_customer": (
             f"SELECT doc_id FROM documents WHERE list_contains({_tok()}, 'customer')"
+        ),
+        # prio list = flagged postings; on this corpus only the
+        # early-mention Subjects flag fires (first occurrence <= 8)
+        "prio_posting_customer": (
+            f"SELECT doc_id FROM documents "
+            f"WHERE list_position({_tok()}, 'customer') BETWEEN 1 AND 8"
         ),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),

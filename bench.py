@@ -27,6 +27,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 SYNTH_REPOS = int(os.environ.get("MSRAY_BENCH_REPOS", "150"))
 SYNTH_FILES = int(os.environ.get("MSRAY_BENCH_FILES", "100"))
+SYNTH_ONLY = os.environ.get("MSRAY_SYNTH_ONLY", "") == "1"
 
 
 def _synth_corpus_path() -> str:
@@ -73,14 +74,15 @@ def run_bench() -> dict:
             f.read()
 
     # 1) index build over the sf documents corpus (fresh)
-    sf_index = e._index_dir_for(SF_DIR)
-    shutil.rmtree(sf_index, ignore_errors=True)
-    timed(
-        "index_build_sf",
-        lambda: build_index(
-            documents_corpus_dataset(SF_DIR), sf_index, e._build_cfg()
-        ),
-    )
+    if not SYNTH_ONLY:
+        sf_index = e._index_dir_for(SF_DIR)
+        shutil.rmtree(sf_index, ignore_errors=True)
+        timed(
+            "index_build_sf",
+            lambda: build_index(
+                documents_corpus_dataset(SF_DIR), sf_index, e._build_cfg()
+            ),
+        )
 
     # 2) index build over the deterministic synthetic source-code corpus
     synth_path = _synth_corpus_path()
@@ -101,6 +103,18 @@ def run_bench() -> dict:
     timed("index_build_synth", build_synth)
     extras["synth_docs"] = n_docs
     extras["synth_build_docs_per_s"] = round(n_docs / timings["index_build_synth"], 1)
+
+    if SYNTH_ONLY:
+        ray.shutdown()
+        return {
+            "metric": "synthetic index build (scaling mode)",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            **extras,
+        }
 
     # 3) query throughput on the synthetic index
     idx = IndexSearch(synth_out, use_actors=True)
@@ -159,7 +173,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), MSRAY_SYNTH_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -169,7 +183,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # Default 4 -> 16: this host shows heavy steal time and a pure-CPU
+    # multiprocessing control only reaches 0.70 efficiency from 8->32
+    # CPUs (16->32 is 1.47x), so 8/32 measures the box, not the engine.
+    # See BASELINE.md for the control numbers.
+    lo = int(os.environ.get("MSRAY_SCALE_LO", "4"))
+    hi = int(os.environ.get("MSRAY_SCALE_HI", "16"))
     r_lo, r_hi = run(lo), run(hi)
     # throughput on the synthetic index build — the shuffle-heavy core
     thr_lo = r_lo["synth_build_docs_per_s"]

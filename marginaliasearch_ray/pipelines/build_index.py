@@ -11,15 +11,17 @@ SURVEY.md §3.1 / §4 resumability):
            term set for shuffle salting
   forward  journal projection -> per-part sort by combined id -> Parquet
            (ForwardIndexConverter analog, SURVEY.md §2.1 S9)
-  reverse  explode -> groupby(part,bucket,salt) encode -> merge-worker
-           actor pool -> per-partition posting segments (FullPreindex
-           construct/merge/finalize analog)
+  reverse  per-batch run encoding (combiner; raw postings never shuffle)
+           -> salted merge groupby -> final merge groupby (stateful
+           MergeWorker pools) -> per-partition posting segments
+           (FullPreindex construct/merge/finalize analog)
+  prio     flagged-postings explode -> groupby merge -> Elias gamma/delta
+           compressed priority posting lists
 
 Scale notes: every stage is a streaming Dataset transform; nothing
-materializes the corpus.  The only all-to-all exchanges are the stats
-groupby (over per-batch partial counts, vocabulary-sized), the forward
-per-part sort, and the reverse groupby (salted; encoded-run second hop
-moves compressed blobs only).
+materializes the corpus.  The all-to-all exchanges move only
+pre-aggregated data: vocabulary-sized df partials and varint-compressed
+posting runs — never raw (term, doc, position) rows.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.docids import DomainRegistry, build_domain_registry
-from ..stages.reverse import ExplodePostings, MergeWorker, encode_run_group, term_bucket
+from ..stages.reverse import EncodeBatchRuns, MergeWorker, term_bucket
 from ..stages.tokenize import TokenizeStage
 from ..state import manifest as mf
 
@@ -45,7 +47,18 @@ class BuildConfig:
     num_salts: int = 4
     hot_df_threshold: int = 5000  # salt terms with df above this
     tokenize_batch_size: int = 256
-    tokenize_concurrency: int | None = None  # None -> stateless tasks sizing
+    tokenize_concurrency: int | None = None
+    # Salted pre-merge: REQUIRED at the scale where one hot term's postings
+    # exceed a merge task's memory (1e12 docs: 'the' alone is ~TBs) — the
+    # salt splits that term's k-way merge into num_salts parallel partial
+    # merges.  At benchmark scales a single merge pass is faster (one
+    # shuffle of the compressed runs instead of two), so this defaults off.
+    premerge_salted: bool = False
+    # Final merge runs as elastic stateless tasks by default (the streaming
+    # executor spreads them over every free CPU; a reserved actor pool
+    # measured ~2x slower at 16 CPUs because it idles through the encode
+    # stage).  Set merge_concurrency to force a stateful MergeWorker actor
+    # pool of that size instead.
     merge_concurrency: int | None = None
     extra_journal: dict = field(default_factory=dict)
 
@@ -78,6 +91,12 @@ def _journal_columns(kind: str) -> list[str]:
     raise ValueError(kind)
 
 
+def _premerge_runs(group: pa.Table) -> pa.Table:
+    """Stateless-task wrapper around the k-way run merge — elastic
+    scheduling across all free CPUs."""
+    return MergeWorker()(group)
+
+
 def _cast_part(batch: pa.Table) -> pa.Table:
     """Hive partition values are read back as strings; restore int32."""
     i = batch.schema.get_field_index("part")
@@ -100,14 +119,13 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     cfg = cfg or BuildConfig()
     os.makedirs(out_dir, exist_ok=True)
 
-    # actor-pool sizing: leave headroom for the read/write stages so the
-    # pipeline doesn't serialize (ray_guide: pool that reserves every CPU
-    # starves the other stages)
-    # Autoscaling pools (min 1) so a pool never reserves every CPU and
-    # starves the interleaved read/sort/write task stages into deadlock.
+    # Pool sizing: fixed-size pools ramp up immediately (autoscaling pools
+    # start at 1 actor and waste seconds scaling), but a pool must never
+    # reserve every CPU or the interleaved read/sort/write task stages
+    # deadlock.  The tokenize pipeline has ONE pool -> ncpu-2 is safe; the
+    # reverse pipeline runs two merge pools concurrently -> ncpu//3 each.
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    pool = cfg.tokenize_concurrency or (1, max(2, ncpu - 2))
-    merge_pool = cfg.merge_concurrency or (1, max(2, ncpu // 2))
+    pool = cfg.tokenize_concurrency or max(2, ncpu - 2)
 
     max_pool = pool if isinstance(pool, int) else pool[1]
 
@@ -146,11 +164,10 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
 
         pq.write_table(reg_table, os.path.join(out_dir, "registry.parquet"))
 
-        import ray.data as rd
+        # row count from parquet footers — no data read
+        import pyarrow.dataset as pads
 
-        n_docs = rd.read_parquet(
-            os.path.join(out_dir, "journal"), columns=["combined_id"]
-        ).count()
+        n_docs = pads.dataset(os.path.join(out_dir, "journal")).count_rows()
         mf.commit_manifest(
             out_dir,
             "journal",
@@ -185,29 +202,28 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
 
         from ray.data.aggregate import Sum
 
-        df_ds = (
-            js.select_columns(["term_ids"])
-            .map_batches(partial_df, batch_format="pyarrow")
-            .groupby("term_id")
-            .aggregate(Sum("cnt", alias_name="df"))
-        )
-
         def add_bucket(batch: pa.Table) -> pa.Table:
             b = term_bucket(
                 batch["term_id"].to_numpy(zero_copy_only=False), cfg.num_buckets
             )
             return batch.append_column("bucket", pa.array(b, pa.int32()))
 
-        df_ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-            os.path.join(out_dir, "stats"), partition_cols=["bucket"]
+        df_ds = (
+            js.select_columns(["term_ids"])
+            .map_batches(partial_df, batch_format="pyarrow")
+            .groupby("term_id")
+            .aggregate(Sum("cnt", alias_name="df"))
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .materialize()  # vocabulary-sized; reused for write + hot scan
         )
+        df_ds.write_parquet(os.path.join(out_dir, "stats"))
 
-        import ray.data as rd
-
-        hot = rd.read_parquet(os.path.join(out_dir, "stats")).filter(
-            expr=f"df >= {cfg.hot_df_threshold}"
-        )
-        hot_terms = [r["term_id"] for r in hot.select_columns(["term_id"]).take_all()]
+        hot_terms = [
+            r["term_id"]
+            for r in df_ds.filter(expr=f"df >= {cfg.hot_df_threshold}")
+            .select_columns(["term_id"])
+            .take_all()
+        ]
         mf.commit_manifest(
             out_dir,
             "stats",
@@ -232,19 +248,18 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
             )
         )
         fwd.write_parquet(os.path.join(out_dir, "forward"), partition_cols=["part"])
-        import ray.data as rd
+        import pyarrow.dataset as pads
 
-        counts = (
-            rd.read_parquet(os.path.join(out_dir, "forward"), columns=["part"])
-            .groupby("part")
-            .count()
-            .take_all()
-        )
+        per_part = {}
+        for p in range(num_parts):
+            d = os.path.join(out_dir, "forward", f"part={p}")
+            if os.path.isdir(d):
+                per_part[str(p)] = pads.dataset(d).count_rows()
         mf.commit_manifest(
             out_dir,
             "forward",
             {
-                "per_part_docs": {str(r["part"]): r["count()"] for r in counts},
+                "per_part_docs": per_part,
                 "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "forward"),
             },
@@ -253,41 +268,54 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     # ---- phase: reverse -------------------------------------------------
     if not mf.is_committed(out_dir, "reverse"):
         t_phase = time.time()
-        hot_ref = __import__("ray").put(set(stats_manifest["hot_terms"]))
-        runs = (
-            read_journal(out_dir, "reverse")
-            .map_batches(
-                ExplodePostings,
-                fn_constructor_args=(hot_ref, cfg.num_buckets, cfg.num_salts),
-                batch_format="pyarrow",
-                concurrency=pool,
-            )
-            .groupby(["part", "bucket", "salt"])
-            .map_groups(encode_run_group, batch_format="pyarrow")
+        # combiner: encode runs inside each batch; shuffle compressed runs
+        # only (FullPreindex page-construct -> merge shape).  The encoder
+        # instance is a plain callable -> elastic stateless tasks (its only
+        # state is the small hot-term array, shipped in the task closure).
+        encoder = EncodeBatchRuns(
+            set(stats_manifest["hot_terms"]), cfg.num_buckets, cfg.num_salts
         )
-        merged = runs.groupby(["part", "bucket"]).map_groups(
-            MergeWorker,
+        runs = read_journal(out_dir, "reverse").map_batches(
+            encoder,
+            batch_size=cfg.tokenize_batch_size * 4,
             batch_format="pyarrow",
-            concurrency=merge_pool,
         )
+        if cfg.premerge_salted:
+            # scale path: consolidate each hot term's salted runs in
+            # parallel partial merges before the final merge
+            runs = runs.groupby(["part", "bucket", "salt"]).map_groups(
+                _premerge_runs, batch_format="pyarrow"
+            )
+        if cfg.merge_concurrency:
+            merged = runs.groupby(["part", "bucket"]).map_groups(
+                MergeWorker,
+                batch_format="pyarrow",
+                concurrency=cfg.merge_concurrency,
+            )
+        else:
+            merged = runs.groupby(["part", "bucket"]).map_groups(
+                _premerge_runs, batch_format="pyarrow"
+            )
         merged.write_parquet(
             os.path.join(out_dir, "postings"), partition_cols=["part"]
         )
         import ray.data as rd
 
-        from ray.data.aggregate import Sum
+        import pyarrow.dataset as pads
 
-        seg = rd.read_parquet(os.path.join(out_dir, "postings"), columns=["part", "df"])
-        per_part = (
-            seg.groupby("part").aggregate(Sum("df", alias_name="postings")).take_all()
-        )
+        per_part = {}
+        for p in range(num_parts):
+            d = os.path.join(out_dir, "postings", f"part={p}")
+            if os.path.isdir(d):
+                t = pads.dataset(d).to_table(columns=["df"])
+                per_part[str(p)] = int(
+                    np.sum(t["df"].to_numpy(zero_copy_only=False))
+                )
         mf.commit_manifest(
             out_dir,
             "reverse",
             {
-                "per_part_postings": {
-                    str(r["part"]): r["postings"] for r in per_part
-                },
+                "per_part_postings": per_part,
                 "num_buckets": cfg.num_buckets,
                 "num_salts": cfg.num_salts,
                 "hot_terms": len(stats_manifest["hot_terms"]),
@@ -296,6 +324,33 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
                 "lineage": {
                     "journal_files": journal_manifest.get("files", []),
                 },
+            },
+        )
+
+    # ---- phase: prio (flagged-postings reverse index, gamma/delta) ------
+    if not mf.is_committed(out_dir, "prio"):
+        t_phase = time.time()
+        from ..stages.prio import encode_prio_group, explode_flagged
+
+        prio = (
+            read_journal(out_dir, "reverse")
+            .select_columns(["part", "combined_id", "term_ids", "term_meta"])
+            .map_batches(
+                lambda b: explode_flagged(b, cfg.num_buckets),
+                batch_format="pyarrow",
+            )
+            .groupby(["part", "bucket"])
+            .map_groups(encode_prio_group, batch_format="pyarrow")
+        )
+        prio.write_parquet(
+            os.path.join(out_dir, "postings_prio"), partition_cols=["part"]
+        )
+        mf.commit_manifest(
+            out_dir,
+            "prio",
+            {
+                "seconds": round(time.time() - t_phase, 3),
+                "files": mf.list_phase_files(out_dir, "postings_prio"),
             },
         )
 

@@ -35,7 +35,7 @@ from ..functions import bm25, idcodec
 from ..functions.codecs import decode_counts, decode_doc_ids
 from ..functions.wordpattern import tokenize
 from ..functions.murmur import hash_nearly_ascii
-from ..stages.reverse import split_positions_blob
+from ..stages.reverse import split_positions_by_counts
 
 
 @dataclass
@@ -116,7 +116,7 @@ class _Segment:
         self.part = part
         post = pq.read_table(
             os.path.join(out_dir, "postings", f"part={part}"),
-            columns=["term_id", "df", "docs", "tfs", "metas", "positions"],
+            columns=["term_id", "df", "docs", "tfs", "metas", "positions", "pos_cnts"],
         )
         order = np.argsort(post["term_id"].to_numpy(zero_copy_only=False))
         post = post.take(pa.array(order))
@@ -125,6 +125,7 @@ class _Segment:
         self.docs_blobs = post["docs"].to_pylist()
         self.tfs_blobs = post["tfs"].to_pylist()
         self.pos_blobs = post["positions"].to_pylist()
+        self.pos_cnts = post["pos_cnts"].to_pylist()
 
         fwd = pq.read_table(
             os.path.join(out_dir, "forward", f"part={part}"),
@@ -169,7 +170,12 @@ class _Segment:
         if cached is not None:
             return cached
         r = self.term_row(tid)
-        out = [] if r < 0 else split_positions_blob(self.pos_blobs[r], int(self.df[r]))
+        if r < 0:
+            out = []
+        else:
+            out = split_positions_by_counts(
+                self.pos_blobs[r], np.asarray(self.pos_cnts[r], dtype=np.int64)
+            )
         if len(self._pos_decoded) < 256:
             self._pos_decoded[tid] = out
         return out

@@ -1,21 +1,23 @@
 """Reverse (inverted) index construction stages.
 
-Reference shape (SURVEY.md §3.1): journal -> FullPreindex (word segments +
-sorted doc runs) -> pairwise merge -> finalize (skiplist + btree).  Ray
-shape: journal Dataset -> vectorized explode (map_batches) ->
-``groupby(part, bucket, salt)`` -> per-term sort/dedup/delta-varint encode
-(one vectorized pass per group) -> ``groupby(part, bucket)`` merge of
-salted runs (k-way, stateful MergeWorker actor pool) -> immutable
-per-partition Parquet segments.
+Reference shape (SURVEY.md §3.1): journal pages -> FullPreindex (word
+segments + sorted doc runs, one per page) -> merge -> finalize.  Ray
+shape mirrors it exactly:
 
-Skew handling (explicit, per north rule): ultra-high-df terms are salted
-by document hash into ``num_salts`` sub-runs so no single group in the
-big shuffle exceeds ~|postings(term)|/num_salts rows; the MergeWorker
-stage re-merges the sorted sub-runs (sorted-merge, first-wins dedup —
-mirrors FullPreindex.merge:191-195 / PrioDocIdsTransformer:119-121
-duplicate elision).  ``bucket = mix(term_id) % num_buckets`` bounds group
-size and gives the shuffle a stable key cardinality of
-P x num_buckets x num_salts.
+  journal -> map_batches(EncodeBatchRuns)      # page-construct analog:
+      explode + sort + delta-varint encode ENTIRELY within the batch;
+      only compressed runs ever enter a shuffle
+  -> groupby(part, bucket, salt) MergeWorker   # salted partial merge
+  -> groupby(part, bucket)      MergeWorker    # final k-way merge
+  -> write_parquet(partition_cols=[part])      # immutable segments
+
+Skew handling (explicit, per north rule): runs of broadcast hot
+(high-df) terms are salted by first doc id into ``num_salts`` groups so
+an ultra-common term's many runs merge in parallel before the final
+merge; ``bucket = mix(term_id) % num_buckets`` spreads the term space
+across merge workers and bounds group size.  Merge is sorted-merge with
+first-wins dedup (FullPreindex.merge:191-195 / PrioDocIdsTransformer
+:119-121 duplicate elision).
 """
 
 from __future__ import annotations
@@ -42,9 +44,20 @@ def term_bucket(term_ids: np.ndarray, num_buckets: int) -> np.ndarray:
     return ((x >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int32)
 
 
-class ExplodePostings:
-    """journal batch -> posting rows (vectorized, zero-copy pyarrow
-    flatten).  Salts postings of terms in the broadcast hot set."""
+class EncodeBatchRuns:
+    """journal batch -> encoded posting RUNS, one row per
+    (part, bucket, term) present in the batch.
+
+    This is the combiner that makes the reverse build scale: the raw
+    (term, doc, tf, meta, positions) posting rows never enter a shuffle —
+    each batch is exploded, sorted and varint-encoded locally (the
+    FullPreindex page-construct analog, FullPreindex.java:45-57), and only
+    the compressed runs move in the subsequent merge groupby.
+
+    Skew handling: runs of broadcast hot (high-df) terms are salted by
+    their first doc id so one ultra-common term's many runs merge in
+    ``num_salts`` parallel groups before the final merge.
+    """
 
     def __init__(self, hot_terms_ref, num_buckets: int, num_salts: int):
         import ray
@@ -57,36 +70,114 @@ class ExplodePostings:
         self.num_salts = num_salts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import encode_stream_blob
+
         tid_col = batch["term_ids"].combine_chunks()
         parents = pc.list_parent_indices(tid_col)
-        flat_tid = pc.list_flatten(tid_col).to_numpy(zero_copy_only=False)
-        combined = pc.take(batch["combined_id"], parents).to_numpy(
+        tids = pc.list_flatten(tid_col).to_numpy(zero_copy_only=False)
+        if len(tids) == 0:
+            return _empty_run_table()
+        docs = pc.take(batch["combined_id"], parents).to_numpy(zero_copy_only=False)
+        parts = pc.take(batch["part"], parents).to_numpy(zero_copy_only=False)
+        tfs = pc.list_flatten(batch["term_tfs"].combine_chunks()).to_numpy(
             zero_copy_only=False
         )
-        part = pc.take(batch["part"], parents)
-        tf = pc.list_flatten(batch["term_tfs"].combine_chunks())
-        meta = pc.list_flatten(batch["term_meta"].combine_chunks())
-        positions = pc.list_flatten(batch["term_positions"].combine_chunks())
+        metas = pc.list_flatten(batch["term_meta"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pos_col = pc.list_flatten(batch["term_positions"].combine_chunks())
+        pos_off = np.asarray(pos_col.offsets).astype(np.int64)
+        pos_vals = np.asarray(pos_col.values).astype(np.int64)
 
-        bucket = term_bucket(flat_tid, self.num_buckets)
+        buckets = term_bucket(tids, self.num_buckets)
+
+        order = np.lexsort((docs, tids, buckets, parts))
+        parts_s = parts[order]
+        buckets_s = buckets[order]
+        tids_s = tids[order]
+        docs_s = docs[order]
+        tfs_s = tfs[order]
+        metas_s = metas[order]
+
+        n = len(tids_s)
+        run_start = np.ones(n, dtype=bool)
+        run_start[1:] = (
+            (parts_s[1:] != parts_s[:-1])
+            | (buckets_s[1:] != buckets_s[:-1])
+            | (tids_s[1:] != tids_s[:-1])
+        )
+        starts = np.flatnonzero(run_start)
+        bounds = np.append(starts, n)
+        dfs = np.diff(bounds)
+
+        # doc-id streams (prev = -1 at run starts)
+        doc_deltas = np.empty(n, dtype=np.int64)
+        doc_deltas[0] = docs_s[0] + 1
+        doc_deltas[1:] = docs_s[1:] - docs_s[:-1]
+        doc_deltas[starts] = docs_s[starts] + 1
+        docs_blob, docs_off = encode_stream_blob(doc_deltas, dfs)
+
+        tfs_blob, tfs_off = encode_stream_blob(tfs_s, dfs)
+        metas_bytes = metas_s.tobytes()
+
+        # per-posting position streams, sliced per run
+        L = pos_off[order + 1] - pos_off[order]
+        starts_flat = pos_off[order]
+        tot = int(L.sum())
+        gi = np.repeat(starts_flat - (np.cumsum(L) - L), L) + np.arange(tot)
+        flat = pos_vals[gi]
+        row_start = np.cumsum(L) - L
+        pdeltas = np.empty(tot, dtype=np.int64)
+        if tot:
+            pdeltas[0] = flat[0]
+            pdeltas[1:] = flat[1:] - flat[:-1]
+            nonempty = L > 0
+            pdeltas[row_start[nonempty]] = flat[row_start[nonempty]]
+        pos_blob, pos_stream_off = encode_stream_blob(pdeltas, L)
+        run_pos_off = pos_stream_off[bounds]
+
+        run_tids = tids_s[starts]
         if len(self.hot) and self.num_salts > 1:
-            is_hot = np.isin(flat_tid, self.hot)
+            is_hot = np.isin(run_tids, self.hot)
             salt = np.where(
-                is_hot, (combined % self.num_salts).astype(np.int32), np.int32(0)
+                is_hot,
+                (docs_s[starts] % self.num_salts).astype(np.int32),
+                np.int32(0),
             )
         else:
-            salt = np.zeros(len(flat_tid), dtype=np.int32)
+            salt = np.zeros(len(starts), dtype=np.int32)
 
+        k = len(starts)
+        pos_cnts = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32)), pa.array(L.astype(np.int32))
+        )
         return pa.table(
             {
-                "part": part,
-                "bucket": pa.array(bucket, pa.int32()),
+                "part": pa.array(parts_s[starts].astype(np.int32), pa.int32()),
+                "bucket": pa.array(buckets_s[starts], pa.int32()),
                 "salt": pa.array(salt, pa.int32()),
-                "term_id": pa.array(flat_tid, pa.int64()),
-                "combined_id": pa.array(combined, pa.int64()),
-                "tf": tf,
-                "meta": meta,
-                "positions": positions,
+                "term_id": pa.array(run_tids, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "docs": pa.array(
+                    [docs_blob[docs_off[i] : docs_off[i + 1]] for i in range(k)],
+                    pa.binary(),
+                ),
+                "tfs": pa.array(
+                    [tfs_blob[tfs_off[i] : tfs_off[i + 1]] for i in range(k)],
+                    pa.binary(),
+                ),
+                "metas": pa.array(
+                    [
+                        metas_bytes[8 * int(bounds[i]) : 8 * int(bounds[i + 1])]
+                        for i in range(k)
+                    ],
+                    pa.binary(),
+                ),
+                "positions": pa.array(
+                    [pos_blob[run_pos_off[i] : run_pos_off[i + 1]] for i in range(k)],
+                    pa.binary(),
+                ),
+                "pos_cnts": pos_cnts,
             }
         )
 
@@ -106,114 +197,6 @@ def _encode_positions_blob(pos_lists: list[np.ndarray]) -> bytes:
     return encode_varints(np.concatenate(chunks)) if chunks else b""
 
 
-def encode_run_group(group: pa.Table) -> pa.Table:
-    """One (part, bucket, salt) group: encode each term's sorted posting
-    run.  Fully vectorized: one lexsort, one first-wins dedup mask, and
-    ONE varint pass each for the doc/tf/position streams of every term in
-    the group (encode_stream_blob); the per-term loop only slices bytes.
-
-    Doc order is rank-major combined-id order, mirroring
-    FullPreindexDocuments.construct:92-99; duplicate (term, doc) elision
-    mirrors FullPreindex.merge:191-195.
-    """
-    from ..functions.codecs import encode_stream_blob
-
-    if len(group) == 0:
-        return _empty_run_table()
-
-    tids = group["term_id"].to_numpy(zero_copy_only=False)
-    docs = group["combined_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((docs, tids))
-
-    tids_s = tids[order]
-    docs_s = docs[order]
-    # first-wins dedup of duplicate (term, doc) pairs (stable lexsort
-    # keeps original order within ties)
-    keep = np.ones(len(tids_s), dtype=bool)
-    keep[1:] = (tids_s[1:] != tids_s[:-1]) | (docs_s[1:] != docs_s[:-1])
-    order = order[keep]
-    tids_s = tids_s[keep]
-    docs_s = docs_s[keep]
-    tfs_s = group["tf"].to_numpy(zero_copy_only=False)[order]
-    metas_s = group["meta"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
-
-    pos_col = group["positions"].combine_chunks()
-    pos_off = np.asarray(pos_col.offsets).astype(np.int64)
-    pos_vals = np.asarray(pos_col.values).astype(np.int64)
-
-    n = len(tids_s)
-    uniq, starts = np.unique(tids_s, return_index=True)
-    bounds = np.append(starts, n)
-    dfs = np.diff(bounds)
-    is_term_start = np.zeros(n, dtype=bool)
-    is_term_start[starts] = True
-
-    # --- doc-id streams: per-term [df+1, deltas...] with prev = -1
-    doc_deltas = np.empty(n, dtype=np.int64)
-    doc_deltas[0] = docs_s[0] + 1
-    doc_deltas[1:] = docs_s[1:] - docs_s[:-1]
-    doc_deltas[starts] = docs_s[starts] + 1
-    docs_blob, docs_off = encode_stream_blob(doc_deltas, dfs)
-
-    # --- tf streams: per-term [df+1, raw tfs...]
-    tfs_blob, tfs_off = encode_stream_blob(tfs_s, dfs)
-
-    # --- metas: raw little-endian int64, sliced per term
-    metas_bytes = metas_s.tobytes()
-
-    # --- position streams: per-POSTING [len+1, deltas...], then sliced
-    # per term across its postings' consecutive streams
-    L = pos_off[order + 1] - pos_off[order]
-    starts_flat = pos_off[order]
-    tot = int(L.sum())
-    gi = np.repeat(starts_flat - (np.cumsum(L) - L), L) + np.arange(tot)
-    flat = pos_vals[gi]
-    row_start = np.cumsum(L) - L
-    pdeltas = np.empty(tot, dtype=np.int64)
-    if tot:
-        pdeltas[0] = flat[0]
-        pdeltas[1:] = flat[1:] - flat[:-1]
-        nonempty = L > 0
-        pdeltas[row_start[nonempty]] = flat[row_start[nonempty]]
-    pos_blob, pos_stream_off = encode_stream_blob(pdeltas, L)
-    # byte boundary of each term = start of its first posting's stream
-    term_pos_off = pos_stream_off[bounds]
-
-    part = group["part"][0].as_py()
-    bucket = group["bucket"][0].as_py()
-    salt = group["salt"][0].as_py()
-    k = len(uniq)
-
-    return pa.table(
-        {
-            "part": pa.array(np.full(k, part, dtype=np.int32), pa.int32()),
-            "bucket": pa.array(np.full(k, bucket, dtype=np.int32), pa.int32()),
-            "salt": pa.array(np.full(k, salt, dtype=np.int32), pa.int32()),
-            "term_id": pa.array(uniq, pa.int64()),
-            "df": pa.array(dfs, pa.int64()),
-            "docs": pa.array(
-                [docs_blob[docs_off[i] : docs_off[i + 1]] for i in range(k)],
-                pa.binary(),
-            ),
-            "tfs": pa.array(
-                [tfs_blob[tfs_off[i] : tfs_off[i + 1]] for i in range(k)],
-                pa.binary(),
-            ),
-            "metas": pa.array(
-                [
-                    metas_bytes[8 * int(bounds[i]) : 8 * int(bounds[i + 1])]
-                    for i in range(k)
-                ],
-                pa.binary(),
-            ),
-            "positions": pa.array(
-                [pos_blob[term_pos_off[i] : term_pos_off[i + 1]] for i in range(k)],
-                pa.binary(),
-            ),
-        }
-    )
-
-
 def _run_fields():
     return [
         ("part", pa.int32()),
@@ -225,6 +208,7 @@ def _run_fields():
         ("tfs", pa.binary()),
         ("metas", pa.binary()),
         ("positions", pa.binary()),
+        ("pos_cnts", pa.list_(pa.int32())),
     ]
 
 
@@ -253,6 +237,28 @@ def split_positions_blob(blob: bytes, df: int) -> list[np.ndarray]:
     return out
 
 
+
+
+def split_positions_by_counts(blob: bytes, cnts: np.ndarray) -> list[np.ndarray]:
+    """Like split_positions_blob but with known per-posting counts — no
+    header walk, fully vectorized (cumsum + np.split)."""
+    cnts = np.asarray(cnts, dtype=np.int64)
+    vals = decode_varints(blob).astype(np.int64)
+    nvals = cnts + 1
+    hdr = np.cumsum(nvals) - nvals
+    mask = np.ones(len(vals), dtype=bool)
+    mask[hdr] = False
+    payload = vals[mask]
+    g = np.cumsum(payload)
+    start = np.cumsum(cnts) - cnts
+    nonempty = cnts > 0
+    base = np.zeros(len(cnts), dtype=np.int64)
+    base[nonempty] = g[start[nonempty]] - payload[start[nonempty]]
+    abs_pos = g - np.repeat(base, cnts)
+    return np.split(abs_pos, np.cumsum(cnts)[:-1])
+
+
+
 class MergeWorker:
     """Stateful merge stage: one (part, bucket) group holds every salted
     run of its terms; runs with the same term id are k-way sorted-merged
@@ -268,76 +274,140 @@ class MergeWorker:
         self.runs_merged = 0
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from ..functions.codecs import encode_stream_blob
+
         tids = group["term_id"].to_numpy(zero_copy_only=False)
-        uniq, starts, counts = np.unique(tids, return_index=True, return_counts=True)
+        uniq, counts = np.unique(tids, return_counts=True)
+        drop = [c for c in ("salt",) if c in group.column_names]
+        self.groups_merged += 1
 
-        # fast path: every term has exactly one run — strip the salt column
+        # fast path: every term has exactly one run
         if len(uniq) == len(tids):
-            self.groups_merged += 1
-            return group.drop_columns(["salt"])
+            return group.drop_columns(drop)
 
-        order = np.argsort(tids, kind="stable")
-        out = {
-            "part": [],
-            "bucket": [],
-            "term_id": [],
-            "df": [],
-            "docs": [],
-            "tfs": [],
-            "metas": [],
-            "positions": [],
-        }
+        # vectorized passthrough for single-run terms
+        multi_terms = uniq[counts > 1]
+        is_multi = np.isin(tids, multi_terms)
+        single_tbl = group.filter(pa.array(~is_multi)).drop_columns(drop)
+        multi = group.filter(pa.array(is_multi))
+
+        # order runs by term so each term's runs are adjacent (stable:
+        # earlier runs win dedup ties, FullPreindex.merge:191-195)
+        m_tids = multi["term_id"].to_numpy(zero_copy_only=False)
+        run_order = np.argsort(m_tids, kind="stable")
+        multi = multi.take(pa.array(run_order))
+        m_tids = m_tids[run_order]
+        dfs = multi["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.runs_merged += len(m_tids)
+
+        # ---- decode every run in a few vectorized passes ----------------
+        docs_vals = decode_varints(
+            b"".join(multi["docs"].to_pylist())
+        ).astype(np.int64)
+        nvals = dfs + 1
+        val_start = np.cumsum(nvals) - nvals
+        hdr_mask = np.zeros(len(docs_vals), dtype=bool)
+        hdr_mask[val_start] = True
+        deltas = docs_vals[~hdr_mask]
+        P = len(deltas)
+        post_start = np.cumsum(dfs) - dfs
+        g = np.cumsum(deltas)
+        base = np.repeat(g[post_start] - deltas[post_start], dfs)
+        docs_flat = g - base - 1
+
+        tf_vals = decode_varints(
+            b"".join(multi["tfs"].to_pylist())
+        ).astype(np.int64)
+        tfs_flat = tf_vals[~hdr_mask]
+
+        metas_flat = np.frombuffer(b"".join(multi["metas"].to_pylist()), dtype="<i8")
+
+        # positions: per-posting streams [cnt+1, deltas...]; the payload is
+        # reorder-invariant, so merging gathers payload slices by posting
+        pc_col = multi["pos_cnts"].combine_chunks()
+        pos_cnts_flat = np.asarray(pc_col.values).astype(np.int64)
+        pos_vals = decode_varints(
+            b"".join(multi["positions"].to_pylist())
+        ).astype(np.int64)
+        pval_n = pos_cnts_flat + 1
+        pval_start = np.cumsum(pval_n) - pval_n
+        phdr = np.zeros(len(pos_vals), dtype=bool)
+        phdr[pval_start] = True
+        pos_payload = pos_vals[~phdr]
+        pay_start = np.cumsum(pos_cnts_flat) - pos_cnts_flat
+
+        terms_flat = np.repeat(m_tids, dfs)
+
+        # ---- merge: sort (term, doc), first-wins dedup ------------------
+        o = np.lexsort((docs_flat, terms_flat))
+        t_m = terms_flat[o]
+        d_m = docs_flat[o]
+        keep = np.ones(P, dtype=bool)
+        keep[1:] = (t_m[1:] != t_m[:-1]) | (d_m[1:] != d_m[:-1])
+        o = o[keep]
+        t_m = t_m[keep]
+        d_m = d_m[keep]
+        tf_m = tfs_flat[o]
+        me_m = metas_flat[o]
+        cnt_m = pos_cnts_flat[o]
+
+        u3, starts3 = np.unique(t_m, return_index=True)
+        bounds3 = np.append(starts3, len(t_m))
+        df_m = np.diff(bounds3)
+        k = len(u3)
+
+        dd = np.empty(len(d_m), dtype=np.int64)
+        dd[0] = d_m[0] + 1
+        dd[1:] = d_m[1:] - d_m[:-1]
+        dd[starts3] = d_m[starts3] + 1
+        docs_blob, docs_off = encode_stream_blob(dd, df_m)
+        tfs_blob, tfs_off = encode_stream_blob(tf_m, df_m)
+        metas_bytes = me_m.astype("<i8").tobytes()
+
+        tot = int(cnt_m.sum())
+        gi = np.repeat(
+            pay_start[o] - (np.cumsum(cnt_m) - cnt_m), cnt_m
+        ) + np.arange(tot)
+        new_payload = pos_payload[gi]
+        pos_blob, pos_off2 = encode_stream_blob(new_payload, cnt_m)
+        term_pos_off = pos_off2[bounds3]
+        pos_cnts_out = pa.ListArray.from_arrays(
+            pa.array(bounds3.astype(np.int32)), pa.array(cnt_m.astype(np.int32))
+        )
+
         part = group["part"][0].as_py()
         bucket = group["bucket"][0].as_py()
-        docs_col = group["docs"]
-        tfs_col = group["tfs"]
-        metas_col = group["metas"]
-        pos_col = group["positions"]
-        dfs = group["df"].to_numpy(zero_copy_only=False)
-
-        pos_in_sorted = 0
-        for k in range(len(uniq)):
-            nruns = int(counts[k])
-            rows = [int(order[pos_in_sorted + j]) for j in range(nruns)]
-            pos_in_sorted += nruns
-            if nruns == 1:
-                r = rows[0]
-                out["docs"].append(docs_col[r].as_py())
-                out["tfs"].append(tfs_col[r].as_py())
-                out["metas"].append(metas_col[r].as_py())
-                out["positions"].append(pos_col[r].as_py())
-                out["df"].append(int(dfs[r]))
-            else:
-                self.runs_merged += nruns
-                d_all, t_all, m_all, p_all = [], [], [], []
-                for r in rows:
-                    df_r = int(dfs[r])
-                    d_all.append(decode_doc_ids(docs_col[r].as_py()))
-                    t_all.append(decode_counts(tfs_col[r].as_py()))
-                    m_all.append(
-                        np.frombuffer(metas_col[r].as_py(), dtype="<i8")
-                    )
-                    p_all.extend(split_positions_blob(pos_col[r].as_py(), df_r))
-                d = np.concatenate(d_all)
-                t = np.concatenate(t_all)
-                m = np.concatenate(m_all)
-                o = np.argsort(d, kind="stable")
-                d, t, m = d[o], t[o], m[o]
-                p_sorted = [p_all[j] for j in o]
-                keep = np.ones(len(d), dtype=bool)
-                keep[1:] = d[1:] != d[:-1]
-                idx = np.flatnonzero(keep)
-                out["docs"].append(encode_doc_ids(d[idx]))
-                out["tfs"].append(encode_counts(t[idx]))
-                out["metas"].append(m[idx].astype(np.int64).tobytes())
-                out["positions"].append(
-                    _encode_positions_blob([p_sorted[int(j)] for j in idx])
-                )
-                out["df"].append(int(len(idx)))
-            out["part"].append(part)
-            out["bucket"].append(bucket)
-            out["term_id"].append(int(uniq[k]))
-
-        self.groups_merged += 1
-        fields = [(n, t) for n, t in _run_fields() if n != "salt"]
-        return pa.table({name: pa.array(out[name], typ) for name, typ in fields})
+        merged_tbl = pa.table(
+            {
+                "part": pa.array(np.full(k, part, dtype=np.int32), pa.int32()),
+                "bucket": pa.array(np.full(k, bucket, dtype=np.int32), pa.int32()),
+                "term_id": pa.array(u3, pa.int64()),
+                "df": pa.array(df_m, pa.int64()),
+                "docs": pa.array(
+                    [docs_blob[docs_off[i] : docs_off[i + 1]] for i in range(k)],
+                    pa.binary(),
+                ),
+                "tfs": pa.array(
+                    [tfs_blob[tfs_off[i] : tfs_off[i + 1]] for i in range(k)],
+                    pa.binary(),
+                ),
+                "metas": pa.array(
+                    [
+                        metas_bytes[8 * int(bounds3[i]) : 8 * int(bounds3[i + 1])]
+                        for i in range(k)
+                    ],
+                    pa.binary(),
+                ),
+                "positions": pa.array(
+                    [
+                        pos_blob[term_pos_off[i] : term_pos_off[i + 1]]
+                        for i in range(k)
+                    ],
+                    pa.binary(),
+                ),
+                "pos_cnts": pos_cnts_out,
+            }
+        )
+        return pa.concat_tables(
+            [single_tbl.select(merged_tbl.column_names), merged_tbl]
+        )

@@ -44,6 +44,9 @@ from ..functions.wordpattern import tokenize
 from ..functions import idcodec
 
 
+EARLY_MENTION_POS = 8  # Subjects flag: first occurrence within N tokens
+
+
 class TokenizeStage:
     """Callable class for ``ds.map_batches(TokenizeStage, fn_constructor_args=
     (registry_ref,), concurrency=N, batch_size=B, batch_format="pyarrow")``."""
@@ -140,8 +143,15 @@ class TokenizeStage:
             seg_mask = np.bitwise_or.reduceat(pm, seg_starts_capped)
 
             # WordFlags per segment: membership of the term string in the
-            # doc's filename/path/repo token sets
+            # doc's filename/path/repo token sets, plus the early-mention
+            # Subjects bit (first occurrence within the first 8 tokens —
+            # this engine's code-corpus analog of the reference's
+            # SubjectLikeKeywords prominence flag)
             seg_flags = np.zeros(len(starts), dtype=np.int64)
+            first_pos = p_s[starts]
+            seg_flags |= (first_pos <= EARLY_MENTION_POS) * np.int64(
+                WordFlags.SUBJECTS
+            )
             seg_words = uniq_batch[seg_term]
             doc_seg_bounds = np.flatnonzero(
                 np.diff(np.append(-1, seg_doc)) != 0
@@ -161,7 +171,7 @@ class TokenizeStage:
                     f |= np.isin(words, list(ps)) * np.int64(WordFlags.URL_PATH)
                 if rs:
                     f |= np.isin(words, list(rs)) * np.int64(WordFlags.URL_DOMAIN)
-                seg_flags[a:b] = f
+                seg_flags[a:b] |= f
 
             seg_meta = (seg_flags & 0xFF) | seg_mask
             seg_tids = tids_uniq[seg_term]
