@@ -209,9 +209,11 @@ def _prio_posting_list(sf_dir: str, term: str):
     ).map_batches(decode, batch_format="pyarrow")
 
 
-def _search(sf_dir: str, query: str, k: int = 10):
+def _search(sf_dir: str, query: str, k: int = 10, **kw):
     idx = _index_for(sf_dir)
-    t = idx.search(query, k=k)
+    t = idx.search(query, k=k, **kw)
+    if kw.get("decorate"):
+        return t.select(["doc_id", "score_r", "repo", "path", "data_hash"])
     return t.select(["doc_id", "score_r"])
 
 
@@ -231,6 +233,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_exclude"] = lambda sf: _search(sf, "scan filter -customer")
     q["bm25_phrase"] = lambda sf: _search(sf, '"fast table" scan')
     q["bm25_repo"] = lambda sf: _search(sf, "customer repo:src3")
+    q["bm25_size_limit"] = lambda sf: _search(sf, "customer size>40")
+    q["bm25_priority"] = lambda sf: _search(sf, "customer ?merge")
+    q["bm25_domain_cap"] = lambda sf: _search(sf, "customer", domain_cap=2)
+    q["search_decorated"] = lambda sf: _search(
+        sf, "scan filter", k=5, decorate=True
+    )
 
     # term statistics / dedup / quality / fingerprints
     q["term_df_top100"] = lambda sf: textops.term_df_top(
@@ -275,8 +283,18 @@ def _bm25_sql(
     exclude: list[str] | None = None,
     phrase: list[str] | None = None,
     source: str | None = None,
+    priority: list[str] | None = None,
+    size_gt: int | None = None,
+    size_lt: int | None = None,
+    domain_cap: int | None = None,
+    decorate: bool = False,
 ) -> str:
-    vals = ", ".join(f"('{t}')" for t in terms)
+    from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
+
+    rows = [f"('{t}', 1.0)" for t in terms]
+    rows += [f"('{t}', {PRIORITY_WEIGHT})" for t in (priority or [])]
+    vals = ", ".join(rows)
+    include_list = ", ".join(f"'{t}'" for t in terms)
     extra = []
     if exclude:
         for t in exclude:
@@ -286,38 +304,65 @@ def _bm25_sql(
         extra.append(f"contains(c.joined, '{needle}')")
     if source:
         extra.append(f"c.source = '{source}'")
+    if size_gt is not None:
+        extra.append(f"c.dl > {size_gt}")
+    if size_lt is not None:
+        extra.append(f"c.dl < {size_lt}")
     where = (" AND " + " AND ".join(extra)) if extra else ""
     term_score = sql_bm25_term_expr("tf.tf", "df.df", "n.n", "c.dl")
-    return f"""
+    deco_cols = (
+        ", any_value(c.source) AS repo, 'doc_' || c.doc_id AS path,"
+        " any_value(c.data_hash) AS data_hash"
+        if decorate
+        else ""
+    )
+    scored = f"""
 WITH tok AS (
   SELECT doc_id, source, {_tok()} AS toks,
-         '|' || array_to_string({_tok()}, '|') || '|' AS joined
+         '|' || array_to_string({_tok()}, '|') || '|' AS joined,
+         sha256(text) AS data_hash
   FROM documents
 ),
 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
-terms(term) AS (VALUES {vals}),
+terms(term, w) AS (VALUES {vals}),
 tf AS (
-  SELECT t.doc_id, m.term,
+  SELECT t.doc_id, m.term, m.w,
          len(list_filter(t.toks, x -> x = m.term)) AS tf
   FROM tok t CROSS JOIN terms m
 ),
 df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
 cand AS (
-  SELECT t.doc_id, len(t.toks) AS dl, t.source, t.joined, t.toks
+  SELECT t.doc_id, len(t.toks) AS dl, t.source, t.joined, t.toks, t.data_hash
   FROM tok t
   WHERE NOT EXISTS (
-    SELECT 1 FROM tf WHERE tf.doc_id = t.doc_id AND tf.tf = 0
+    SELECT 1 FROM tf
+    WHERE tf.doc_id = t.doc_id AND tf.tf = 0 AND tf.term IN ({include_list})
   )
-)
-SELECT c.doc_id,
-       round(sum({term_score}), 6) AS score_r
-FROM cand c
-JOIN tf ON tf.doc_id = c.doc_id
-JOIN df ON df.term = tf.term
-CROSS JOIN n
-WHERE true{where}
-GROUP BY c.doc_id
-ORDER BY score_r DESC, c.doc_id
+),
+scored AS (
+  SELECT c.doc_id, any_value(c.source) AS src,
+         round(sum(tf.w * ({term_score})), 6) AS score_r{deco_cols}
+  FROM cand c
+  JOIN tf ON tf.doc_id = c.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN n
+  WHERE true{where}
+  GROUP BY c.doc_id
+)"""
+    deco_sel = ", repo, path, data_hash" if decorate else ""
+    if domain_cap is not None:
+        return f"""{scored}
+SELECT doc_id, score_r{deco_sel} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY src ORDER BY score_r DESC, doc_id
+  ) AS rn FROM scored
+) WHERE rn <= {domain_cap}
+ORDER BY score_r DESC, doc_id
+LIMIT {k}
+"""
+    return f"""{scored}
+SELECT doc_id, score_r{deco_sel} FROM scored
+ORDER BY score_r DESC, doc_id
 LIMIT {k}
 """
 
@@ -393,6 +438,10 @@ def oracle_sql() -> dict[str, str]:
             ["fast", "table", "scan"], phrase=["fast", "table"]
         ),
         "bm25_repo": _bm25_sql(["customer"], source="src3"),
+        "bm25_size_limit": _bm25_sql(["customer"], size_gt=40),
+        "bm25_priority": _bm25_sql(["customer"], priority=["merge"]),
+        "bm25_domain_cap": _bm25_sql(["customer"], domain_cap=2),
+        "search_decorated": _bm25_sql(["scan", "filter"], k=5, decorate=True),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

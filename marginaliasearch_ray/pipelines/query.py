@@ -42,8 +42,11 @@ from ..stages.reverse import split_positions_by_counts
 class CompiledQuery:
     include: list[str] = field(default_factory=list)  # AND terms (token strings)
     exclude: list[str] = field(default_factory=list)
+    priority: list[str] = field(default_factory=list)  # ?term — boost, not filter
     phrases: list[list[str]] = field(default_factory=list)
     repo: str | None = None
+    size_gt: int | None = None  # size>N spec limit (QueryParser year>/size< analog)
+    size_lt: int | None = None
 
     @property
     def include_ids(self) -> list[int]:
@@ -53,11 +56,22 @@ class CompiledQuery:
     def exclude_ids(self) -> list[int]:
         return [hash_nearly_ascii(t) for t in self.exclude]
 
+    @property
+    def priority_ids(self) -> list[int]:
+        return [hash_nearly_ascii(t) for t in self.priority]
+
     def phrase_ids(self) -> list[list[int]]:
         return [[hash_nearly_ascii(t) for t in p] for p in self.phrases]
 
 
 _QUOTE_RE = re.compile(r'"([^"]*)"')
+_SPEC_RE = re.compile(r"size([<>])(\d+)")
+
+# priority-term boost: a ?term present in the document contributes this
+# fraction of its BM25 term score (simplified, SQL-expressible stand-in
+# for the reference's prio-presence ranking adjustment,
+# IndexResultRankingService:145-153)
+PRIORITY_WEIGHT = 0.25
 
 
 def _membership(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
@@ -98,6 +112,17 @@ def compile_query(q: str) -> CompiledQuery:
     for word in rest.split():
         if word.startswith("repo:") and len(word) > 5:
             out.repo = word[5:]
+        elif m := _SPEC_RE.fullmatch(word):
+            # size>N / size<N spec limits (QueryParser.java:20-27 year>/
+            # size< analog -> ParamMatchingQueryFilter semantics)
+            if m.group(1) == ">":
+                out.size_gt = int(m.group(2))
+            else:
+                out.size_lt = int(m.group(2))
+        elif word.startswith("?") and len(word) > 1:
+            for t in tokenize(word[1:]):
+                if t not in out.priority:
+                    out.priority.append(t)
         elif word.startswith("-") and len(word) > 1:
             for t in tokenize(word[1:]):
                 if t not in out.exclude:
@@ -136,6 +161,18 @@ class _Segment:
         self.fwd_ids = cid[o]
         self.fwd_size = fwd["size"].to_numpy(zero_copy_only=False)[o]
         self.fwd_meta = fwd["document_meta"].to_numpy(zero_copy_only=False)[o]
+
+        # docmeta (docdb analog) for decoration + content-hash dedup,
+        # aligned with fwd_ids order
+        dm = pq.read_table(
+            os.path.join(out_dir, "journal", f"part={part}"),
+            columns=["combined_id", "repo", "path", "title", "data_hash"],
+        )
+        dmo = np.argsort(dm["combined_id"].to_numpy(zero_copy_only=False))
+        self.dm_repo = dm["repo"].take(pa.array(dmo))
+        self.dm_path = dm["path"].take(pa.array(dmo))
+        self.dm_title = dm["title"].take(pa.array(dmo))
+        self.dm_hash = dm["data_hash"].take(pa.array(dmo))
 
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._pos_decoded: dict[int, list[np.ndarray]] = {}
@@ -199,19 +236,18 @@ class SearcherLogic:
             out[t] = int(seg.df[r]) if r >= 0 else 0
         return out
 
-    def search(
-        self,
-        include_ids: list[int],
-        exclude_ids: list[int],
-        phrase_ids: list[list[int]],
-        global_df: dict[int, int],
-        total_docs: int,
-        k: int,
-        domain_range: tuple[int, int] | None = None,
-    ) -> dict:
+    def search(self, plan: dict, global_df: dict[int, int], total_docs: int) -> dict:
         seg = self.seg
+        include_ids = plan["include_ids"]
+        exclude_ids = plan["exclude_ids"]
+        phrase_ids = plan["phrase_ids"]
+        priority_ids = plan.get("priority_ids", [])
+        domain_range = plan.get("domain_range")
+        size_gt = plan.get("size_gt")
+        size_lt = plan.get("size_lt")
+        k = plan["k"]
         if not include_ids:
-            return {"combined_id": [], "score_r": []}
+            return _empty_partition_result()
 
         # rarest-first execution ordering (CombinedIndexReader.createQueries
         # :94-130 heuristic) — cheapest posting list drives the intersection
@@ -228,6 +264,16 @@ class SearcherLogic:
         if domain_range is not None:
             lo, hi = domain_range
             cand = cand[(cand >= lo) & (cand < hi)]
+        if (size_gt is not None or size_lt is not None) and len(cand):
+            # metadata param filter (ParamMatchingQueryFilter analog,
+            # CombinedIndexReader.java:349-450) as a forward-index predicate
+            sz = seg.doc_sizes(cand)
+            mask = np.ones(len(cand), dtype=bool)
+            if size_gt is not None:
+                mask &= sz > size_gt
+            if size_lt is not None:
+                mask &= sz < size_lt
+            cand = cand[mask]
 
         # mandatory phrase constraints: successive (pos_a + 1) ∩ pos_b
         # (SequenceOperations.intersectSequences analog).  Each term's
@@ -259,7 +305,7 @@ class SearcherLogic:
             cand = cand[keep]
 
         if len(cand) == 0:
-            return {"combined_id": [], "score_r": []}
+            return _empty_partition_result()
 
         # BM25 over included terms, global idf (Bm25GraphVisitor formulas)
         sizes = seg.doc_sizes(cand).astype(np.float64)
@@ -271,14 +317,48 @@ class SearcherLogic:
             score += bm25.bm25_term_score(
                 total_docs, global_df.get(t, 0), tf, sizes
             )
+        # ?priority terms: non-filtering boost — PRIORITY_WEIGHT x the
+        # term's BM25 score where present
+        for t in priority_ids:
+            docs, tfs = seg.postings(t)
+            if len(docs) == 0:
+                continue
+            ix = np.searchsorted(docs, cand)
+            present = _membership(cand, docs)
+            tf = np.where(present, tfs[np.minimum(ix, len(tfs) - 1)], 0).astype(
+                np.float64
+            )
+            score += PRIORITY_WEIGHT * np.where(
+                present,
+                bm25.bm25_term_score(total_docs, global_df.get(t, 0), tf, sizes),
+                0.0,
+            )
 
         score_r = np.round(score, 6)
         ordinals = idcodec.get_ordinal(cand)
-        top = np.lexsort((ordinals, -score_r))[:k]
+        # return 2k + headroom so driver-side dedup / domain caps survive
+        # (ResultPriorityQueue 2x-limit heap analog)
+        top = np.lexsort((ordinals, -score_r))[: 2 * k + 8]
+        fi = np.searchsorted(seg.fwd_ids, cand[top])
         return {
             "combined_id": cand[top].tolist(),
             "score_r": score_r[top].tolist(),
+            "repo": seg.dm_repo.take(pa.array(fi)).to_pylist(),
+            "path": seg.dm_path.take(pa.array(fi)).to_pylist(),
+            "title": seg.dm_title.take(pa.array(fi)).to_pylist(),
+            "data_hash": seg.dm_hash.take(pa.array(fi)).to_pylist(),
         }
+
+
+def _empty_partition_result() -> dict:
+    return {
+        "combined_id": [],
+        "score_r": [],
+        "repo": [],
+        "path": [],
+        "title": [],
+        "data_hash": [],
+    }
 
 
 def _make_searcher_actor():
@@ -328,36 +408,93 @@ class IndexSearch:
             )
         return [getattr(s, method)(*args) for s in self.searchers]
 
-    def search(self, query: str, k: int = 10) -> pa.Table:
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        domain_cap: int | None = None,
+        dedup_by_hash: bool = False,
+        decorate: bool = False,
+    ) -> pa.Table:
+        """Fan-out + merge.  ``domain_cap`` limits results per repo
+        (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
+        :159-178); ``dedup_by_hash`` drops later results with a seen
+        sha256 (ResultConverter dataHash dedup, :512-524); ``decorate``
+        adds repo/path/title/data_hash columns (docdb decoration join)."""
         cq = compile_query(query)
-        inc, exc, phr = cq.include_ids, cq.exclude_ids, cq.phrase_ids()
 
         domain_range = None
         if cq.repo is not None:
             ent = self._registry.get(cq.repo)
             if ent is None:
-                return _result_table([], [])
+                return _result_table([], [], None)
             dom, rank, _part = ent
             domain_range = idcodec.domain_id_range(int(rank), int(dom))
 
+        plan = {
+            "include_ids": cq.include_ids,
+            "exclude_ids": cq.exclude_ids,
+            "priority_ids": cq.priority_ids,
+            "phrase_ids": cq.phrase_ids(),
+            "domain_range": domain_range,
+            "size_gt": cq.size_gt,
+            "size_lt": cq.size_lt,
+            "k": k,
+        }
+
         # phase 1: global df = sum of per-partition dfs
-        all_ids = inc + exc + [t for p in phr for t in p]
+        all_ids = (
+            plan["include_ids"]
+            + plan["exclude_ids"]
+            + plan["priority_ids"]
+            + [t for p in plan["phrase_ids"] for t in p]
+        )
         dfs = self._call("local_df", all_ids)
         global_df = {t: sum(d.get(t, 0) for d in dfs) for t in all_ids}
 
-        # phase 2: scatter, merge per-partition top-k
-        results = self._call(
-            "search", inc, exc, phr, global_df, self.total_docs, k, domain_range
-        )
+        # phase 2: scatter, merge per-partition (2k+8)-deep results
+        results = self._call("search", plan, global_df, self.total_docs)
         ids = np.concatenate(
             [np.asarray(r["combined_id"], dtype=np.int64) for r in results]
         )
         scores = np.concatenate(
             [np.asarray(r["score_r"], dtype=np.float64) for r in results]
         )
+        deco = {
+            col: sum((r[col] for r in results), [])
+            for col in ("repo", "path", "title", "data_hash")
+        }
         ordinals = idcodec.get_ordinal(ids)
-        top = np.lexsort((ordinals, -scores))[:k]
-        return _result_table(ids[top].tolist(), scores[top].tolist())
+        order = np.lexsort((ordinals, -scores))
+
+        keep: list[int] = []
+        seen_hashes: set[str] = set()
+        domain_counts: dict[int, int] = {}
+        domains = idcodec.get_domain_id(ids)
+        for j in order:
+            j = int(j)
+            if dedup_by_hash:
+                h = deco["data_hash"][j]
+                if h in seen_hashes:
+                    continue
+            if domain_cap is not None:
+                d = int(domains[j])
+                if domain_counts.get(d, 0) >= domain_cap:
+                    continue
+            keep.append(j)
+            if dedup_by_hash:
+                seen_hashes.add(deco["data_hash"][j])
+            if domain_cap is not None:
+                domain_counts[d] = domain_counts.get(d, 0) + 1
+            if len(keep) == k:
+                break
+
+        deco_out = (
+            {col: [deco[col][j] for j in keep] for col in deco} if decorate else None
+        )
+        return _result_table(
+            [int(ids[j]) for j in keep], [float(scores[j]) for j in keep], deco_out
+        )
 
     def shutdown(self):
         if self.use_actors:
@@ -368,12 +505,16 @@ class IndexSearch:
         self.searchers = []
 
 
-def _result_table(ids: list[int], scores: list[float]) -> pa.Table:
+def _result_table(
+    ids: list[int], scores: list[float], deco: dict | None
+) -> pa.Table:
     ords = [int(i) & idcodec.DOCORD_MASK for i in ids]
-    return pa.table(
-        {
-            "doc_id": pa.array(ords, pa.int64()),
-            "combined_id": pa.array(ids, pa.int64()),
-            "score_r": pa.array(scores, pa.float64()),
-        }
-    )
+    cols = {
+        "doc_id": pa.array(ords, pa.int64()),
+        "combined_id": pa.array(ids, pa.int64()),
+        "score_r": pa.array(scores, pa.float64()),
+    }
+    if deco is not None:
+        for col in ("repo", "path", "title", "data_hash"):
+            cols[col] = pa.array(deco[col], pa.string())
+    return pa.table(cols)

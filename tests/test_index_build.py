@@ -187,6 +187,19 @@ def test_search_with_actor_pool(index_dir, oracle, ray_session):
         idx.shutdown()
 
 
+def test_dedup_by_hash_and_domain_cap(index_dir, ray_session):
+    idx = IndexSearch(index_dir, use_actors=False)
+    t = idx.search("license", k=20, dedup_by_hash=True, decorate=True)
+    hashes = t["data_hash"].to_pylist()
+    assert len(hashes) == len(set(hashes)) > 0  # corpus has dup contents
+    t2 = idx.search("license", k=20, domain_cap=1)
+    doms = [int(idcodec.get_domain_id(c)) for c in t2["combined_id"].to_pylist()]
+    assert len(doms) == len(set(doms)) > 0
+    # without the cap there are more results than domains
+    t3 = idx.search("license", k=20)
+    assert t3.num_rows > t2.num_rows
+
+
 def test_resume_skips_committed_phases(index_dir, ray_session, corpus_table):
     import time
     import ray.data
