@@ -239,12 +239,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["search_decorated"] = lambda sf: _search(
         sf, "scan filter", k=5, decorate=True
     )
+    q["bm25_or_group"] = lambda sf: _search(sf, "customer (merge | sort)")
+    q["bm25_first_position"] = lambda sf: _search(
+        sf, "customer merge", first_position_weight=2.5
+    )
 
     # term statistics / dedup / quality / fingerprints
     q["term_df_top100"] = lambda sf: textops.term_df_top(
         documents_corpus_dataset(sf), k=100
     )
     q["exact_dedup"] = lambda sf: textops.exact_dedup(documents_corpus_dataset(sf))
+    q["important_words"] = lambda sf: textops.important_words(
+        documents_corpus_dataset(sf), k=6
+    )
     q["lang_id"] = lambda sf: textops.lang_id(documents_corpus_dataset(sf))
     q["quality_scores"] = lambda sf: textops.quality_scores(
         documents_corpus_dataset(sf)
@@ -284,18 +291,28 @@ def _bm25_sql(
     phrase: list[str] | None = None,
     source: str | None = None,
     priority: list[str] | None = None,
+    groups: list[list[str]] | None = None,
     size_gt: int | None = None,
     size_lt: int | None = None,
     domain_cap: int | None = None,
     decorate: bool = False,
+    first_position_weight: float = 0.0,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
-    rows = [f"('{t}', 1.0)" for t in terms]
-    rows += [f"('{t}', {PRIORITY_WEIGHT})" for t in (priority or [])]
+    groups = groups or []
+    # grp <= 0 contributions are SUMMED; grp >= 1 take the MAX over their
+    # members (CompiledQueryAggregates intMaxSum shape)
+    rows = [f"('{t}', 1.0, 0)" for t in terms]
+    rows += [f"('{t}', {PRIORITY_WEIGHT}, -1)" for t in (priority or [])]
+    for gi, g in enumerate(groups, start=1):
+        rows += [f"('{t}', 1.0, {gi})" for t in g]
     vals = ", ".join(rows)
-    include_list = ", ".join(f"'{t}'" for t in terms)
+    include_list = ", ".join(f"'{t}'" for t in terms) or "''"
     extra = []
+    for g in groups:
+        members = " OR ".join(f"list_contains(c.toks, '{t}')" for t in g)
+        extra.append(f"({members})")
     if exclude:
         for t in exclude:
             extra.append(f"NOT list_contains(c.toks, '{t}')")
@@ -310,6 +327,13 @@ def _bm25_sql(
         extra.append(f"c.dl < {size_lt}")
     where = (" AND " + " AND ".join(extra)) if extra else ""
     term_score = sql_bm25_term_expr("tf.tf", "df.df", "n.n", "c.dl")
+    fp_expr = ""
+    if first_position_weight > 0 and terms:
+        fps = ", ".join(
+            f"list_position(any_value(c.toks), '{t}')::DOUBLE" for t in terms
+        )
+        great = f"greatest({fps})" if len(terms) > 1 else fps
+        fp_expr = f" + {first_position_weight} / sqrt({great})"
     deco_cols = (
         ", any_value(c.source) AS repo, 'doc_' || c.doc_id AS path,"
         " any_value(c.data_hash) AS data_hash"
@@ -324,9 +348,9 @@ WITH tok AS (
   FROM documents
 ),
 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
-terms(term, w) AS (VALUES {vals}),
+terms(term, w, grp) AS (VALUES {vals}),
 tf AS (
-  SELECT t.doc_id, m.term, m.w,
+  SELECT t.doc_id, m.term, m.w, m.grp,
          len(list_filter(t.toks, x -> x = m.term)) AS tf
   FROM tok t CROSS JOIN terms m
 ),
@@ -339,14 +363,21 @@ cand AS (
     WHERE tf.doc_id = t.doc_id AND tf.tf = 0 AND tf.term IN ({include_list})
   )
 ),
-scored AS (
-  SELECT c.doc_id, any_value(c.source) AS src,
-         round(sum(tf.w * ({term_score})), 6) AS score_r{deco_cols}
+contrib AS (
+  SELECT c.doc_id, tf.grp,
+         CASE WHEN tf.grp <= 0 THEN sum(tf.w * ({term_score}))
+              ELSE max(tf.w * ({term_score})) END AS contrib
   FROM cand c
   JOIN tf ON tf.doc_id = c.doc_id
   JOIN df ON df.term = tf.term
   CROSS JOIN n
   WHERE true{where}
+  GROUP BY c.doc_id, tf.grp
+),
+scored AS (
+  SELECT c.doc_id, any_value(c.source) AS src,
+         round(sum(ct.contrib){fp_expr}, 6) AS score_r{deco_cols}
+  FROM contrib ct JOIN cand c ON c.doc_id = ct.doc_id
   GROUP BY c.doc_id
 )"""
     deco_sel = ", repo, path, data_hash" if decorate else ""
@@ -442,6 +473,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_priority": _bm25_sql(["customer"], priority=["merge"]),
         "bm25_domain_cap": _bm25_sql(["customer"], domain_cap=2),
         "search_decorated": _bm25_sql(["scan", "filter"], k=5, decorate=True),
+        "bm25_or_group": _bm25_sql(["customer"], groups=[["merge", "sort"]]),
+        "bm25_first_position": _bm25_sql(
+            ["customer", "merge"], first_position_weight=2.5
+        ),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents
@@ -451,6 +486,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS data_hash, min(doc_id) AS doc_id "
             "FROM documents GROUP BY sha256(text)"
         ),
+        "important_words": f"""
+            WITH tok AS (SELECT doc_id, {_tok()} AS toks FROM documents),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+              GROUP BY doc_id, term
+            ),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)), 6)
+                       AS tfidf_r
+              FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tfidf_r FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf_r DESC, term
+              ) AS rn FROM scored
+            ) WHERE rn <= 6
+        """,
         "lang_id": _lang_sql(),
         "quality_scores": f"""
             WITH t AS (SELECT doc_id, {_tok()} AS toks FROM documents)

@@ -275,9 +275,11 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
         encoder = EncodeBatchRuns(
             set(stats_manifest["hot_terms"]), cfg.num_buckets, cfg.num_salts
         )
+        # big encode batches => fewer runs per common term => less merge
+        # work (measured: 8192 beats 1024 by ~1.5x on a 480k-doc corpus)
         runs = read_journal(out_dir, "reverse").map_batches(
             encoder,
-            batch_size=cfg.tokenize_batch_size * 4,
+            batch_size=cfg.tokenize_batch_size * 32,
             batch_format="pyarrow",
         )
         if cfg.premerge_salted:

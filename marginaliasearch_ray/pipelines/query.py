@@ -43,6 +43,7 @@ class CompiledQuery:
     include: list[str] = field(default_factory=list)  # AND terms (token strings)
     exclude: list[str] = field(default_factory=list)
     priority: list[str] = field(default_factory=list)  # ?term — boost, not filter
+    groups: list[list[str]] = field(default_factory=list)  # (a | b) OR-groups
     phrases: list[list[str]] = field(default_factory=list)
     repo: str | None = None
     size_gt: int | None = None  # size>N spec limit (QueryParser year>/size< analog)
@@ -63,9 +64,13 @@ class CompiledQuery:
     def phrase_ids(self) -> list[list[int]]:
         return [[hash_nearly_ascii(t) for t in p] for p in self.phrases]
 
+    def group_ids(self) -> list[list[int]]:
+        return [[hash_nearly_ascii(t) for t in g] for g in self.groups]
+
 
 _QUOTE_RE = re.compile(r'"([^"]*)"')
 _SPEC_RE = re.compile(r"size([<>])(\d+)")
+_GROUP_RE = re.compile(r"\(([^()]*\|[^()]*)\)")
 
 # priority-term boost: a ?term present in the document contributes this
 # fraction of its BM25 term score (simplified, SQL-expressible stand-in
@@ -109,6 +114,21 @@ def compile_query(q: str) -> CompiledQuery:
         return " "
 
     rest = _QUOTE_RE.sub(grab_phrase, rest)
+
+    def grab_group(m):
+        # (a | b) disjunction — CompiledQueryParser OR-branch subset
+        # (CompiledQueryParser.java:10-67); members are the flattened
+        # tokens of each alternative
+        members = []
+        for alt in m.group(1).split("|"):
+            for t in tokenize(alt):
+                if t not in members:
+                    members.append(t)
+        if members:
+            out.groups.append(members)
+        return " "
+
+    rest = _GROUP_RE.sub(grab_group, rest)
     for word in rest.split():
         if word.startswith("repo:") and len(word) > 5:
             out.repo = word[5:]
@@ -221,6 +241,13 @@ class _Segment:
         i = np.searchsorted(self.fwd_ids, ids)
         return self.fwd_size[i]
 
+    def first_positions(self, tid: int) -> np.ndarray:
+        """First occurrence position per posting (aligned with postings)."""
+        pos = self.positions_decoded(tid)
+        return np.fromiter(
+            (int(p[0]) if len(p) else 0 for p in pos), dtype=np.int64, count=len(pos)
+        )
+
 
 class SearcherLogic:
     """Pure search logic over a _Segment (testable without Ray)."""
@@ -242,21 +269,38 @@ class SearcherLogic:
         exclude_ids = plan["exclude_ids"]
         phrase_ids = plan["phrase_ids"]
         priority_ids = plan.get("priority_ids", [])
+        group_ids = plan.get("group_ids", [])
         domain_range = plan.get("domain_range")
         size_gt = plan.get("size_gt")
         size_lt = plan.get("size_lt")
+        first_position_weight = plan.get("first_position_weight", 0.0)
         k = plan["k"]
-        if not include_ids:
+        if not include_ids and not group_ids:
             return _empty_partition_result()
 
         # rarest-first execution ordering (CombinedIndexReader.createQueries
         # :94-130 heuristic) — cheapest posting list drives the intersection
-        ordered = sorted(include_ids, key=lambda t: global_df.get(t, 0))
-        cand, _ = seg.postings(ordered[0])
-        for t in ordered[1:]:
+        rest_groups = group_ids
+        if include_ids:
+            ordered = sorted(include_ids, key=lambda t: global_df.get(t, 0))
+            cand, _ = seg.postings(ordered[0])
+            for t in ordered[1:]:
+                if len(cand) == 0:
+                    break
+                cand = _retain(cand, seg.postings(t)[0])
+        else:
+            # seed from the first OR-group: union of member lists (J3 any-of)
+            cand = np.unique(
+                np.concatenate([seg.postings(t)[0] for t in group_ids[0]])
+            )
+            rest_groups = group_ids[1:]
+        for g in rest_groups:
             if len(cand) == 0:
                 break
-            cand = _retain(cand, seg.postings(t)[0])
+            mask = np.zeros(len(cand), dtype=bool)
+            for t in g:
+                mask |= _membership(cand, seg.postings(t)[0])
+            cand = cand[mask]
         for t in exclude_ids:
             if len(cand) == 0:
                 break
@@ -317,6 +361,42 @@ class SearcherLogic:
             score += bm25.bm25_term_score(
                 total_docs, global_df.get(t, 0), tf, sizes
             )
+        # OR-groups: max over present members of the member's BM25 score
+        # (CompiledQueryAggregates intMaxSum shape: max over OR branches,
+        # sum over AND — CompiledQueryAggregates.java:165)
+        for g in group_ids:
+            gscore = np.zeros(len(cand), dtype=np.float64)
+            for t in g:
+                docs, tfs = seg.postings(t)
+                if len(docs) == 0:
+                    continue
+                present = _membership(cand, docs)
+                ix = np.minimum(np.searchsorted(docs, cand), len(tfs) - 1)
+                tf = np.where(present, tfs[ix], 0).astype(np.float64)
+                gscore = np.maximum(
+                    gscore,
+                    np.where(
+                        present,
+                        bm25.bm25_term_score(
+                            total_docs, global_df.get(t, 0), tf, sizes
+                        ),
+                        0.0,
+                    ),
+                )
+            score += gscore
+
+        # first-position component: w / sqrt(max over include terms of the
+        # term's first occurrence) — IndexResultRankingService:133,595
+        # (tcfFirstPositionWeight), enabled per query
+        if first_position_weight > 0 and include_ids:
+            fp = np.zeros(len(cand), dtype=np.float64)
+            for t in include_ids:
+                docs, _ = seg.postings(t)
+                firsts = seg.first_positions(t)
+                ix = np.searchsorted(docs, cand)
+                fp = np.maximum(fp, firsts[ix].astype(np.float64))
+            score += first_position_weight / np.sqrt(np.maximum(fp, 1.0))
+
         # ?priority terms: non-filtering boost — PRIORITY_WEIGHT x the
         # term's BM25 score where present
         for t in priority_ids:
@@ -415,6 +495,7 @@ class IndexSearch:
         domain_cap: int | None = None,
         dedup_by_hash: bool = False,
         decorate: bool = False,
+        first_position_weight: float = 0.0,
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -435,10 +516,12 @@ class IndexSearch:
             "include_ids": cq.include_ids,
             "exclude_ids": cq.exclude_ids,
             "priority_ids": cq.priority_ids,
+            "group_ids": cq.group_ids(),
             "phrase_ids": cq.phrase_ids(),
             "domain_range": domain_range,
             "size_gt": cq.size_gt,
             "size_lt": cq.size_lt,
+            "first_position_weight": first_position_weight,
             "k": k,
         }
 
@@ -447,6 +530,7 @@ class IndexSearch:
             plan["include_ids"]
             + plan["exclude_ids"]
             + plan["priority_ids"]
+            + [t for g in plan["group_ids"] for t in g]
             + [t for p in plan["phrase_ids"] for t in p]
         )
         dfs = self._call("local_df", all_ids)

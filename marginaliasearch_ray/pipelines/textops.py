@@ -56,6 +56,53 @@ def term_df_top(corpus_ds, k: int = 100):
     return term_df(corpus_ds).sort(["df", "term"], descending=[True, False]).limit(k)
 
 
+def important_words(corpus_ds, k: int = 6):
+    """(doc_id, term, tfidf_r) — per-document top-k terms by tf-idf
+    (DocumentKeywordExtractor.getImportantWords:92-109 analog: score by
+    tf-idf, deterministic tie-break on the term, take k).
+
+    Two passes: a global df pass (broadcast — vocabulary-sized; becomes a
+    hash join at 10^12-doc scale), then a per-batch vectorized top-k.
+    idf is the BM25 idf so the engine and oracle share one formula.
+    """
+    import ray
+
+    from ..functions import bm25
+
+    df_rows = term_df(corpus_ds).take_all()
+    df_map = {r["term"]: r["df"] for r in df_rows}
+    n_docs = corpus_ds.count()
+    df_ref = ray.put(df_map)
+
+    def topk(batch: pa.Table, *, k=k) -> pa.Table:
+        dfm = ray.get(df_ref)
+        out_doc, out_term, out_s = [], [], []
+        for d, t in zip(batch["ordinal"].to_pylist(), batch["content"].to_pylist()):
+            c = Counter(tokenize(t))
+            if not c:
+                continue
+            terms = sorted(c)
+            tfs = np.array([c[w] for w in terms], dtype=np.float64)
+            dfs = np.array([dfm[w] for w in terms], dtype=np.float64)
+            s = np.round(tfs * bm25.idf(n_docs, dfs), 6)
+            order = np.lexsort((np.array(terms), -s))[:k]
+            for j in order:
+                out_doc.append(int(d))
+                out_term.append(terms[int(j)])
+                out_s.append(float(s[int(j)]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tfidf_r": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        topk, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (hash-partitioned, first doc per content hash)
 
