@@ -125,7 +125,9 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     # deadlock.  The tokenize pipeline has ONE pool -> ncpu-2 is safe; the
     # reverse pipeline runs two merge pools concurrently -> ncpu//3 each.
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    pool = cfg.tokenize_concurrency or max(2, ncpu - 2)
+    # never let the tokenize pool reserve every CPU (ncpu<=3 would starve
+    # the read/write tasks into a crawl)
+    pool = cfg.tokenize_concurrency or max(1, min(ncpu - 1, max(2, ncpu - 2)))
 
     max_pool = pool if isinstance(pool, int) else pool[1]
 
