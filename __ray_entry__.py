@@ -183,6 +183,47 @@ def _posting_list(sf_dir: str, term: str):
     ).map_batches(decode, batch_format="pyarrow")
 
 
+def _span_stats(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.stages.tokenize import SPAN_COMMENT, SPAN_HEAD
+
+    _index_for(sf_dir)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_ids, n_comment, head_len = [], [], []
+        for cid, codes, spans in zip(
+            batch["combined_id"].to_pylist(),
+            batch["span_codes"].to_pylist(),
+            batch["spans"].to_pylist(),
+        ):
+            nc = 0
+            hl = 0
+            for code, pairs in zip(codes, spans):
+                if code == SPAN_COMMENT:
+                    nc += sum(
+                        pairs[j + 1] - pairs[j] for j in range(0, len(pairs), 2)
+                    )
+                elif code == SPAN_HEAD:
+                    hl = pairs[1] - pairs[0]
+            doc_ids.append(int(cid) & idcodec.DOCORD_MASK)
+            n_comment.append(nc)
+            head_len.append(hl)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "comment_tokens": pa.array(n_comment, pa.int64()),
+                "head_len": pa.array(head_len, pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(_index_dir_for(sf_dir), "journal"),
+        columns=["combined_id", "span_codes", "spans"],
+    ).map_batches(stats, batch_format="pyarrow")
+
+
 def _prio_posting_list(sf_dir: str, term: str):
     import numpy as np
     import pyarrow as pa
@@ -226,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["posting_list_merge"] = lambda sf: _posting_list(sf, "merge")
     q["posting_list_customer"] = lambda sf: _posting_list(sf, "customer")
     q["prio_posting_customer"] = lambda sf: _prio_posting_list(sf, "customer")
+    q["span_stats"] = _span_stats
 
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
@@ -240,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "scan filter", k=5, decorate=True
     )
     q["bm25_or_group"] = lambda sf: _search(sf, "customer (merge | sort)")
+    q["bm25_expanded"] = lambda sf: _search(sf, "fast-table scan", expand=True)
     q["bm25_first_position"] = lambda sf: _search(
         sf, "customer merge", first_position_weight=2.5
     )
@@ -462,6 +505,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id FROM documents "
             f"WHERE list_position({_tok()}, 'customer') BETWEEN 1 AND 8"
         ),
+        "span_stats": f"""
+            SELECT doc_id,
+              coalesce(list_sum(list_transform(
+                string_split(text, chr(10)),
+                l -> CASE WHEN regexp_matches(
+                       ltrim(l, ' ' || chr(9)), '^(//|#|--|\\*|/\\*)')
+                     THEN len({_tok('l')}) ELSE 0 END)), 0)::BIGINT
+                AS comment_tokens,
+              CASE WHEN len({_tok()}) = 0 THEN 0
+                   ELSE least(len({_tok()}), 16) END::BIGINT AS head_len
+            FROM documents
+        """,
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_exclude": _bm25_sql(["scan", "filter"], exclude=["customer"]),
@@ -474,6 +529,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_domain_cap": _bm25_sql(["customer"], domain_cap=2),
         "search_decorated": _bm25_sql(["scan", "filter"], k=5, decorate=True),
         "bm25_or_group": _bm25_sql(["customer"], groups=[["merge", "sort"]]),
+        "bm25_expanded": _bm25_sql(
+            ["scan"],
+            groups=[
+                __import__(
+                    "marginaliasearch_ray.pipelines.query", fromlist=["expand_term"]
+                ).expand_term("fast-table")
+            ],
+        ),
         "bm25_first_position": _bm25_sql(
             ["customer", "merge"], first_position_weight=2.5
         ),

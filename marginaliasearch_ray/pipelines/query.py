@@ -97,11 +97,31 @@ def _reject(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
     return cand[~_membership(cand, docs)]
 
 
-def compile_query(q: str) -> CompiledQuery:
+_SEP_SPLIT_RE = re.compile(r"[.\-_]+")
+
+
+def expand_term(t: str) -> list[str] | None:
+    """Separator-variant expansion for code identifiers
+    (QueryExpansion joinDashes/joinTerms analog, QueryExpansion.java:57-109):
+    ``parse-tree`` also matches ``parse_tree``, ``parse.tree`` and
+    ``parsetree``.  Returns the sorted variant list, or None when the term
+    has no separators."""
+    parts = _SEP_SPLIT_RE.split(t)
+    if len(parts) < 2 or not all(parts):
+        return None
+    variants = {t}
+    for sep in ("_", "-", ".", ""):
+        variants.add(sep.join(parts))
+    return sorted(variants)
+
+
+def compile_query(q: str, expand: bool = False) -> CompiledQuery:
     """Parse the human query into a compiled query (QueryParser subset).
 
     Quoted phrases contribute their terms to the include set AND add a
     mandatory adjacency constraint (QueryFactory.java:100-113 analog).
+    With ``expand=True``, separator-bearing include terms become OR-groups
+    of their separator variants.
     """
     out = CompiledQuery()
     rest = q
@@ -151,6 +171,16 @@ def compile_query(q: str) -> CompiledQuery:
             for t in tokenize(word):
                 if t not in out.include:
                     out.include.append(t)
+
+    if expand:
+        kept = []
+        for t in out.include:
+            variants = expand_term(t)
+            if variants:
+                out.groups.append(variants)
+            else:
+                kept.append(t)
+        out.include = kept
     return out
 
 
@@ -496,13 +526,14 @@ class IndexSearch:
         dedup_by_hash: bool = False,
         decorate: bool = False,
         first_position_weight: float = 0.0,
+        expand: bool = False,
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
         :159-178); ``dedup_by_hash`` drops later results with a seen
         sha256 (ResultConverter dataHash dedup, :512-524); ``decorate``
         adds repo/path/title/data_hash columns (docdb decoration join)."""
-        cq = compile_query(query)
+        cq = compile_query(query, expand=expand)
 
         domain_range = None
         if cq.repo is not None:

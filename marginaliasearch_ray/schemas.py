@@ -36,6 +36,8 @@ JOURNAL_SCHEMA = pa.schema(
         ("term_tfs", pa.list_(pa.int32())),  # uncapped occurrence counts
         ("term_meta", pa.list_(pa.int64())),  # low byte WordFlags | pos bitmask
         ("term_positions", pa.list_(pa.list_(pa.int32()))),  # capped at 512
+        ("span_codes", pa.binary()),  # one tag byte per span list ('c','h')
+        ("spans", pa.list_(pa.list_(pa.int32()))),  # [start,end) pairs per tag
         # docdb decoration / invariant columns
         ("repo", pa.string()),
         ("path", pa.string()),

@@ -46,6 +46,41 @@ from ..functions import idcodec
 
 EARLY_MENTION_POS = 8  # Subjects flag: first occurrence within N tokens
 
+# Span tags for the code corpus (HtmlTag analog, IndexSpansWriter/
+# SpansCodec S8): 'c' = comment lines, 'h' = head (first 16 tokens).
+SPAN_COMMENT = ord("c")
+SPAN_HEAD = ord("h")
+HEAD_SPAN_TOKENS = 16
+_COMMENT_PREFIXES = ("//", "#", "--", "*", "/*")
+
+
+def _is_comment_line(line: str) -> bool:
+    return line.lstrip().startswith(_COMMENT_PREFIXES)
+
+
+def tokenize_with_spans(content: str) -> tuple[list[str], list[int], list[list[int]]]:
+    """Tokenize line-by-line (identical token stream — newlines always
+    separate tokens) and record per-tag spans as flattened [start, end)
+    1-based position pairs."""
+    toks: list[str] = []
+    comment_pairs: list[int] = []
+    pos = 1
+    for line in content.split("\n"):
+        lt = tokenize(line)
+        if lt and _is_comment_line(line):
+            comment_pairs.extend((pos, pos + len(lt)))
+        toks.extend(lt)
+        pos += len(lt)
+    codes: list[int] = []
+    spans: list[list[int]] = []
+    if comment_pairs:
+        codes.append(SPAN_COMMENT)
+        spans.append(comment_pairs[: 2 * 8192])  # MAX_SPANS_PER_TYPE cap
+    if toks:
+        codes.append(SPAN_HEAD)
+        spans.append([1, min(len(toks), HEAD_SPAN_TOKENS) + 1])
+    return toks, codes, spans
+
 
 class TokenizeStage:
     """Callable class for ``ds.map_batches(TokenizeStage, fn_constructor_args=
@@ -85,9 +120,14 @@ class TokenizeStage:
         titles: list[str] = []
         descriptions: list[str] = []
         hashes: list[str] = []
+        span_codes_col: list[bytes] = []
+        spans_col: list[list[list[int]]] = []
         for i in range(n):
             content = contents[i]
-            tok_lists.append(tokenize(content))
+            toks_i, codes_i, spans_i = tokenize_with_spans(content)
+            tok_lists.append(toks_i)
+            span_codes_col.append(bytes(codes_i))
+            spans_col.append(spans_i)
             hashes.append(hashlib.sha256(content.encode("utf-8")).hexdigest())
             titles.append(paths[i].rsplit("/", 1)[-1])
             descriptions.append(content.split("\n", 1)[0][:128])
@@ -227,6 +267,8 @@ class TokenizeStage:
                 "term_tfs": term_tfs_arr,
                 "term_meta": term_meta_arr,
                 "term_positions": term_pos_arr,
+                "span_codes": pa.array(span_codes_col, pa.binary()),
+                "spans": pa.array(spans_col, pa.list_(pa.list_(pa.int32()))),
                 "repo": pa.array(repos, pa.string()),
                 "path": pa.array(paths, pa.string()),
                 "commit": pa.array(commits, pa.string()),

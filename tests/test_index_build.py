@@ -187,6 +187,44 @@ def test_search_with_actor_pool(index_dir, oracle, ray_session):
         idx.shutdown()
 
 
+def test_spans_recorded(index_dir):
+    import os
+
+    j = pq.read_table(
+        os.path.join(index_dir, "journal"),
+        columns=["span_codes", "spans", "size"],
+    )
+    codes = j["span_codes"].to_pylist()
+    spans = j["spans"].to_pylist()
+    sizes = j["size"].to_pylist()
+    assert any(b"c" in (c or b"") for c in codes)  # synthetic corpus has // comments
+    for c, sp, sz in zip(codes, spans, sizes):
+        for code, pairs in zip(c or b"", sp):
+            assert len(pairs) % 2 == 0
+            for i in range(0, len(pairs), 2):
+                assert 1 <= pairs[i] < pairs[i + 1] <= sz + 1
+            if code == ord("h"):
+                assert pairs[1] - pairs[0] <= 16
+
+
+def test_query_expansion_variants(index_dir, oracle, ray_session):
+    from marginaliasearch_ray.pipelines.query import expand_term
+
+    variants = set(expand_term("parse.tree"))
+    assert variants == {"parse.tree", "parse_tree", "parsetree", "parse-tree"}
+    idx = IndexSearch(index_dir, use_actors=False)
+    exp = idx.search("parse.tree", k=1000, expand=True)
+    want = {
+        d["ordinal"]
+        for d in oracle["docs"]
+        if any(v in d["tf"] for v in variants)
+    }
+    assert set(exp["doc_id"].to_pylist()) == want
+    assert len(want) > 0  # the synthetic vocab contains several variants
+    plain = idx.search("parse.tree", k=1000)
+    assert plain.num_rows <= exp.num_rows
+
+
 def test_dedup_by_hash_and_domain_cap(index_dir, ray_session):
     idx = IndexSearch(index_dir, use_actors=False)
     t = idx.search("license", k=20, dedup_by_hash=True, decorate=True)
