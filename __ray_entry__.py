@@ -286,6 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_first_position"] = lambda sf: _search(
         sf, "customer merge", first_position_weight=2.5
     )
+    q["bm25_proximity"] = lambda sf: _search(
+        sf, "customer merge", proximity_weight=0.5
+    )
 
     # term statistics / dedup / quality / fingerprints
     q["term_df_top100"] = lambda sf: textops.term_df_top(
@@ -314,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # stream-shaped windows
     q["events_tumbling_1h"] = lambda sf: events_ops.tumbling_window(sf, 3600)
+    q["events_sliding_1h_15m"] = lambda sf: events_ops.sliding_window(sf, 3600, 900)
     q["events_sessions"] = lambda sf: events_ops.session_windows(sf, 1800)
 
     return q
@@ -340,6 +344,7 @@ def _bm25_sql(
     domain_cap: int | None = None,
     decorate: bool = False,
     first_position_weight: float = 0.0,
+    proximity_weight: float = 0.0,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -377,6 +382,20 @@ def _bm25_sql(
         )
         great = f"greatest({fps})" if len(terms) > 1 else fps
         fp_expr = f" + {first_position_weight} / sqrt({great})"
+    if proximity_weight > 0 and len(terms) == 2:
+        t1, t2 = terms
+
+        def plist(t):
+            return (
+                f"[i for i in generate_series(1, len(any_value(c.toks)))"
+                f" if any_value(c.toks)[i] = '{t}']"
+            )
+
+        fp_expr += (
+            f" + {proximity_weight} * 2.0 / (0.1 + sqrt(list_min(flatten("
+            f"[[abs(a - b)::DOUBLE for b in {plist(t2)}] for a in {plist(t1)}]"
+            f"))))"
+        )
     deco_cols = (
         ", any_value(c.source) AS repo, 'doc_' || c.doc_id AS path,"
         " any_value(c.data_hash) AS data_hash"
@@ -540,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_first_position": _bm25_sql(
             ["customer", "merge"], first_position_weight=2.5
         ),
+        "bm25_proximity": _bm25_sql(["customer", "merge"], proximity_weight=0.5),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents
@@ -608,6 +628,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value_r
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_1h_15m": """
+            SELECT user_id, make_timestamp(w) AS window_start,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value_r
+            FROM (
+              SELECT user_id, value,
+                     unnest([(epoch_us(ts) // 900000000 - k) * 900000000
+                             for k in generate_series(0, 3)]) AS w
+              FROM events
+            )
+            GROUP BY 1, 2
         """,
         "events_sessions": """
             WITH e AS (

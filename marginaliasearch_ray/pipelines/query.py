@@ -427,6 +427,31 @@ class SearcherLogic:
                 fp = np.maximum(fp, firsts[ix].astype(np.float64))
             score += first_position_weight / np.sqrt(np.maximum(fp, 1.0))
 
+        # proximity component (2-term queries): w * 2/(0.1 + sqrt(minDist))
+        # over the terms' position lists — IndexResultRankingService
+        # :365-383 formula, pinned to the pairwise min distance
+        proximity_weight = plan.get("proximity_weight", 0.0)
+        if proximity_weight > 0 and len(include_ids) == 2:
+            t1, t2 = include_ids
+            docs1, _ = seg.postings(t1)
+            docs2, _ = seg.postings(t2)
+            pos1 = seg.positions_decoded(t1)
+            pos2 = seg.positions_decoded(t2)
+            ix1 = np.searchsorted(docs1, cand)
+            ix2 = np.searchsorted(docs2, cand)
+            dist = np.empty(len(cand), dtype=np.float64)
+            big = np.int64(1) << 40
+            for ci in range(len(cand)):
+                p1 = pos1[int(ix1[ci])]
+                p2 = pos2[int(ix2[ci])]
+                j = np.searchsorted(p2, p1)
+                right = np.where(
+                    j < len(p2), p2[np.minimum(j, len(p2) - 1)] - p1, big
+                )
+                left = np.where(j > 0, p1 - p2[np.maximum(j - 1, 0)], big)
+                dist[ci] = min(right.min(), left.min())
+            score += proximity_weight * 2.0 / (0.1 + np.sqrt(dist))
+
         # ?priority terms: non-filtering boost — PRIORITY_WEIGHT x the
         # term's BM25 score where present
         for t in priority_ids:
@@ -526,6 +551,7 @@ class IndexSearch:
         dedup_by_hash: bool = False,
         decorate: bool = False,
         first_position_weight: float = 0.0,
+        proximity_weight: float = 0.0,
         expand: bool = False,
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
@@ -553,6 +579,7 @@ class IndexSearch:
             "size_gt": cq.size_gt,
             "size_lt": cq.size_lt,
             "first_position_weight": first_position_weight,
+            "proximity_weight": proximity_weight,
             "k": k,
         }
 
