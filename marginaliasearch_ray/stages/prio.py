@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.prio_codec import encode_prio_doc_ids
+from ..functions.prio_codec import encode_prio_doc_ids_fast as encode_prio_doc_ids
 from .reverse import term_bucket
 
 

@@ -76,6 +76,30 @@ def test_empty_raises():
         encode_prio_doc_ids(np.array([], dtype=np.int64))
 
 
+def test_fast_encoder_byte_identical():
+    from marginaliasearch_ray.functions.prio_codec import encode_prio_doc_ids_fast
+
+    rng = random.Random(23)
+    for trial in range(40):
+        n = rng.randrange(1, 300)
+        tuples = sorted(
+            {
+                (rng.randrange(0, 8), rng.randrange(0, 100), rng.randrange(0, 5000))
+                for _ in range(n)
+            }
+        )
+        ids = np.array([enc(*t) for t in tuples], dtype=np.int64)
+        # inject duplicates sometimes
+        if trial % 3 == 0:
+            ids = np.sort(np.concatenate([ids, ids[:3]]))
+        slow = encode_prio_doc_ids(ids)
+        fast = encode_prio_doc_ids_fast(ids)
+        assert fast == slow, trial
+        assert decode_prio_doc_ids(fast).tolist() == sorted(
+            set(int(x) for x in ids)
+        )
+
+
 def test_fuzz_roundtrip():
     rng = random.Random(13)
     for _ in range(30):
