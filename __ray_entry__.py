@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_proximity"] = lambda sf: _search(
         sf, "customer merge", proximity_weight=0.5
     )
+    q["bm25_verbatim"] = lambda sf: _search(
+        sf, "fast table", verbatim_weight=1.0
+    )
 
     # term statistics / dedup / quality / fingerprints
     q["term_df_top100"] = lambda sf: textops.term_df_top(
@@ -314,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_cosine_top10"] = lambda sf: similarity.ann_topk(sf, vec_id=0, k=10)
     q["embedding_top_pairs"] = lambda sf: similarity.top_similar_pairs(sf, k=20)
     q["lsh_ann_topk"] = lambda sf: similarity.lsh_ann_topk(sf, vec_id=0, k=10)
+    q["ivf_ann_topk"] = lambda sf: similarity.ivf_ann_topk(sf, vec_id=0, k=10)
 
     # stream-shaped windows
     q["events_tumbling_1h"] = lambda sf: events_ops.tumbling_window(sf, 3600)
@@ -345,6 +349,7 @@ def _bm25_sql(
     decorate: bool = False,
     first_position_weight: float = 0.0,
     proximity_weight: float = 0.0,
+    verbatim_weight: float = 0.0,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -395,6 +400,21 @@ def _bm25_sql(
             f" + {proximity_weight} * 2.0 / (0.1 + sqrt(list_min(flatten("
             f"[[abs(a - b)::DOUBLE for b in {plist(t2)}] for a in {plist(t1)}]"
             f"))))"
+        )
+    if verbatim_weight > 0 and len(terms) >= 2:
+        from marginaliasearch_ray.stages.tokenize import HEAD_SPAN_TOKENS
+
+        conds = " AND ".join(
+            f"any_value(c.toks)[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        starts = (
+            f"[i for i in generate_series(1,"
+            f" len(any_value(c.toks)) - {len(terms) - 1}) if {conds}]"
+        )
+        fp_expr += (
+            f" + CASE WHEN len({starts}) = 0 THEN 0.0"
+            f" WHEN list_min({starts}) <= {HEAD_SPAN_TOKENS}"
+            f" THEN {verbatim_weight * 1.5} ELSE {verbatim_weight} END"
         )
     deco_cols = (
         ", any_value(c.source) AS repo, 'doc_' || c.doc_id AS path,"
@@ -560,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
             ["customer", "merge"], first_position_weight=2.5
         ),
         "bm25_proximity": _bm25_sql(["customer", "merge"], proximity_weight=0.5),
+        "bm25_verbatim": _bm25_sql(["fast", "table"], verbatim_weight=1.0),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

@@ -294,7 +294,16 @@ class SearcherLogic:
         return out
 
     def search(self, plan: dict, global_df: dict[int, int], total_docs: int) -> dict:
+        import time
+
         seg = self.seg
+        # wall-clock search budget (IndexSearchBudget.java:1-20 analog):
+        # phrase verification — the only unbounded per-candidate loop —
+        # checks the deadline and truncates the candidate set, yielding a
+        # partial (still correctly ranked) result like the reference's
+        # budgeted early exit.  Default budget is infinite so parity runs
+        # stay exhaustive (SURVEY §2.6 O7).
+        deadline = time.monotonic() + plan.get("budget_s", float("inf"))
         include_ids = plan["include_ids"]
         exclude_ids = plan["exclude_ids"]
         phrase_ids = plan["phrase_ids"]
@@ -364,6 +373,9 @@ class SearcherLogic:
                 np.searchsorted(docs, cand) for docs, _ in per_term
             ]
             for ci in range(len(cand)):
+                if ci % 4096 == 0 and time.monotonic() > deadline:
+                    keep[ci:] = False
+                    break
                 c = cand[ci]
                 prev = None
                 for (docs, pos), ixs in zip(per_term, idx_per_term):
@@ -426,6 +438,34 @@ class SearcherLogic:
                 ix = np.searchsorted(docs, cand)
                 fp = np.maximum(fp, firsts[ix].astype(np.float64))
             score += first_position_weight / np.sqrt(np.maximum(fp, 1.0))
+
+        # verbatim component (VerbatimMatches analog, IndexResultRanking
+        # Service:406-554 simplified): bonus when the include terms occur
+        # as an exact adjacent phrase; x1.5 when a match starts inside the
+        # head span (title-boundary bonus analog, :509-513)
+        verbatim_weight = plan.get("verbatim_weight", 0.0)
+        if verbatim_weight > 0 and len(include_ids) >= 2:
+            from ..stages.tokenize import HEAD_SPAN_TOKENS
+
+            per_term_v = [
+                (seg.postings(t)[0], seg.positions_decoded(t))
+                for t in include_ids
+            ]
+            ixs_v = [np.searchsorted(docs, cand) for docs, _ in per_term_v]
+            vbonus = np.zeros(len(cand), dtype=np.float64)
+            L = len(include_ids)
+            for ci in range(len(cand)):
+                prev = None
+                for (docs, pos), ixs in zip(per_term_v, ixs_v):
+                    p = pos[int(ixs[ci])]
+                    prev = p if prev is None else np.intersect1d(prev + 1, p)
+                    if len(prev) == 0:
+                        break
+                if prev is not None and len(prev):
+                    starts = prev - (L - 1)
+                    in_head = bool((starts <= HEAD_SPAN_TOKENS).any())
+                    vbonus[ci] = verbatim_weight * (1.5 if in_head else 1.0)
+            score += vbonus
 
         # proximity component (2-term queries): w * 2/(0.1 + sqrt(minDist))
         # over the terms' position lists — IndexResultRankingService
@@ -552,7 +592,9 @@ class IndexSearch:
         decorate: bool = False,
         first_position_weight: float = 0.0,
         proximity_weight: float = 0.0,
+        verbatim_weight: float = 0.0,
         expand: bool = False,
+        budget_s: float = float("inf"),
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -580,6 +622,8 @@ class IndexSearch:
             "size_lt": cq.size_lt,
             "first_position_weight": first_position_weight,
             "proximity_weight": proximity_weight,
+            "verbatim_weight": verbatim_weight,
+            "budget_s": budget_s,
             "k": k,
         }
 

@@ -117,6 +117,62 @@ def top_similar_pairs(sf_dir: str, k: int = 20):
     )
 
 
+def ivf_ann_topk(
+    sf_dir: str,
+    vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+):
+    """IVF-flat variant (the other 10^12-row scale path): vectors are
+    bucketed by nearest centroid (deterministic centroids: the first
+    ``n_centroids`` embeddings, normalized); the query scans only its
+    ``nprobe`` nearest buckets.  Approximate — rows-only check."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids0, mat0 = _batch_matrix(t.slice(0, n_centroids))
+    cents = mat0 / np.linalg.norm(mat0, axis=1, keepdims=True)
+    q = query_vector(sf_dir, vec_id)
+    probe = set(
+        np.argsort(-(cents @ (q / np.linalg.norm(q))))[:nprobe].tolist()
+    )
+    ref = ray.put((q, cents, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv, cc, pr = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = np.argmax(matn @ cc.T, axis=1)
+        keep = np.isin(assign, list(pr))
+        ids, mat = ids[keep], mat[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cos_r": pa.array([], pa.float64())}
+            )
+        cos = np.round(_cosine(mat, qv), 6)
+        top = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "cos_r": pa.array(cos[top], pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cos_r", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def lsh_ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_planes: int = 8):
     """Random-hyperplane LSH variant: bucket vectors by sign pattern
     against ``n_planes`` fixed hyperplanes; the query searches only its

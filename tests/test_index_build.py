@@ -238,6 +238,16 @@ def test_dedup_by_hash_and_domain_cap(index_dir, ray_session):
     assert t3.num_rows > t2.num_rows
 
 
+def test_search_budget_truncates(index_dir, ray_session):
+    idx = IndexSearch(index_dir, use_actors=False)
+    full = idx.search('"license import"', k=100)
+    trunc = idx.search('"license import"', k=100, budget_s=0.0)
+    assert trunc.num_rows <= full.num_rows
+    # default budget is infinite -> identical to full
+    again = idx.search('"license import"', k=100)
+    assert again.to_pylist() == full.to_pylist()
+
+
 def test_resume_skips_committed_phases(index_dir, ray_session, corpus_table):
     import time
     import ray.data

@@ -92,6 +92,16 @@ def test_lsh_ann_subset_of_bruteforce(entrymod, con):
             assert abs(truth[r["vec_id"]] - r["cos_r"]) < 1e-9
 
 
+def test_ivf_ann_subset_of_bruteforce(entrymod, con):
+    approx = entrymod.queries()["ivf_ann_topk"](SF).to_pandas()
+    exact = con.execute(entrymod.oracle_sql()["ann_cosine_top10"]).fetchdf()
+    truth = dict(zip(exact["vec_id"], exact["cos_r"]))
+    assert len(approx) > 0
+    for _, r in approx.iterrows():
+        if r["vec_id"] in truth:
+            assert abs(truth[r["vec_id"]] - r["cos_r"]) < 1e-9
+
+
 def test_multimodal_feature_stage(ray_session):
     import ray.data
 
