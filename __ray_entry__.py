@@ -79,8 +79,15 @@ REFERENCE_QUERIES = [
 ]
 
 
+# bump whenever the on-disk index format changes so a stale /tmp cache
+# from an older code revision can never be read by newer code
+INDEX_FORMAT_VERSION = 3
+
+
 def _index_dir_for(sf_dir: str) -> str:
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
     return os.path.join("/tmp/msray_index_cache", tag)
 
 
@@ -283,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["bm25_or_group"] = lambda sf: _search(sf, "customer (merge | sort)")
     q["bm25_expanded"] = lambda sf: _search(sf, "fast-table scan", expand=True)
+    # expansion path incl. ngram-pair segmentation probing (no corpus
+    # identifier joins these terms at sf scale, so result == plain conj)
+    q["bm25_segmented"] = lambda sf: _search(sf, "customer merge", expand=True)
     q["bm25_first_position"] = lambda sf: _search(
         sf, "customer merge", first_position_weight=2.5
     )
@@ -568,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_domain_cap": _bm25_sql(["customer"], domain_cap=2),
         "search_decorated": _bm25_sql(["scan", "filter"], k=5, decorate=True),
         "bm25_or_group": _bm25_sql(["customer"], groups=[["merge", "sort"]]),
+        "bm25_segmented": _bm25_sql(["customer", "merge"]),
         "bm25_expanded": _bm25_sql(
             ["scan"],
             groups=[

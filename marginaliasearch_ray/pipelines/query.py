@@ -627,6 +627,44 @@ class IndexSearch:
             "k": k,
         }
 
+        # ngram segmentation (QueryExpansion.ngramAll / NgramLexicon
+        # analog, ST2): when the corpus actually contains an identifier
+        # joining two adjacent query terms (df > 0 for a_b/ab/a-b/a.b),
+        # replace each term of the pair with an OR-group over
+        # [term, joined-variants] so `parse tree` also matches parse_tree
+        pair_variants: dict[tuple[str, str], list[str]] = {}
+        if expand and len(cq.include) >= 2:
+            cands = {
+                (a, b): [f"{a}{s}{b}" for s in ("_", "", "-", ".")]
+                for a, b in zip(cq.include, cq.include[1:])
+            }
+            cand_terms = sorted({t for v in cands.values() for t in v})
+            cand_ids = {t: hash_nearly_ascii(t) for t in cand_terms}
+            dfs0 = self._call("local_df", list(cand_ids.values()))
+            joined_df = {
+                t: sum(d.get(i, 0) for d in dfs0) for t, i in cand_ids.items()
+            }
+            consumed: set[str] = set()
+            for (a, b), variants in cands.items():
+                live = [v for v in variants if joined_df.get(v, 0) > 0]
+                if not live or a in consumed or b in consumed:
+                    continue
+                consumed.update((a, b))
+                plan["group_ids"].append(
+                    [hash_nearly_ascii(a)] + [hash_nearly_ascii(v) for v in live]
+                )
+                plan["group_ids"].append(
+                    [hash_nearly_ascii(b)] + [hash_nearly_ascii(v) for v in live]
+                )
+                pair_variants[(a, b)] = live
+            if consumed:
+                keep_ids = [
+                    i
+                    for t, i in zip(cq.include, cq.include_ids)
+                    if t not in consumed
+                ]
+                plan["include_ids"] = keep_ids
+
         # phase 1: global df = sum of per-partition dfs
         all_ids = (
             plan["include_ids"]

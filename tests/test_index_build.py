@@ -238,6 +238,32 @@ def test_dedup_by_hash_and_domain_cap(index_dir, ray_session):
     assert t3.num_rows > t2.num_rows
 
 
+def test_ngram_segmentation_expansion(index_dir, oracle, ray_session):
+    # the synthetic vocab contains joined identifiers like merge_buffer;
+    # with expand=True the query "merge buffer" must also match docs that
+    # only contain a joined variant
+    idx = IndexSearch(index_dir, use_actors=False)
+    joined_variants = {"merge_buffer", "mergebuffer", "merge-buffer", "merge.buffer"}
+    present = {
+        v
+        for v in joined_variants
+        if any(v in d["tf"] for d in oracle["docs"])
+    }
+    assert present  # vocab guarantees at least merge_buffer exists
+    exp = idx.search("merge buffer", k=1000, expand=True)
+    want = {
+        d["ordinal"]
+        for d in oracle["docs"]
+        if (
+            ("merge" in d["tf"] or any(v in d["tf"] for v in present))
+            and ("buffer" in d["tf"] or any(v in d["tf"] for v in present))
+        )
+    }
+    assert set(exp["doc_id"].to_pylist()) == want
+    plain = idx.search("merge buffer", k=1000)
+    assert plain.num_rows <= exp.num_rows
+
+
 def test_search_budget_truncates(index_dir, ray_session):
     idx = IndexSearch(index_dir, use_actors=False)
     full = idx.search('"license import"', k=100)
