@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_verbatim"] = lambda sf: _search(
         sf, "fast table", verbatim_weight=1.0
     )
+    q["bm25_flags"] = lambda sf: _search(sf, "customer merge", flags_weight=1.0)
 
     # term statistics / dedup / quality / fingerprints
     q["term_df_top100"] = lambda sf: textops.term_df_top(
@@ -360,6 +361,7 @@ def _bm25_sql(
     first_position_weight: float = 0.0,
     proximity_weight: float = 0.0,
     verbatim_weight: float = 0.0,
+    flags_weight: float = 0.0,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -426,6 +428,26 @@ def _bm25_sql(
             f" WHEN list_min({starts}) <= {HEAD_SPAN_TOKENS}"
             f" THEN {verbatim_weight * 1.5} ELSE {verbatim_weight} END"
         )
+    flags_cte = ""
+    if flags_weight > 0:
+        # flag presence = early-mention Subjects bit (the only flag that
+        # fires on this corpus); prio df computed over ALL docs
+        flags_cte = """,
+fdf AS (
+  SELECT m.term, sum(CASE WHEN list_position(t.toks, m.term)
+                          BETWEEN 1 AND 8 THEN 1 ELSE 0 END)::DOUBLE AS fdf
+  FROM tok t CROSS JOIN terms m WHERE m.grp = 0 GROUP BY m.term
+)"""
+        for t in terms:
+            fl = (
+                f"(CASE WHEN list_position(any_value(c.toks), '{t}')"
+                f" BETWEEN 1 AND 8 THEN 1.0 ELSE 0.0 END)"
+            )
+            fdf_t = f"(SELECT fdf FROM fdf WHERE term = '{t}')"
+            contrib = sql_bm25_term_expr(
+                fl, fdf_t, "(SELECT n FROM n)", "any_value(c.dl)"
+            )
+            fp_expr += f" + {flags_weight} * 0.5 * ({contrib})"
     deco_cols = (
         ", any_value(c.source) AS repo, 'doc_' || c.doc_id AS path,"
         " any_value(c.data_hash) AS data_hash"
@@ -454,7 +476,7 @@ cand AS (
     SELECT 1 FROM tf
     WHERE tf.doc_id = t.doc_id AND tf.tf = 0 AND tf.term IN ({include_list})
   )
-),
+){flags_cte},
 contrib AS (
   SELECT c.doc_id, tf.grp,
          CASE WHEN tf.grp <= 0 THEN sum(tf.w * ({term_score}))
@@ -592,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_proximity": _bm25_sql(["customer", "merge"], proximity_weight=0.5),
         "bm25_verbatim": _bm25_sql(["fast", "table"], verbatim_weight=1.0),
+        "bm25_flags": _bm25_sql(["customer", "merge"], flags_weight=1.0),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

@@ -212,6 +212,22 @@ class _Segment:
         self.fwd_size = fwd["size"].to_numpy(zero_copy_only=False)[o]
         self.fwd_meta = fwd["document_meta"].to_numpy(zero_copy_only=False)[o]
 
+        # prio posting lists (flagged terms, gamma/delta coded) for the
+        # bFlags score component
+        prio_dir = os.path.join(out_dir, "postings_prio", f"part={part}")
+        if os.path.isdir(prio_dir):
+            pr = pq.read_table(prio_dir, columns=["term_id", "df", "docs"])
+            po = np.argsort(pr["term_id"].to_numpy(zero_copy_only=False))
+            pr = pr.take(pa.array(po))
+            self.prio_term_ids = pr["term_id"].to_numpy(zero_copy_only=False)
+            self.prio_df = pr["df"].to_numpy(zero_copy_only=False)
+            self.prio_blobs = pr["docs"].to_pylist()
+        else:
+            self.prio_term_ids = np.empty(0, dtype=np.int64)
+            self.prio_df = np.empty(0, dtype=np.int64)
+            self.prio_blobs = []
+        self._prio_decoded: dict[int, np.ndarray] = {}
+
         # docmeta (docdb analog) for decoration + content-hash dedup,
         # aligned with fwd_ids order
         dm = pq.read_table(
@@ -271,6 +287,28 @@ class _Segment:
         i = np.searchsorted(self.fwd_ids, ids)
         return self.fwd_size[i]
 
+    def prio_postings(self, tid: int) -> np.ndarray:
+        """Sorted combined ids of the term's priority (flagged) postings."""
+        cached = self._prio_decoded.get(tid)
+        if cached is not None:
+            return cached
+        from ..functions.prio_codec import decode_prio_doc_ids
+
+        i = int(np.searchsorted(self.prio_term_ids, tid))
+        if i < len(self.prio_term_ids) and self.prio_term_ids[i] == tid:
+            out = decode_prio_doc_ids(self.prio_blobs[i])
+        else:
+            out = np.empty(0, dtype=np.int64)
+        if len(self._prio_decoded) < 1024:
+            self._prio_decoded[tid] = out
+        return out
+
+    def prio_df_of(self, tid: int) -> int:
+        i = int(np.searchsorted(self.prio_term_ids, tid))
+        if i < len(self.prio_term_ids) and self.prio_term_ids[i] == tid:
+            return int(self.prio_df[i])
+        return 0
+
     def first_positions(self, tid: int) -> np.ndarray:
         """First occurrence position per posting (aligned with postings)."""
         pos = self.positions_decoded(tid)
@@ -292,6 +330,9 @@ class SearcherLogic:
             r = seg.term_row(t)
             out[t] = int(seg.df[r]) if r >= 0 else 0
         return out
+
+    def local_prio_df(self, term_ids: list[int]) -> dict[int, int]:
+        return {t: self.seg.prio_df_of(t) for t in term_ids}
 
     def search(self, plan: dict, global_df: dict[int, int], total_docs: int) -> dict:
         import time
@@ -492,6 +533,23 @@ class SearcherLogic:
                 dist[ci] = min(right.min(), left.min())
             score += proximity_weight * 2.0 / (0.1 + np.sqrt(dist))
 
+        # bFlags component (TermFlagsGraphVisitor analog, score_bFlags =
+        # 0.5 x flag-presence BM25, IndexResultRankingService:139-141):
+        # presence comes from the prio index, idf from the global prio df
+        flags_weight = plan.get("flags_weight", 0.0)
+        if flags_weight > 0:
+            prio_df = plan.get("prio_df", {})
+            for t in include_ids:
+                pd_docs = seg.prio_postings(t)
+                fl = _membership(cand, pd_docs).astype(np.float64)
+                score += (
+                    flags_weight
+                    * 0.5
+                    * bm25.bm25_term_score(
+                        total_docs, prio_df.get(t, 0), fl, sizes
+                    )
+                )
+
         # ?priority terms: non-filtering boost — PRIORITY_WEIGHT x the
         # term's BM25 score where present
         for t in priority_ids:
@@ -593,6 +651,7 @@ class IndexSearch:
         first_position_weight: float = 0.0,
         proximity_weight: float = 0.0,
         verbatim_weight: float = 0.0,
+        flags_weight: float = 0.0,
         expand: bool = False,
         budget_s: float = float("inf"),
     ) -> pa.Table:
@@ -623,9 +682,15 @@ class IndexSearch:
             "first_position_weight": first_position_weight,
             "proximity_weight": proximity_weight,
             "verbatim_weight": verbatim_weight,
+            "flags_weight": flags_weight,
             "budget_s": budget_s,
             "k": k,
         }
+        if flags_weight > 0:
+            pdfs = self._call("local_prio_df", plan["include_ids"])
+            plan["prio_df"] = {
+                t: sum(d.get(t, 0) for d in pdfs) for t in plan["include_ids"]
+            }
 
         # ngram segmentation (QueryExpansion.ngramAll / NgramLexicon
         # analog, ST2): when the corpus actually contains an identifier
