@@ -303,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "fast table", verbatim_weight=1.0
     )
     q["bm25_flags"] = lambda sf: _search(sf, "customer merge", flags_weight=1.0)
+    q["bm25_head_weighted"] = lambda sf: _search(
+        sf, "customer merge", head_tf_weight=0.5
+    )
 
     # term statistics / dedup / quality / fingerprints
     q["term_df_top100"] = lambda sf: textops.term_df_top(
@@ -362,6 +365,7 @@ def _bm25_sql(
     proximity_weight: float = 0.0,
     verbatim_weight: float = 0.0,
     flags_weight: float = 0.0,
+    head_tf_weight: float = 0.0,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -428,6 +432,15 @@ def _bm25_sql(
             f" WHEN list_min({starts}) <= {HEAD_SPAN_TOKENS}"
             f" THEN {verbatim_weight * 1.5} ELSE {verbatim_weight} END"
         )
+    head_tf = ""
+    if head_tf_weight > 0:
+        from marginaliasearch_ray.stages.tokenize import HEAD_SPAN_TOKENS
+
+        head_tf = (
+            f" + {head_tf_weight} * len([i for i in"
+            f" generate_series(1, least(len(t.toks), {HEAD_SPAN_TOKENS}))"
+            f" if t.toks[i] = m.term])"
+        )
     flags_cte = ""
     if flags_weight > 0:
         # flag presence = early-mention Subjects bit (the only flag that
@@ -465,7 +478,7 @@ n AS (SELECT count(*)::DOUBLE AS n FROM documents),
 terms(term, w, grp) AS (VALUES {vals}),
 tf AS (
   SELECT t.doc_id, m.term, m.w, m.grp,
-         len(list_filter(t.toks, x -> x = m.term)) AS tf
+         len(list_filter(t.toks, x -> x = m.term)){head_tf} AS tf
   FROM tok t CROSS JOIN terms m
 ),
 df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
@@ -615,6 +628,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_proximity": _bm25_sql(["customer", "merge"], proximity_weight=0.5),
         "bm25_verbatim": _bm25_sql(["fast", "table"], verbatim_weight=1.0),
         "bm25_flags": _bm25_sql(["customer", "merge"], flags_weight=1.0),
+        "bm25_head_weighted": _bm25_sql(
+            ["customer", "merge"], head_tf_weight=0.5
+        ),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

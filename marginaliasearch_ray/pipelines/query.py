@@ -434,13 +434,30 @@ class SearcherLogic:
         if len(cand) == 0:
             return _empty_partition_result()
 
-        # BM25 over included terms, global idf (Bm25GraphVisitor formulas)
+        # BM25 over included terms, global idf (Bm25GraphVisitor formulas).
+        # head_tf_weight > 0 switches to tag-weighted counts (UnorderedMatches
+        # analog, IndexResultRankingService:557-618): occurrences inside the
+        # head span count (1 + w) instead of 1.
         sizes = seg.doc_sizes(cand).astype(np.float64)
         score = np.zeros(len(cand), dtype=np.float64)
+        head_tf_weight = plan.get("head_tf_weight", 0.0)
+        from ..stages.tokenize import HEAD_SPAN_TOKENS
+
         for t in include_ids:
             docs, tfs = seg.postings(t)
             ix = np.searchsorted(docs, cand)
             tf = tfs[ix].astype(np.float64)
+            if head_tf_weight > 0:
+                pos = seg.positions_decoded(t)
+                head_tf = np.fromiter(
+                    (
+                        int((pos[int(i)] <= HEAD_SPAN_TOKENS).sum())
+                        for i in ix
+                    ),
+                    dtype=np.float64,
+                    count=len(ix),
+                )
+                tf = tf + head_tf_weight * head_tf
             score += bm25.bm25_term_score(
                 total_docs, global_df.get(t, 0), tf, sizes
             )
@@ -567,6 +584,16 @@ class SearcherLogic:
                 0.0,
             )
 
+        # document rank bonus (calculateDocumentBonus:281-358 subset):
+        # w * (255 - rank_field)/100, rank from the packed document meta
+        rank_bonus_weight = plan.get("rank_bonus_weight", 0.0)
+        if rank_bonus_weight > 0:
+            from ..functions.metadata import decode_rank
+
+            fi = np.searchsorted(seg.fwd_ids, cand)
+            ranks = decode_rank(seg.fwd_meta[fi]).astype(np.float64)
+            score += rank_bonus_weight * (255.0 - ranks) / 100.0
+
         score_r = np.round(score, 6)
         ordinals = idcodec.get_ordinal(cand)
         # return 2k + headroom so driver-side dedup / domain caps survive
@@ -652,6 +679,8 @@ class IndexSearch:
         proximity_weight: float = 0.0,
         verbatim_weight: float = 0.0,
         flags_weight: float = 0.0,
+        head_tf_weight: float = 0.0,
+        rank_bonus_weight: float = 0.0,
         expand: bool = False,
         budget_s: float = float("inf"),
     ) -> pa.Table:
@@ -683,6 +712,8 @@ class IndexSearch:
             "proximity_weight": proximity_weight,
             "verbatim_weight": verbatim_weight,
             "flags_weight": flags_weight,
+            "head_tf_weight": head_tf_weight,
+            "rank_bonus_weight": rank_bonus_weight,
             "budget_s": budget_s,
             "k": k,
         }

@@ -264,6 +264,30 @@ def test_ngram_segmentation_expansion(index_dir, oracle, ray_session):
     assert plain.num_rows <= exp.num_rows
 
 
+def test_rank_bonus_component(index_dir, oracle, ray_session):
+    from marginaliasearch_ray.functions import metadata as md
+    from marginaliasearch_ray.stages.docids import repo_rank
+
+    idx = IndexSearch(index_dir, use_actors=False)
+    base = idx.search("license", k=50)
+    boosted = idx.search("license", k=50, rank_bonus_weight=1.0)
+    base_scores = dict(
+        zip(base["combined_id"].to_pylist(), base["score_r"].to_pylist())
+    )
+    repo_of = {d["cid"]: d["repo"] for d in oracle["docs"]}
+    checked = 0
+    for cid, s in zip(
+        boosted["combined_id"].to_pylist(), boosted["score_r"].to_pylist()
+    ):
+        if cid in base_scores:
+            # rank field = repo_rank << 2 (tokenize packs 6-bit rank into
+            # the 8-bit DocumentMetadata rank slot)
+            want = base_scores[cid] + (255 - (repo_rank(repo_of[cid]) << 2)) / 100.0
+            assert abs(s - want) < 1e-5, cid
+            checked += 1
+    assert checked > 0
+
+
 def test_search_budget_truncates(index_dir, ray_session):
     idx = IndexSearch(index_dir, use_actors=False)
     full = idx.search('"license import"', k=100)
