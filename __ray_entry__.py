@@ -75,6 +75,9 @@ REFERENCE_QUERIES = [
     '"fast table" scan',
     "customer repo:src3",
     "window stream group",
+    "customer (merge | sort)",
+    "scan size>40",
+    "customer ?merge",
     "nosuchterm12345",
 ]
 
