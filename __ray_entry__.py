@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_lsh_pairs"] = lambda sf: textops.minhash_lsh_pairs(
         documents_corpus_dataset(sf), threshold=0.5
     )
+    q["near_dup_components"] = lambda sf: textops.near_dup_components(
+        documents_corpus_dataset(sf), threshold=0.5
+    )
 
     # similarity search
     q["ann_cosine_top10"] = lambda sf: similarity.ann_topk(sf, vec_id=0, k=10)
@@ -679,6 +682,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _jaccard_sql(0.5),
         "minhash_lsh_pairs": _jaccard_sql(0.5),
+        "near_dup_components": f"""
+            WITH RECURSIVE tk AS (SELECT doc_id, {_tok()} AS t FROM documents),
+            sh AS (SELECT doc_id, {_shingle_sql()} AS s FROM tk WHERE len(t) >= 3),
+            pairs AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                         AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              ) WHERE round(j, 6) >= 0.5
+            ),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.a, e.d FROM reach r JOIN edges e ON e.s = r.b
+            )
+            SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+        """,
         "ann_cosine_top10": """
             WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -350,6 +350,80 @@ def _pairs_of_group(group: pa.Table) -> pa.Table:
     )
 
 
+def near_dup_components(corpus_ds, threshold: float = 0.5, max_rounds: int = 16):
+    """(doc_id, component) — connected components over the exact
+    near-dup pair graph (shingle Jaccard >= threshold), computed with
+    iterative min-label propagation: each round joins labels across
+    edges and takes the per-node min (groupby), until a fixpoint.
+    Rounds are bounded by the graph diameter; each round is one shuffle.
+    Singleton documents are their own component."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Min
+
+    pairs = ngram_jaccard_pairs(corpus_ds, threshold).materialize()
+    # undirected edge list, both directions
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"]
+        b = batch["doc_b"]
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["ordinal"].cast(pa.int64()),
+                "component": batch["ordinal"].cast(pa.int64()),
+            }
+        )
+
+    labels = (
+        corpus_ds.select_columns(["ordinal"])
+        .map_batches(ids_only, batch_format="pyarrow")
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # propagate: neighbor labels flow across edges, then per-node min
+        prev = labels
+        joined = edges.join(
+            labels.map_batches(
+                lambda b: b.rename_columns(["src", "label"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=4,
+            on=("src",),
+        )
+        candidate = joined.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["dst"], "component": b["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(candidate)
+            .groupby("doc_id")
+            .aggregate(Min("component", alias_name="component"))
+            .materialize()
+        )
+        # fixpoint check: label sums decrease monotonically, so equal
+        # sums mean convergence (a scalar aggregate, not a materialize)
+        from ray.data.aggregate import Sum as _Sum
+
+        s_prev = prev.aggregate(_Sum("component"))["sum(component)"]
+        s_new = labels.aggregate(_Sum("component"))["sum(component)"]
+        if s_prev == s_new:
+            break
+    return labels
+
+
 # MinHash-LSH --------------------------------------------------------------
 
 NUM_PERM = 128
