@@ -186,22 +186,15 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     num_parts = journal_manifest["num_parts"]
 
     # ---- phase: stats (global df + hot terms) ---------------------------
-    if not mf.is_committed(out_dir, "stats"):
+    # With the salted pre-merge enabled, hot terms must be known BEFORE
+    # the reverse build -> compute df from the journal here.  Otherwise
+    # the reverse phase runs first (hot set empty is fine: salting is
+    # unused) and stats derives df from the compact posting segments —
+    # no second tokenized-journal scan.
+    stats_from_journal = cfg.premerge_salted
+
+    def _stats_phase(source_ds) -> None:
         t_phase = time.time()
-        js = read_journal(out_dir, "reverse")
-
-        def partial_df(batch: pa.Table) -> pa.Table:
-            flat = pc.list_flatten(batch["term_ids"].combine_chunks()).to_numpy(
-                zero_copy_only=False
-            )
-            uniq, counts = np.unique(flat, return_counts=True)
-            return pa.table(
-                {
-                    "term_id": pa.array(uniq, pa.int64()),
-                    "cnt": pa.array(counts, pa.int64()),
-                }
-            )
-
         from ray.data.aggregate import Sum
 
         def add_bucket(batch: pa.Table) -> pa.Table:
@@ -211,15 +204,12 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
             return batch.append_column("bucket", pa.array(b, pa.int32()))
 
         df_ds = (
-            js.select_columns(["term_ids"])
-            .map_batches(partial_df, batch_format="pyarrow")
-            .groupby("term_id")
+            source_ds.groupby("term_id")
             .aggregate(Sum("cnt", alias_name="df"))
             .map_batches(add_bucket, batch_format="pyarrow")
             .materialize()  # vocabulary-sized; reused for write + hot scan
         )
         df_ds.write_parquet(os.path.join(out_dir, "stats"))
-
         hot_terms = [
             r["term_id"]
             for r in df_ds.filter(expr=f"df >= {cfg.hot_df_threshold}")
@@ -237,7 +227,27 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
             },
         )
 
-    stats_manifest = mf.read_manifest(out_dir, "stats")
+    def _journal_df_partials():
+        js = read_journal(out_dir, "reverse")
+
+        def partial_df(batch: pa.Table) -> pa.Table:
+            flat = pc.list_flatten(batch["term_ids"].combine_chunks()).to_numpy(
+                zero_copy_only=False
+            )
+            uniq, counts = np.unique(flat, return_counts=True)
+            return pa.table(
+                {
+                    "term_id": pa.array(uniq, pa.int64()),
+                    "cnt": pa.array(counts, pa.int64()),
+                }
+            )
+
+        return js.select_columns(["term_ids"]).map_batches(
+            partial_df, batch_format="pyarrow"
+        )
+
+    if stats_from_journal and not mf.is_committed(out_dir, "stats"):
+        _stats_phase(_journal_df_partials())
 
     # ---- phase: forward -------------------------------------------------
     if not mf.is_committed(out_dir, "forward"):
@@ -274,9 +284,12 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
         # only (FullPreindex page-construct -> merge shape).  The encoder
         # instance is a plain callable -> elastic stateless tasks (its only
         # state is the small hot-term array, shipped in the task closure).
-        encoder = EncodeBatchRuns(
-            set(stats_manifest["hot_terms"]), cfg.num_buckets, cfg.num_salts
+        hot_set = (
+            set(mf.read_manifest(out_dir, "stats")["hot_terms"])
+            if mf.is_committed(out_dir, "stats")
+            else set()
         )
+        encoder = EncodeBatchRuns(hot_set, cfg.num_buckets, cfg.num_salts)
         # big encode batches => fewer runs per common term => less merge
         # work (measured: 8192 beats 1024 by ~1.5x on a 480k-doc corpus)
         runs = read_journal(out_dir, "reverse").map_batches(
@@ -322,13 +335,31 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
                 "per_part_postings": per_part,
                 "num_buckets": cfg.num_buckets,
                 "num_salts": cfg.num_salts,
-                "hot_terms": len(stats_manifest["hot_terms"]),
+                "hot_terms": len(hot_set),
                 "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "postings"),
                 "lineage": {
                     "journal_files": journal_manifest.get("files", []),
                 },
             },
+        )
+
+    if not mf.is_committed(out_dir, "stats"):
+        # df from the final posting segments: one cheap vocab-sized pass
+        import ray.data as rd
+
+        def seg_partials(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "term_id": batch["term_id"],
+                    "cnt": batch["df"].cast(pa.int64()),
+                }
+            )
+
+        _stats_phase(
+            rd.read_parquet(
+                os.path.join(out_dir, "postings"), columns=["term_id", "df"]
+            ).map_batches(seg_partials, batch_format="pyarrow")
         )
 
     # ---- phase: prio (flagged-postings reverse index, gamma/delta) ------
