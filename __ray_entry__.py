@@ -310,6 +310,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "customer merge", head_tf_weight=0.5
     )
 
+    # corpus aggregates
+    def _doc_length_histogram(sf):
+        import pyarrow as pa
+        from ray.data.aggregate import Count
+
+        ds = documents_corpus_dataset(sf)
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            from marginaliasearch_ray.functions.wordpattern import tokenize as tok
+
+            n = np.array(
+                [len(tok(t)) for t in batch["content"].to_pylist()],
+                dtype=np.int64,
+            )
+            return pa.table({"bucket": pa.array((n // 10) * 10, pa.int64())})
+
+        return (
+            ds.select_columns(["content"])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Count(alias_name="n_docs"))
+        )
+
+    def _repo_stats(sf):
+        import numpy as np
+        import pyarrow as pa
+        from ray.data.aggregate import Count, Sum
+
+        ds = documents_corpus_dataset(sf)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            from marginaliasearch_ray.functions.wordpattern import tokenize as tok
+
+            n = [len(tok(t)) for t in batch["content"].to_pylist()]
+            return pa.table(
+                {
+                    "repo": batch["repo"],
+                    "n_tokens": pa.array(n, pa.int64()),
+                }
+            )
+
+        out = (
+            ds.select_columns(["repo", "content"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("repo")
+            .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="tokens"))
+        )
+
+        def avg(batch: pa.Table) -> pa.Table:
+            a = np.round(
+                batch["tokens"].to_numpy(zero_copy_only=False)
+                / batch["n_docs"].to_numpy(zero_copy_only=False),
+                6,
+            )
+            return batch.append_column("avg_tokens_r", pa.array(a, pa.float64()))
+
+        return out.map_batches(avg, batch_format="pyarrow")
+
+    q["doc_length_histogram"] = _doc_length_histogram
+    q["repo_stats"] = _repo_stats
+
     # term statistics / dedup / quality / fingerprints
     q["term_df_top100"] = lambda sf: textops.term_df_top(
         documents_corpus_dataset(sf), k=100
@@ -646,6 +709,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS data_hash, min(doc_id) AS doc_id "
             "FROM documents GROUP BY sha256(text)"
         ),
+        "doc_length_histogram": f"""
+            SELECT (len({_tok()}) // 10) * 10 AS bucket, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "repo_stats": f"""
+            WITH t AS (SELECT source AS repo, len({_tok()}) AS n FROM documents)
+            SELECT repo, count(*) AS n_docs, sum(n) AS tokens,
+                   round(sum(n)::DOUBLE / count(*), 6) AS avg_tokens_r
+            FROM t GROUP BY repo
+        """,
         "important_words": f"""
             WITH tok AS (SELECT doc_id, {_tok()} AS toks FROM documents),
             n AS (SELECT count(*)::DOUBLE AS n FROM documents),

@@ -170,6 +170,23 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
         import pyarrow.dataset as pads
 
         n_docs = pads.dataset(os.path.join(out_dir, "journal")).count_rows()
+
+        # per-partition lineage: doc counts + an order-independent sha256
+        # rollup (XOR of the leading 8 bytes of each row's content hash) so
+        # a segment can be traced back to the exact corpus rows it covers
+        lineage = {}
+        for p in range(cfg.num_parts):
+            d = os.path.join(out_dir, "journal", f"part={p}")
+            if not os.path.isdir(d):
+                continue
+            hcol = pads.dataset(d).to_table(columns=["data_hash"])["data_hash"]
+            acc = np.int64(0)
+            arr = np.array(
+                [int(h[:16], 16) - (1 << 63) for h in hcol.to_pylist()],
+                dtype=np.int64,
+            )
+            acc = int(np.bitwise_xor.reduce(arr)) if len(arr) else 0
+            lineage[str(p)] = {"docs": len(hcol), "sha_rollup_xor": acc}
         mf.commit_manifest(
             out_dir,
             "journal",
@@ -177,6 +194,7 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
                 "n_docs": n_docs,
                 "n_repos": len(registry.repos),
                 "num_parts": cfg.num_parts,
+                "per_part_lineage": lineage,
                 "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "journal"),
             },
