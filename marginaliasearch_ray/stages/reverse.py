@@ -26,14 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.codecs import (
-    decode_counts,
-    decode_doc_ids,
-    decode_varints,
-    encode_counts,
-    encode_doc_ids,
-    encode_varints,
-)
+from ..functions.codecs import decode_varints
 
 GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -182,20 +175,6 @@ class EncodeBatchRuns:
         )
 
 
-def _encode_positions_blob(pos_lists: list[np.ndarray]) -> bytes:
-    """Concatenated VarintCodedSequence streams (count+1 header + deltas)
-    in doc order, encoded in ONE vectorized varint pass."""
-    chunks = []
-    for p in pos_lists:
-        p = np.asarray(p, dtype=np.int64)
-        head = np.array([len(p) + 1], dtype=np.int64)
-        if len(p):
-            deltas = np.diff(p, prepend=np.int64(0))
-            chunks.append(np.concatenate([head, deltas]))
-        else:
-            chunks.append(head)
-    return encode_varints(np.concatenate(chunks)) if chunks else b""
-
 
 def _run_fields():
     return [
@@ -212,30 +191,11 @@ def _run_fields():
     ]
 
 
-def _run_table(out: dict) -> pa.Table:
-    return pa.table(
-        {name: pa.array(out[name], typ) for name, typ in _run_fields()}
-    )
-
 
 def _empty_run_table() -> pa.Table:
     return pa.table(
         {name: pa.array([], typ) for name, typ in _run_fields()}
     )
-
-
-def split_positions_blob(blob: bytes, df: int) -> list[np.ndarray]:
-    """Decode a concatenated positions blob back to per-doc position
-    arrays (one vectorized varint pass + header walk)."""
-    vals = decode_varints(blob).astype(np.int64)
-    out = []
-    i = 0
-    for _ in range(df):
-        cnt = int(vals[i]) - 1
-        out.append(np.cumsum(vals[i + 1 : i + 1 + cnt]))
-        i += 1 + cnt
-    return out
-
 
 
 
