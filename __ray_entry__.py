@@ -401,6 +401,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_top_pairs"] = lambda sf: similarity.top_similar_pairs(sf, k=20)
     q["lsh_ann_topk"] = lambda sf: similarity.lsh_ann_topk(sf, vec_id=0, k=10)
     q["ivf_ann_topk"] = lambda sf: similarity.ivf_ann_topk(sf, vec_id=0, k=10)
+    q["ann_topk_per_label"] = lambda sf: similarity.ann_topk_per_label(
+        sf, vec_id=0, k=3
+    )
+
+    # multimodal plumbing: events.props strings stand in as opaque binary
+    # payloads; deterministic fake features (decode stubbed — rows-only)
+    def _media_features(sf):
+        import pyarrow as pa
+        import ray.data
+
+        from marginaliasearch_ray.pipelines.multimodal import (
+            extract_media_features,
+        )
+
+        ds = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "props"]
+        ).limit(256)
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "media_id": batch["event_id"],
+                    "kind": pa.array(["image"] * len(batch), pa.string()),
+                    "mime": pa.array(
+                        ["application/octet-stream"] * len(batch), pa.string()
+                    ),
+                    "payload": pa.array(
+                        [p.encode() for p in batch["props"].to_pylist()],
+                        pa.binary(),
+                    ),
+                    "width": pa.array([0] * len(batch), pa.int32()),
+                    "height": pa.array([0] * len(batch), pa.int32()),
+                }
+            )
+
+        media = ds.map_batches(to_media, batch_format="pyarrow")
+        return extract_media_features(media)
+
+    q["media_features"] = _media_features
 
     # stream-shaped windows
     q["events_tumbling_1h"] = lambda sf: events_ops.tumbling_window(sf, 3600)
@@ -785,6 +824,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cos_r DESC, vec_id
             LIMIT 10
+        """,
+        "ann_topk_per_label": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+            s AS (
+              SELECT label::BIGINT AS label, vec_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[], q.v), 6)
+                       AS cos_r
+              FROM embeddings, q
+            )
+            SELECT label, vec_id, cos_r FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY cos_r DESC, vec_id
+              ) AS rn FROM s
+            ) WHERE rn <= 3
         """,
         "embedding_top_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

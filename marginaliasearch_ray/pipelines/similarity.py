@@ -173,6 +173,44 @@ def ivf_ann_topk(
     )
 
 
+def ann_topk_per_label(sf_dir: str, vec_id: int = 0, k: int = 3):
+    """(label, vec_id, cos_r) — top-k by cosine vs the query vector WITHIN
+    each label group (grouped similarity search: per-batch partial top-k
+    per label, then a final per-label groupby top-k)."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    q = query_vector(sf_dir, vec_id)
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        cos = np.round(_cosine(mat, qv), 6)
+        return pa.table(
+            {
+                "label": batch["label"].cast(pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos_r": pa.array(cos, pa.float64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cos_r", "vec_id"], ascending=[False, True]
+        ).head(k)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def lsh_ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_planes: int = 8):
     """Random-hyperplane LSH variant: bucket vectors by sign pattern
     against ``n_planes`` fixed hyperplanes; the query searches only its
