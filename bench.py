@@ -95,8 +95,12 @@ def run_bench() -> dict:
 
         from marginaliasearch_ray.pipelines.build_index import BuildConfig
 
+        # segment_commits off: at benchmark scale (seconds per part) the
+        # per-part execution overhead distorts throughput; at real scale
+        # (minutes per part) it is negligible and stays on
         cfg = BuildConfig(
-            num_parts=8, num_buckets=32, num_salts=4, hot_df_threshold=2000
+            num_parts=8, num_buckets=32, num_salts=4, hot_df_threshold=2000,
+            segment_commits=False,
         )
         return build_index(rd.read_parquet(synth_path), synth_out, cfg)
 

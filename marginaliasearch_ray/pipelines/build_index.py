@@ -60,6 +60,13 @@ class BuildConfig:
     # stage).  Set merge_concurrency to force a stateful MergeWorker actor
     # pool of that size instead.
     merge_concurrency: int | None = None
+    # Segment-granular commits: build and commit the reverse index one
+    # partition at a time so a failed build restarts from the last
+    # committed segment.  At real scale each part takes minutes and the
+    # per-part execution overhead (~1-2 s) vanishes; at benchmark scale it
+    # distorts throughput, so benchmarks may disable it and fall back to
+    # phase-granular commits (one pipeline over all parts).
+    segment_commits: bool = True
     extra_journal: dict = field(default_factory=dict)
 
 
@@ -296,56 +303,130 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
         )
 
     # ---- phase: reverse -------------------------------------------------
+    # Built per PARTITION with an individual manifest per segment: a
+    # failed build restarts from the last committed segment (north-rule
+    # resumability at segment granularity, not just phase granularity).
+    # Each part's build is itself fully parallel; on a cluster, parts >>
+    # nodes so the outer loop costs no parallelism.
     if not mf.is_committed(out_dir, "reverse"):
         t_phase = time.time()
-        # combiner: encode runs inside each batch; shuffle compressed runs
-        # only (FullPreindex page-construct -> merge shape).  The encoder
-        # instance is a plain callable -> elastic stateless tasks (its only
-        # state is the small hot-term array, shipped in the task closure).
         hot_set = (
             set(mf.read_manifest(out_dir, "stats")["hot_terms"])
             if mf.is_committed(out_dir, "stats")
             else set()
         )
         encoder = EncodeBatchRuns(hot_set, cfg.num_buckets, cfg.num_salts)
-        # big encode batches => fewer runs per common term => less merge
-        # work (measured: 8192 beats 1024 by ~1.5x on a 480k-doc corpus)
-        runs = read_journal(out_dir, "reverse").map_batches(
-            encoder,
-            batch_size=cfg.tokenize_batch_size * 32,
-            batch_format="pyarrow",
-        )
-        if cfg.premerge_salted:
-            # scale path: consolidate each hot term's salted runs in
-            # parallel partial merges before the final merge
-            runs = runs.groupby(["part", "bucket", "salt"]).map_groups(
-                _premerge_runs, batch_format="pyarrow"
-            )
-        if cfg.merge_concurrency:
-            merged = runs.groupby(["part", "bucket"]).map_groups(
-                MergeWorker,
-                batch_format="pyarrow",
-                concurrency=cfg.merge_concurrency,
-            )
-        else:
-            merged = runs.groupby(["part", "bucket"]).map_groups(
-                _premerge_runs, batch_format="pyarrow"
-            )
-        merged.write_parquet(
-            os.path.join(out_dir, "postings"), partition_cols=["part"]
-        )
+        import pyarrow.dataset as pads
         import ray.data as rd
 
-        import pyarrow.dataset as pads
+        def _build_part(p: int) -> None:
+            part_phase = f"reverse_part_{p}"
+            jdir = os.path.join(out_dir, "journal", f"part={p}")
+            if mf.is_committed(out_dir, part_phase) or not os.path.isdir(jdir):
+                return
+            t_part = time.time()
 
-        per_part = {}
-        for p in range(num_parts):
-            d = os.path.join(out_dir, "postings", f"part={p}")
-            if os.path.isdir(d):
-                t = pads.dataset(d).to_table(columns=["df"])
-                per_part[str(p)] = int(
-                    np.sum(t["df"].to_numpy(zero_copy_only=False))
+            def _with_part(batch: pa.Table, *, _p=p) -> pa.Table:
+                return batch.add_column(
+                    0, "part", pa.array([_p] * len(batch), pa.int32())
                 )
+
+            # combiner: encode runs inside each batch; only compressed
+            # runs enter the merge shuffle (FullPreindex page-construct
+            # -> merge shape); big batches => fewer runs per common term
+            runs = (
+                rd.read_parquet(
+                    jdir,
+                    columns=[
+                        "combined_id", "term_ids", "term_tfs",
+                        "term_meta", "term_positions",
+                    ],
+                )
+                .map_batches(_with_part, batch_format="pyarrow")
+                .map_batches(
+                    encoder,
+                    batch_size=cfg.tokenize_batch_size * 32,
+                    batch_format="pyarrow",
+                )
+            )
+            if cfg.premerge_salted:
+                runs = runs.groupby(["part", "bucket", "salt"]).map_groups(
+                    _premerge_runs, batch_format="pyarrow"
+                )
+            if cfg.merge_concurrency:
+                merged = runs.groupby(["part", "bucket"]).map_groups(
+                    MergeWorker,
+                    batch_format="pyarrow",
+                    concurrency=cfg.merge_concurrency,
+                )
+            else:
+                merged = runs.groupby(["part", "bucket"]).map_groups(
+                    _premerge_runs, batch_format="pyarrow"
+                )
+            seg_dir = os.path.join(out_dir, "postings", f"part={p}")
+            merged.drop_columns(["part"]).write_parquet(seg_dir)
+            seg_tbl = pads.dataset(seg_dir).to_table(columns=["df"])
+            mf.commit_manifest(
+                out_dir,
+                part_phase,
+                {
+                    "part": p,
+                    "postings": int(
+                        np.sum(seg_tbl["df"].to_numpy(zero_copy_only=False))
+                    ),
+                    "terms": seg_tbl.num_rows,
+                    "seconds": round(time.time() - t_part, 3),
+                    "lineage": {"journal_dir": jdir},
+                },
+            )
+
+        if cfg.segment_commits:
+            # sequential outer loop: each part's build is itself fully
+            # parallel, and concurrent Dataset executions from driver
+            # threads proved deadlock-prone; committed segments are
+            # skipped on restart
+            for p in range(num_parts):
+                _build_part(p)
+        else:
+            # phase-granular: one pipeline over every part (faster at
+            # benchmark scale; resume granularity = whole phase)
+            runs_all = read_journal(out_dir, "reverse").map_batches(
+                encoder,
+                batch_size=cfg.tokenize_batch_size * 32,
+                batch_format="pyarrow",
+            )
+            if cfg.premerge_salted:
+                runs_all = runs_all.groupby(
+                    ["part", "bucket", "salt"]
+                ).map_groups(_premerge_runs, batch_format="pyarrow")
+            merged_all = runs_all.groupby(["part", "bucket"]).map_groups(
+                _premerge_runs, batch_format="pyarrow"
+            )
+            merged_all.write_parquet(
+                os.path.join(out_dir, "postings"), partition_cols=["part"]
+            )
+            for p in range(num_parts):
+                d = os.path.join(out_dir, "postings", f"part={p}")
+                if not os.path.isdir(d):
+                    continue
+                seg_tbl = pads.dataset(d).to_table(columns=["df"])
+                mf.commit_manifest(
+                    out_dir,
+                    f"reverse_part_{p}",
+                    {
+                        "part": p,
+                        "postings": int(
+                            np.sum(seg_tbl["df"].to_numpy(zero_copy_only=False))
+                        ),
+                        "terms": seg_tbl.num_rows,
+                    },
+                )
+
+        per_part = {
+            str(p): mf.read_manifest(out_dir, f"reverse_part_{p}")["postings"]
+            for p in range(num_parts)
+            if mf.is_committed(out_dir, f"reverse_part_{p}")
+        }
         mf.commit_manifest(
             out_dir,
             "reverse",

@@ -298,6 +298,44 @@ def test_search_budget_truncates(index_dir, ray_session):
     assert again.to_pylist() == full.to_pylist()
 
 
+def test_segment_level_resume(index_dir, ray_session, corpus_table):
+    """North-rule resumability: a failed reverse build restarts from the
+    last committed segment — only the missing partition is rebuilt."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from marginaliasearch_ray.state import manifest as mfst
+
+    # simulate a crash that lost part 1's segment mid-reverse
+    shutil.rmtree(os.path.join(index_dir, "postings", "part=1"))
+    os.remove(mfst.manifest_path(index_dir, "reverse_part_1"))
+    os.remove(mfst.manifest_path(index_dir, "reverse"))
+
+    untouched = os.path.join(index_dir, "postings", "part=0")
+    mtime_before = max(
+        os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+    )
+
+    build_index(ray.data.from_arrow(corpus_table), index_dir,
+                BuildConfig(num_parts=NUM_PARTS, num_buckets=8, num_salts=2,
+                            hot_df_threshold=20, premerge_salted=True,
+                            merge_concurrency=2))
+
+    # part 1 rebuilt, part 0 untouched
+    assert os.path.isdir(os.path.join(index_dir, "postings", "part=1"))
+    mtime_after = max(
+        os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+    )
+    assert mtime_after == mtime_before
+    # queries still correct after the segment-level resume
+    idx = IndexSearch(index_dir, use_actors=False)
+    assert idx.search("license", k=5).num_rows == 5
+
+
 def test_resume_skips_committed_phases(index_dir, ray_session, corpus_table):
     import time
     import ray.data
