@@ -754,7 +754,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repo_stats": f"""
             WITH t AS (SELECT source AS repo, len({_tok()}) AS n FROM documents)
-            SELECT repo, count(*) AS n_docs, sum(n) AS tokens,
+            SELECT repo, count(*) AS n_docs, sum(n)::BIGINT AS tokens,
                    round(sum(n)::DOUBLE / count(*), 6) AS avg_tokens_r
             FROM t GROUP BY repo
         """,

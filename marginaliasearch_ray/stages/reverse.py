@@ -199,9 +199,13 @@ def _empty_run_table() -> pa.Table:
 
 
 
-def split_positions_by_counts(blob: bytes, cnts: np.ndarray) -> list[np.ndarray]:
-    """Like split_positions_blob but with known per-posting counts — no
-    header walk, fully vectorized (cumsum + np.split)."""
+def flat_positions_by_counts(
+    blob, cnts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a grouped positions blob to ONE flat absolute-position array
+    plus ragged offsets (posting i owns ``flat[offsets[i]:offsets[i+1]]``).
+    The flat layout is what the vectorized query path consumes — no
+    per-posting Python list materialization."""
     cnts = np.asarray(cnts, dtype=np.int64)
     vals = decode_varints(blob).astype(np.int64)
     nvals = cnts + 1
@@ -215,7 +219,15 @@ def split_positions_by_counts(blob: bytes, cnts: np.ndarray) -> list[np.ndarray]
     base = np.zeros(len(cnts), dtype=np.int64)
     base[nonempty] = g[start[nonempty]] - payload[start[nonempty]]
     abs_pos = g - np.repeat(base, cnts)
-    return np.split(abs_pos, np.cumsum(cnts)[:-1])
+    offsets = np.concatenate([[0], np.cumsum(cnts)]).astype(np.int64)
+    return abs_pos, offsets
+
+
+def split_positions_by_counts(blob, cnts: np.ndarray) -> list[np.ndarray]:
+    """Like split_positions_blob but with known per-posting counts — no
+    header walk, fully vectorized (cumsum + np.split)."""
+    abs_pos, offsets = flat_positions_by_counts(blob, cnts)
+    return np.split(abs_pos, offsets[1:-1])
 
 
 
