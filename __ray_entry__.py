@@ -309,6 +309,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_head_weighted"] = lambda sf: _search(
         sf, "customer merge", head_tf_weight=0.5
     )
+    # nested compiled query trees (CompiledQueryParser n-ary And/Or)
+    q["bm25_nested"] = lambda sf: _search(
+        sf, "customer ( merge | sort ( table | scan ) )"
+    )
+    q["bm25_or_top"] = lambda sf: _search(sf, "scan filter | customer merge")
 
     # corpus aggregates
     def _doc_length_histogram(sf):
@@ -633,6 +638,60 @@ LIMIT {k}
 """
 
 
+def _bm25_nested_sql(tree_query: str, k: int = 10) -> str:
+    """Oracle for nested compiled query trees: per-term BM25 pivot, then
+    the CqExpression aggregate written out as SQL arithmetic — sum over
+    AND parts, greatest() over OR branches, presence filter mirroring the
+    tree (CompiledQueryAggregates intMaxSum shape)."""
+    from marginaliasearch_ray.pipelines.query import parse_cq_tree, tree_words
+
+    tree = parse_cq_tree(tree_query)
+    terms = sorted(set(tree_words(tree)))
+    tid = {t: i for i, t in enumerate(terms)}
+    vals = ", ".join(f"('{t}')" for t in terms)
+    expr = sql_bm25_term_expr("tf.tf", "df.df", "n.n", "tf.dl")
+    score_cols = ", ".join(
+        f"coalesce(max(CASE WHEN tf.term = '{t}' THEN ({expr}) END), 0) AS s_{tid[t]}, "
+        f"coalesce(max(CASE WHEN tf.term = '{t}' THEN tf.tf END), 0) > 0 AS p_{tid[t]}"
+        for t in terms
+    )
+
+    def score_expr(node) -> str:
+        if node[0] == "word":
+            return f"s_{tid[node[1]]}"
+        parts = [score_expr(p) for p in node[1]]
+        if node[0] == "and":
+            return "(" + " + ".join(parts) + ")"
+        return "greatest(" + ", ".join(parts) + ")"
+
+    def pres_expr(node) -> str:
+        if node[0] == "word":
+            return f"p_{tid[node[1]]}"
+        op = " AND " if node[0] == "and" else " OR "
+        return "(" + op.join(pres_expr(p) for p in node[1]) + ")"
+
+    return f"""
+WITH tok AS (SELECT doc_id, {_tok()} AS toks FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+terms(term) AS (VALUES {vals}),
+tf AS (
+  SELECT t.doc_id, len(t.toks) AS dl, m.term,
+         len(list_filter(t.toks, x -> x = m.term)) AS tf
+  FROM tok t CROSS JOIN terms m
+),
+df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
+pv AS (
+  SELECT tf.doc_id, {score_cols}
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round({score_expr(tree)}, 6) AS score_r
+FROM pv WHERE {pres_expr(tree)}
+ORDER BY score_r DESC, doc_id
+LIMIT {k}
+"""
+
+
 def _lang_sql() -> str:
     counts = []
     for lang, markers in textops.LANG_MARKERS:
@@ -739,6 +798,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_head_weighted": _bm25_sql(
             ["customer", "merge"], head_tf_weight=0.5
         ),
+        "bm25_nested": _bm25_nested_sql(
+            "customer ( merge | sort ( table | scan ) )"
+        ),
+        "bm25_or_top": _bm25_nested_sql("scan filter | customer merge"),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

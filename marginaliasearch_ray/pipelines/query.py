@@ -45,6 +45,9 @@ class CompiledQuery:
     priority: list[str] = field(default_factory=list)  # ?term — boost, not filter
     groups: list[list[str]] = field(default_factory=list)  # (a | b) OR-groups
     phrases: list[list[str]] = field(default_factory=list)
+    # nested compiled query tree (CqExpression And/Or model) — set only
+    # when the query's paren/| structure doesn't flatten to include+groups
+    tree: tuple | None = None
     repo: str | None = None
     size_gt: int | None = None  # size>N spec limit (QueryParser year>/size< analog)
     size_lt: int | None = None
@@ -67,10 +70,128 @@ class CompiledQuery:
     def group_ids(self) -> list[list[int]]:
         return [[hash_nearly_ascii(t) for t in g] for g in self.groups]
 
+    def tree_ids(self) -> tuple | None:
+        return None if self.tree is None else tree_map_words(self.tree, hash_nearly_ascii)
+
 
 _QUOTE_RE = re.compile(r'"([^"]*)"')
 _SPEC_RE = re.compile(r"size([<>])(\d+)")
-_GROUP_RE = re.compile(r"\(([^()]*\|[^()]*)\)")
+
+
+# --- nested compiled query trees -------------------------------------------
+# Node model mirrors CqExpression (reference code/functions/search-query/api/
+# java/nu/marginalia/api/searchquery/model/compiled/CqExpression.java):
+# ("word", term) | ("and", [children]) | ("or", [children]).  An empty
+# query is ("or", []).
+
+
+class _AndOrState:
+    """CompiledQueryParser.AndOrState technique (CompiledQueryParser.java:
+    70-103): n-ary And/Or built directly, no flattening pass."""
+
+    def __init__(self):
+        self.and_state: list = []
+        self.or_state: list = []
+
+    def and_(self, e):
+        self.and_state.append(e)
+
+    def or_(self):
+        self._close_and()
+        self.and_state = []
+
+    def _close_and(self):
+        if len(self.and_state) == 1:
+            self.or_state.append(self.and_state[0])
+        elif self.and_state:
+            self.or_state.append(("and", list(self.and_state)))
+
+    def close_or(self):
+        self._close_and()
+        if not self.or_state:
+            return ("or", [])
+        if len(self.or_state) == 1:
+            return self.or_state[0]
+        return ("or", list(self.or_state))
+
+
+def parse_cq_tree_tokens(tokens: list[str]) -> tuple:
+    """N-ary And/Or parse of a token stream (CompiledQueryParser.java:10-67).
+    Word tokens run through the engine tokenizer and may contribute several
+    and-terms; empty inner groups are dropped (lenient divergence — the
+    reference throws on them only for mismatched parens)."""
+    stack = [_AndOrState()]
+    for tk in tokens:
+        if tk == "|":
+            stack[-1].or_()
+        elif tk == "(":
+            stack.append(_AndOrState())
+        elif tk == ")":
+            if len(stack) < 2:
+                raise ValueError("mismatched parentheses in query")
+            inner = stack.pop().close_or()
+            if inner != ("or", []):
+                stack[-1].and_(inner)
+        else:
+            for w in tokenize(tk):
+                stack[-1].and_(("word", w))
+    if len(stack) != 1:
+        raise ValueError("mismatched parentheses in query")
+    return stack[0].close_or()
+
+
+def parse_cq_tree(q: str) -> tuple:
+    q = q.replace("(", " ( ").replace(")", " ) ").replace("|", " | ")
+    return parse_cq_tree_tokens(q.split())
+
+
+def tree_map_words(node: tuple, fn) -> tuple:
+    if node[0] == "word":
+        return ("word", fn(node[1]))
+    return (node[0], [tree_map_words(p, fn) for p in node[1]])
+
+
+def tree_words(node: tuple) -> list:
+    """All word payloads in document order (CqExpression.stream analog)."""
+    if node[0] == "word":
+        return [node[1]]
+    return [w for p in node[1] for w in tree_words(p)]
+
+
+def _flatten_tree(root: tuple) -> tuple[list[str], list[list[str]]] | None:
+    """(include, groups) when the tree is the classic flat shape — an And
+    of words and single-level Or-of-word groups — else None (the nested
+    evaluator takes over)."""
+
+    def or_members(node):
+        if node[0] != "or":
+            return None
+        ms = []
+        for p in node[1]:
+            if p[0] != "word":
+                return None
+            ms.append(p[1])
+        return ms
+
+    include: list[str] = []
+    groups: list[list[str]] = []
+    if root[0] == "or":
+        ms = or_members(root)
+        if ms is None:
+            return None
+        return [], [list(dict.fromkeys(ms))] if ms else []
+    children = root[1] if root[0] == "and" else [root]
+    for ch in children:
+        if ch[0] == "word":
+            if ch[1] not in include:
+                include.append(ch[1])
+        else:
+            ms = or_members(ch)
+            if ms is None:
+                return None
+            if ms:
+                groups.append(list(dict.fromkeys(ms)))
+    return include, groups
 
 # priority-term boost: a ?term present in the document contributes this
 # fraction of its BM25 term score (simplified, SQL-expressible stand-in
@@ -204,22 +325,14 @@ def compile_query(q: str, expand: bool = False) -> CompiledQuery:
 
     rest = _QUOTE_RE.sub(grab_phrase, rest)
 
-    def grab_group(m):
-        # (a | b) disjunction — CompiledQueryParser OR-branch subset
-        # (CompiledQueryParser.java:10-67); members are the flattened
-        # tokens of each alternative
-        members = []
-        for alt in m.group(1).split("|"):
-            for t in tokenize(alt):
-                if t not in members:
-                    members.append(t)
-        if members:
-            out.groups.append(members)
-        return " "
-
-    rest = _GROUP_RE.sub(grab_group, rest)
+    # pull spec/exclude/priority tokens out of the stream; what remains
+    # (words, parens, |) feeds the n-ary And/Or parser
+    rest = rest.replace("(", " ( ").replace(")", " ) ").replace("|", " | ")
+    struct_tokens: list[str] = []
     for word in rest.split():
-        if word.startswith("repo:") and len(word) > 5:
+        if word in ("(", ")", "|"):
+            struct_tokens.append(word)
+        elif word.startswith("repo:") and len(word) > 5:
             out.repo = word[5:]
         elif m := _SPEC_RE.fullmatch(word):
             # size>N / size<N spec limits (QueryParser.java:20-27 year>/
@@ -237,9 +350,20 @@ def compile_query(q: str, expand: bool = False) -> CompiledQuery:
                 if t not in out.exclude:
                     out.exclude.append(t)
         else:
-            for t in tokenize(word):
-                if t not in out.include:
-                    out.include.append(t)
+            struct_tokens.append(word)
+
+    tree = parse_cq_tree_tokens(struct_tokens)
+    flat = _flatten_tree(tree)
+    if flat is not None:
+        inc, grps = flat
+        for t in inc:
+            if t not in out.include:
+                out.include.append(t)
+        out.groups.extend(grps)
+    else:
+        # nested shape: And/Or evaluator owns candidates + BM25; phrase
+        # tokens (already in out.include) stay as mandatory AND terms
+        out.tree = tree
 
     if expand:
         kept = []
@@ -400,6 +524,61 @@ class _Segment:
         return out
 
 
+def _tree_docs(seg: "_Segment", node: tuple) -> np.ndarray:
+    """Sorted doc ids satisfying the And/Or tree — And intersects
+    smallest-first (rarest-first heuristic, CombinedIndexReader.
+    createQueries:94-130), Or takes the sorted union."""
+    if node[0] == "word":
+        return seg.postings(node[1])[0]
+    parts = [_tree_docs(seg, p) for p in node[1]]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    if node[0] == "and":
+        parts.sort(key=len)
+        cand = parts[0]
+        for d in parts[1:]:
+            if len(cand) == 0:
+                break
+            cand = _retain(cand, d)
+        return cand
+    return np.unique(np.concatenate(parts))
+
+
+def _tree_score(
+    seg: "_Segment",
+    node: tuple,
+    cand: np.ndarray,
+    sizes: np.ndarray,
+    global_df: dict[int, int],
+    total_docs: int,
+) -> np.ndarray:
+    """Per-candidate aggregate over the tree: sum over AND parts, max over
+    OR branches of the member's BM25 term score where present
+    (CompiledQueryAggregates.intMaxSum shape, CompiledQueryAggregates.java:
+    66-210 / Bm25GraphVisitor)."""
+    if node[0] == "word":
+        t = node[1]
+        docs, tfs = seg.postings(t)
+        if len(docs) == 0:
+            return np.zeros(len(cand), dtype=np.float64)
+        present = _membership(cand, docs)
+        ix = np.minimum(np.searchsorted(docs, cand), len(tfs) - 1)
+        tf = np.where(present, tfs[ix], 0).astype(np.float64)
+        return np.where(
+            present,
+            bm25.bm25_term_score(total_docs, global_df.get(t, 0), tf, sizes),
+            0.0,
+        )
+    scores = [
+        _tree_score(seg, p, cand, sizes, global_df, total_docs) for p in node[1]
+    ]
+    if not scores:
+        return np.zeros(len(cand), dtype=np.float64)
+    if node[0] == "and":
+        return np.sum(scores, axis=0)
+    return np.maximum.reduce(scores)
+
+
 class SearcherLogic:
     """Pure search logic over a _Segment (testable without Ray)."""
 
@@ -437,8 +616,9 @@ class SearcherLogic:
         size_gt = plan.get("size_gt")
         size_lt = plan.get("size_lt")
         first_position_weight = plan.get("first_position_weight", 0.0)
+        tree = plan.get("tree")
         k = plan["k"]
-        if not include_ids and not group_ids:
+        if not include_ids and not group_ids and tree is None:
             return _empty_partition_result()
 
         # rarest-first execution ordering (CombinedIndexReader.createQueries
@@ -451,6 +631,10 @@ class SearcherLogic:
                 if len(cand) == 0:
                     break
                 cand = _retain(cand, seg.postings(t)[0])
+            if tree is not None and len(cand):
+                cand = _retain(cand, _tree_docs(seg, tree))
+        elif tree is not None:
+            cand = _tree_docs(seg, tree)
         else:
             # seed from the first OR-group: union of member lists (J3 any-of)
             cand = np.unique(
@@ -560,6 +744,10 @@ class SearcherLogic:
                     ),
                 )
             score += gscore
+
+        # nested tree aggregate: sum over AND, max over OR on the tree
+        if tree is not None:
+            score += _tree_score(seg, tree, cand, sizes, global_df, total_docs)
 
         # first-position component: w / sqrt(max over include terms of the
         # term's first occurrence) — IndexResultRankingService:133,595
@@ -809,6 +997,7 @@ class IndexSearch:
             "priority_ids": cq.priority_ids,
             "group_ids": cq.group_ids(),
             "phrase_ids": cq.phrase_ids(),
+            "tree": cq.tree_ids(),
             "domain_range": domain_range,
             "size_gt": cq.size_gt,
             "size_lt": cq.size_lt,
@@ -872,6 +1061,7 @@ class IndexSearch:
             + plan["priority_ids"]
             + [t for g in plan["group_ids"] for t in g]
             + [t for p in plan["phrase_ids"] for t in p]
+            + (tree_words(plan["tree"]) if plan["tree"] is not None else [])
         )
         dfs = self._call("local_df", all_ids)
         global_df = {t: sum(d.get(t, 0) for d in dfs) for t in all_ids}
