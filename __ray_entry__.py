@@ -84,7 +84,7 @@ REFERENCE_QUERIES = [
 
 # bump whenever the on-disk index format changes so a stale /tmp cache
 # from an older code revision can never be read by newer code
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4  # v4: doc-bonus meta fields + SQL-expressible rank
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -314,6 +314,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "customer ( merge | sort ( table | scan ) )"
     )
     q["bm25_or_top"] = lambda sf: _search(sf, "scan filter | customer merge")
+    # document-bonus family + final normalize() transform
+    q["bm25_doc_bonus"] = lambda sf: _search(
+        sf, "customer merge", document_bonus_weight=1.0
+    )
+    q["bm25_doc_bonus_recent"] = lambda sf: _search(
+        sf, "customer merge", document_bonus_weight=1.0, temporal_bias="recent"
+    )
+    q["bm25_normalized"] = lambda sf: _search(
+        sf, "customer merge", normalize_score=True
+    )
 
     # corpus aggregates
     def _doc_length_histogram(sf):
@@ -479,10 +489,46 @@ def _bm25_sql(
     verbatim_weight: float = 0.0,
     flags_weight: float = 0.0,
     head_tf_weight: float = 0.0,
+    document_bonus_weight: float = 0.0,
+    normalize: bool = False,
+    temporal_bias: str = "none",
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
     groups = groups or []
+    # document-bonus family (calculateDocumentBonus defaults) — extra
+    # per-doc columns in tok + a scalar bonus column in cand, mirroring
+    # marginaliasearch_ray.functions.metadata.document_bonus exactly
+    need_bonus = document_bonus_weight > 0 or normalize
+    tok_extra = ""
+    cand_bonus = ""
+    if need_bonus:
+        tok_extra = (
+            ", len(string_split(text, chr(10))) AS nl"
+            ", (list_sum([unicode(source[i]) * i"
+            " for i in generate_series(1, len(source))]) % 64) AS rnk"
+            ", ((dense_rank() OVER (ORDER BY source)) - 1) % 256 AS topo"
+            ", doc_id % 30 AS yrb"
+        )
+        q_expr = (
+            "CASE WHEN len(t.toks) = 0 THEN 0 ELSE least(15,"
+            " (16 * (len(t.toks) - len(list_distinct(t.toks)))) // len(t.toks)) END"
+        )
+        temporal = ""
+        if temporal_bias == "recent":
+            temporal = " + (-abs((1996 + t.yrb) - 2027) * 5.0)"
+        elif temporal_bias == "old":
+            temporal = " + (-abs((1996 + t.yrb) - 1995) * 5.0)"
+        cand_bonus = (
+            ", (CASE WHEN least(3, len(t.toks) // t.nl) >= 2"
+            " THEN 0.0 ELSE -5.0 END)"
+            " + (CASE WHEN len(t.toks) > 2000 THEN 0.0 ELSE -2.0 END)"
+            f" + (CASE WHEN (5 * least(255, greatest(1, len(t.toks) // 5))) < 400"
+            f" AND ({q_expr}) < 5 THEN 0.0 ELSE -({q_expr}) * (1.0/15.0) END)"
+            " + (255.0 - 4.0 * t.rnk) / 100.0"
+            " + 0.2 * ln(1 + t.topo)"
+            f"{temporal} AS bonus"
+        )
     # grp <= 0 contributions are SUMMED; grp >= 1 take the MAX over their
     # members (CompiledQueryAggregates intMaxSum shape)
     rows = [f"('{t}', 1.0, 0)" for t in terms]
@@ -580,11 +626,13 @@ fdf AS (
         if decorate
         else ""
     )
+    if document_bonus_weight > 0:
+        fp_expr += f" + {document_bonus_weight} * any_value(c.bonus)"
     scored = f"""
 WITH tok AS (
   SELECT doc_id, source, {_tok()} AS toks,
          '|' || array_to_string({_tok()}, '|') || '|' AS joined,
-         sha256(text) AS data_hash
+         sha256(text) AS data_hash{tok_extra}
   FROM documents
 ),
 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
@@ -596,7 +644,8 @@ tf AS (
 ),
 df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
 cand AS (
-  SELECT t.doc_id, len(t.toks) AS dl, t.source, t.joined, t.toks, t.data_hash
+  SELECT t.doc_id, len(t.toks) AS dl, t.source, t.joined, t.toks,
+         t.data_hash{cand_bonus}
   FROM tok t
   WHERE NOT EXISTS (
     SELECT 1 FROM tf
@@ -613,10 +662,21 @@ contrib AS (
   CROSS JOIN n
   WHERE true{where}
   GROUP BY c.doc_id, tf.grp
-),
+),"""
+    if normalize:
+        # normalize(v, p) = sqrt((1 + 500 + 20p)/(1 + v)), p = |negative
+        # part of the document bonus| — LOWER is better, so ORDER BY ASC
+        score_sel = (
+            f"round(sqrt((1.0 + 500.0 + 20.0 * greatest(0.0, -any_value(c.bonus)))"
+            f" / (1.0 + greatest(sum(ct.contrib){fp_expr}, 0.0))), 6) AS score_r"
+        )
+    else:
+        score_sel = f"round(sum(ct.contrib){fp_expr}, 6) AS score_r"
+    direction = "ASC" if normalize else "DESC"
+    scored = f"""{scored}
 scored AS (
   SELECT c.doc_id, any_value(c.source) AS src,
-         round(sum(ct.contrib){fp_expr}, 6) AS score_r{deco_cols}
+         {score_sel}{deco_cols}
   FROM contrib ct JOIN cand c ON c.doc_id = ct.doc_id
   GROUP BY c.doc_id
 )"""
@@ -625,15 +685,15 @@ scored AS (
         return f"""{scored}
 SELECT doc_id, score_r{deco_sel} FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY src ORDER BY score_r DESC, doc_id
+    PARTITION BY src ORDER BY score_r {direction}, doc_id
   ) AS rn FROM scored
 ) WHERE rn <= {domain_cap}
-ORDER BY score_r DESC, doc_id
+ORDER BY score_r {direction}, doc_id
 LIMIT {k}
 """
     return f"""{scored}
 SELECT doc_id, score_r{deco_sel} FROM scored
-ORDER BY score_r DESC, doc_id
+ORDER BY score_r {direction}, doc_id
 LIMIT {k}
 """
 
@@ -802,6 +862,14 @@ def oracle_sql() -> dict[str, str]:
             "customer ( merge | sort ( table | scan ) )"
         ),
         "bm25_or_top": _bm25_nested_sql("scan filter | customer merge"),
+        "bm25_doc_bonus": _bm25_sql(
+            ["customer", "merge"], document_bonus_weight=1.0
+        ),
+        "bm25_doc_bonus_recent": _bm25_sql(
+            ["customer", "merge"], document_bonus_weight=1.0,
+            temporal_bias="recent",
+        ),
+        "bm25_normalized": _bm25_sql(["customer", "merge"], normalize=True),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

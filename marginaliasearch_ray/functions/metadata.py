@@ -73,6 +73,11 @@ def decode_quality(meta) -> np.ndarray:
     return (np.asarray(meta, dtype=np.int64) >> QUALITY_SHIFT) & QUALITY_MASK
 
 
+def decode_asl(meta) -> np.ndarray:
+    """decodeAvgSentenceLength — DocumentMetadata.java:138-140."""
+    return (np.asarray(meta, dtype=np.int64) >> ASL_SHIFT) & ASL_MASK
+
+
 def decode_topology(meta) -> np.ndarray:
     return (np.asarray(meta, dtype=np.int64) >> TOPOLOGY_SHIFT) & TOPOLOGY_MASK
 
@@ -95,6 +100,75 @@ def encode_domain_size(size) -> np.ndarray:
     """withSizeAndTopology's encSize = min(255, max(1, size/5))."""
     s = np.asarray(size, dtype=np.int64) // ENC_DOMAIN_SIZE_MULTIPLIER
     return np.minimum(np.int64(ENC_DOMAIN_SIZE_MASK), np.maximum(np.int64(1), s))
+
+
+# PubDate.java:12-15 — MIN_YEAR fixed, MAX_YEAR host-clock-derived in the
+# reference; pinned here so engine and oracle agree across runs
+PUBDATE_MIN_YEAR = 1995
+PUBDATE_MAX_YEAR = 2027
+PUBDATE_ENCODING_OFFSET = PUBDATE_MIN_YEAR + 1  # PubDate.java:48
+
+# PrototypeRankingParameters.java:10-27 sensible defaults
+SHORT_DOCUMENT_THRESHOLD = 2000
+SHORT_DOCUMENT_PENALTY = 2.0
+DOMAIN_RANK_BONUS = 1.0 / 100.0
+QUALITY_PENALTY = 1.0 / 15.0
+SHORT_SENTENCE_THRESHOLD = 2
+SHORT_SENTENCE_PENALTY = 5.0
+TEMPORAL_BIAS_WEIGHT = 5.0
+
+
+def document_bonus(
+    meta: np.ndarray, length: np.ndarray, temporal_bias: str = "none"
+) -> np.ndarray:
+    """calculateDocumentBonus — IndexResultRankingService.java:281-358 with
+    the PrototypeRankingParameters defaults.  Connectivity is UNKNOWN
+    (penalty 0) and features==0 short-circuits flagsPenalty, both matching
+    the reference's index-service path.  ``length`` is the document token
+    count (docSize)."""
+    m = np.asarray(meta, dtype=np.int64)
+    length = np.asarray(length, dtype=np.float64)
+    asl = decode_asl(m).astype(np.float64)
+    quality = decode_quality(m).astype(np.float64)
+    rank = decode_rank(m).astype(np.float64)
+    topology = decode_topology(m).astype(np.float64)
+    size = decode_size(m).astype(np.float64)
+    size = np.where(size == 0, 10_000.0, size)
+
+    asl_penalty = np.where(
+        asl >= SHORT_SENTENCE_THRESHOLD, 0.0, -SHORT_SENTENCE_PENALTY
+    )
+    doclen_penalty = np.where(
+        length > SHORT_DOCUMENT_THRESHOLD, 0.0, -SHORT_DOCUMENT_PENALTY
+    )
+    quality_penalty = np.where(
+        (size < 400) & (quality < 5), 0.0, -quality * QUALITY_PENALTY
+    )
+    ranking_bonus = (255.0 - rank) * DOMAIN_RANK_BONUS
+    topology_bonus = 0.2 * np.log1p(topology)
+    if temporal_bias == "recent":
+        year = PUBDATE_ENCODING_OFFSET + decode_year_byte(m).astype(np.float64)
+        temporal = -np.abs(year - PUBDATE_MAX_YEAR) * TEMPORAL_BIAS_WEIGHT
+    elif temporal_bias == "old":
+        year = PUBDATE_ENCODING_OFFSET + decode_year_byte(m).astype(np.float64)
+        temporal = -np.abs(year - PUBDATE_MIN_YEAR) * TEMPORAL_BIAS_WEIGHT
+    else:
+        temporal = np.zeros(len(m), dtype=np.float64)
+    return (
+        asl_penalty
+        + doclen_penalty
+        + quality_penalty
+        + ranking_bonus
+        + topology_bonus
+        + temporal
+    )
+
+
+def normalize_score(value: np.ndarray, penalty: np.ndarray) -> np.ndarray:
+    """IndexResultRankingService.normalize:690-695 — maps to ~0..15 where
+    LOWER is better: sqrt((1 + 500 + 20*penalty) / (1 + value))."""
+    v = np.maximum(np.asarray(value, dtype=np.float64), 0.0)
+    return np.sqrt((1.0 + 500.0 + 20.0 * np.asarray(penalty, dtype=np.float64)) / (1.0 + v))
 
 
 def position_bitmask(positions: np.ndarray) -> int:

@@ -886,11 +886,31 @@ class SearcherLogic:
             ranks = decode_rank(seg.fwd_meta[fi]).astype(np.float64)
             score += rank_bonus_weight * (255.0 - ranks) / 100.0
 
+        # full document-bonus family (calculateDocumentBonus:281-358 with
+        # PrototypeRankingParameters defaults) + the final normalize(v,p)
+        # transform (IndexResultRankingService.java:155-158,690-695).
+        # With normalize the score becomes LOWER-is-better; the partition
+        # heap and driver merge flip to ascending via plan["ascending"].
+        document_bonus_weight = plan.get("document_bonus_weight", 0.0)
+        normalize = plan.get("normalize_score", False)
+        if document_bonus_weight > 0 or normalize:
+            from ..functions.metadata import document_bonus, normalize_score
+
+            fi = np.searchsorted(seg.fwd_ids, cand)
+            bonus = document_bonus(
+                seg.fwd_meta[fi], sizes, plan.get("temporal_bias", "none")
+            )
+            if document_bonus_weight > 0:
+                score += document_bonus_weight * bonus
+            if normalize:
+                score = normalize_score(score, np.maximum(0.0, -bonus))
+
         score_r = np.round(score, 6)
         ordinals = idcodec.get_ordinal(cand)
         # return 2k + headroom so driver-side dedup / domain caps survive
         # (ResultPriorityQueue 2x-limit heap analog)
-        top = np.lexsort((ordinals, -score_r))[: 2 * k + 8]
+        sort_score = score_r if plan.get("ascending") else -score_r
+        top = np.lexsort((ordinals, sort_score))[: 2 * k + 8]
         fi = np.searchsorted(seg.fwd_ids, cand[top])
         return {
             "combined_id": cand[top].tolist(),
@@ -973,6 +993,9 @@ class IndexSearch:
         flags_weight: float = 0.0,
         head_tf_weight: float = 0.0,
         rank_bonus_weight: float = 0.0,
+        document_bonus_weight: float = 0.0,
+        normalize_score: bool = False,
+        temporal_bias: str = "none",
         expand: bool = False,
         budget_s: float = float("inf"),
     ) -> pa.Table:
@@ -1007,6 +1030,10 @@ class IndexSearch:
             "flags_weight": flags_weight,
             "head_tf_weight": head_tf_weight,
             "rank_bonus_weight": rank_bonus_weight,
+            "document_bonus_weight": document_bonus_weight,
+            "normalize_score": normalize_score,
+            "temporal_bias": temporal_bias,
+            "ascending": normalize_score,  # normalize => lower is better
             "budget_s": budget_s,
             "k": k,
         }
@@ -1079,7 +1106,7 @@ class IndexSearch:
             for col in ("repo", "path", "title", "data_hash")
         }
         ordinals = idcodec.get_ordinal(ids)
-        order = np.lexsort((ordinals, -scores))
+        order = np.lexsort((ordinals, scores if normalize_score else -scores))
 
         keep: list[int] = []
         seen_hashes: set[str] = set()

@@ -22,9 +22,12 @@ from ..functions.murmur import hash_nearly_ascii
 
 
 def repo_rank(repo: str) -> int:
-    """Deterministic 6-bit rank for a repo (0 = best).  Derived from the
-    keyword hash so it is stable across runs and languages."""
-    return (hash_nearly_ascii("rank$" + repo) >> 7) & 0x3F
+    """Deterministic 6-bit rank for a repo (0 = best) — a positional
+    weighted character sum mod 64, chosen so a DuckDB oracle can compute
+    the identical value (`list_sum([unicode(s[i]) * i ...]) % 64`); the
+    reference's rank source is PageRank-derived DomainRankings, which has
+    no meaning for a synthetic corpus without a link graph."""
+    return sum(ord(c) * (i + 1) for i, c in enumerate(repo)) % 64
 
 
 class DomainRegistry:

@@ -245,13 +245,34 @@ class TokenizeStage:
             term_meta_arr = pa.array([[]] * n, pa.list_(pa.int64()))
             term_pos_arr = pa.array([[]] * n, pa.list_(pa.list_(pa.int32())))
 
-        # doc-level metadata: rank in bits 48-55 (ForwardIndexConverter
-        # injects DomainRankings there, ForwardIndexConverter.java:104-109)
+        # doc-level metadata (DocumentMetadata packing): rank in bits 48-55
+        # (ForwardIndexConverter.java:104-109), plus the document-bonus
+        # fields, each derived deterministically so a DuckDB oracle can
+        # recompute them from the documents view:
+        # - asl: avg tokens per line, clamped to the 2-bit field
+        # - quality: repetitiveness penalty 0..15 (16 * dup-token ratio)
+        # - topology: domain id low byte (per-domain connectivity stand-in)
+        # - year byte: ordinal % 30 (synthetic corpus has no pub dates)
+        n_lines = np.array(
+            [content.count("\n") + 1 for content in contents], dtype=np.int64
+        )
+        lengths64 = sizes.astype(np.int64)
+        asl = np.minimum(3, lengths64 // np.maximum(n_lines, 1))
+        distinct = np.zeros(n, dtype=np.int64)
+        if total:
+            np.add.at(distinct, seg_doc, 1)
+        quality = np.where(
+            lengths64 > 0,
+            np.minimum(15, (16 * (lengths64 - distinct)) // np.maximum(lengths64, 1)),
+            0,
+        )
         doc_meta = encode_document_meta(
+            avg_sent_length=asl,
             rank=rank << 2,
-            enc_domain_size=np.maximum(1, sizes.astype(np.int64) // 5),
-            year=0,
-            quality=0,
+            enc_domain_size=np.maximum(1, lengths64 // 5),
+            topology=dom & 0xFF,
+            year=np.asarray(ordinals, dtype=np.int64) % 30,
+            quality=quality,
             flags=0,
         )
 
