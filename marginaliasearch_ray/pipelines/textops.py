@@ -249,16 +249,52 @@ def shingles_of(toks: list[str]) -> set[str]:
     }
 
 
+# A shingle shared by more than this many documents generates no candidate
+# pairs (stop-shingle rule: one hot shingle — a license header — would emit
+# O(n^2) pairs).  Verification recomputes the EXACT Jaccard from the full
+# shingle sets, so a dropped hot shingle only loses a pair whose every
+# other shared shingle is also hot.  Dropped shingles are logged per task.
+STOP_SHINGLE_DF = 1024
+
+
+def shingle_sets(corpus_ds):
+    """(doc_id, sh: sorted unique shingle hashes, n_sh) — the per-document
+    shingle-set Dataset every near-dup verifier joins against (no
+    driver-side materialization)."""
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids, shs, ns = [], [], []
+        for d, t in zip(batch["ordinal"].to_pylist(), batch["content"].to_pylist()):
+            h = np.sort(
+                np.fromiter(
+                    (hash_nearly_ascii(s) for s in shingles_of(tokenize(t))),
+                    dtype=np.int64,
+                )
+            )
+            ids.append(int(d))
+            # packed as a binary blob: Acero hash joins reject list-typed
+            # payload columns, binary passes through untouched
+            shs.append(h.tobytes())
+            ns.append(len(h))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh": pa.array(shs, pa.binary()),
+                "n_sh": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        rows, batch_format="pyarrow"
+    )
+
+
 def _shingle_rows(batch: pa.Table) -> pa.Table:
-    doc_ids, sh_hash, sizes = [], [], []
-    size_doc, size_n = [], []
+    doc_ids, sh_hash = [], []
     for d, t in zip(
         batch["ordinal"].to_pylist(), batch["content"].to_pylist()
     ):
-        sh = shingles_of(tokenize(t))
-        size_doc.append(int(d))
-        size_n.append(len(sh))
-        for s in sh:
+        for s in shingles_of(tokenize(t)):
             doc_ids.append(int(d))
             sh_hash.append(hash_nearly_ascii(s))
     return pa.table(
@@ -269,14 +305,57 @@ def _shingle_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _doc_shingle_sizes(batch: pa.Table) -> pa.Table:
-    ids, ns = [], []
-    for d, t in zip(batch["ordinal"].to_pylist(), batch["content"].to_pylist()):
-        ids.append(int(d))
-        ns.append(len(shingles_of(tokenize(t))))
-    return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "n_sh": pa.array(ns, pa.int64())}
+def _verify_pairs(cand_pairs, sets_ds, threshold: float, num_partitions: int = 8):
+    """Distributed exact verification: join candidate pairs with each
+    side's shingle set (two hash-partitioned joins), then compute the true
+    Jaccard per pair with sorted-array intersections — the whole corpus
+    never leaves the cluster."""
+
+    def a_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch["doc_id"], "sh_a": batch["sh"]})
+
+    def b_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_b": batch["doc_id"], "sh_b": batch["sh"]})
+
+    joined = cand_pairs.join(
+        sets_ds.map_batches(a_side, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
+    ).join(
+        sets_ds.map_batches(b_side, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_b",),
     )
+
+    def verify(batch: pa.Table, *, threshold=threshold) -> pa.Table:
+        keep_a, keep_b, jr = [], [], []
+        for a, b, sa_b, sb_b in zip(
+            batch["doc_a"].to_pylist(),
+            batch["doc_b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        ):
+            sa = np.frombuffer(sa_b, dtype=np.int64)
+            sb = np.frombuffer(sb_b, dtype=np.int64)
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                keep_a.append(int(a))
+                keep_b.append(int(b))
+                jr.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard_r": pa.array(jr, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5):
@@ -284,68 +363,48 @@ def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5):
     Jaccard >= threshold.
 
     Distributed shape: explode (shingle, doc) -> groupby(shingle) ->
-    per-group pair generation (vectorized meshgrid) -> groupby(pair)
-    count of shared shingles -> join with per-doc shingle counts
-    (broadcast; at 10^12-doc scale this join becomes a hash-partitioned
-    Dataset.join and pair generation is capped per shingle — the LSH
-    variant below is the intended scale path).
+    per-group candidate pairs (df-capped by STOP_SHINGLE_DF) -> distinct
+    pairs -> exact verification via two hash-partitioned joins against the
+    per-doc shingle sets.  No driver-side materialization anywhere; pair
+    volume is bounded per shingle.
     """
-    import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count
 
-    sizes = dict(
-        (r["doc_id"], r["n_sh"])
-        for r in corpus_ds.select_columns(["content", "ordinal"])
-        .map_batches(_doc_shingle_sizes, batch_format="pyarrow")
-        .take_all()
-    )
-    sizes_ref = ray.put(sizes)
-
-    pairs = (
+    sets_ds = shingle_sets(corpus_ds)
+    candidates = (
         corpus_ds.select_columns(["content", "ordinal"])
         .map_batches(_shingle_rows, batch_format="pyarrow")
         .groupby("shingle")
         .map_groups(_pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("one", alias_name="shared"))
+        .aggregate(Count(alias_name="nsh"))
+        .select_columns(["doc_a", "doc_b"])
     )
-
-    def finish(batch: pa.Table, *, threshold=threshold) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        shared = batch["shared"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sz[int(x)] for x in a], dtype=np.float64)
-        nb = np.array([sz[int(x)] for x in b], dtype=np.float64)
-        j = shared / (na + nb - shared)
-        keep = j >= threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
-                "jaccard_r": pa.array(np.round(j[keep], 6), pa.float64()),
-            }
-        )
-
-    return pairs.map_batches(finish, batch_format="pyarrow")
+    return _verify_pairs(candidates, sets_ds, threshold)
 
 
 def _pairs_of_group(group: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+        }
+    )
     docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
     if len(docs) < 2:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "one": pa.array([], pa.int64()),
-            }
+        return empty
+    if len(docs) > STOP_SHINGLE_DF:
+        # stop-shingle rule: log and emit nothing (see STOP_SHINGLE_DF)
+        print(
+            f"[near-dup] dropped hot shingle df={len(docs)}"
+            f" (> {STOP_SHINGLE_DF}): no candidate pairs generated"
         )
+        return empty
     ai, bi = np.triu_indices(len(docs), k=1)
     return pa.table(
         {
             "doc_a": pa.array(docs[ai], pa.int64()),
             "doc_b": pa.array(docs[bi], pa.int64()),
-            "one": pa.array(np.ones(len(ai), dtype=np.int64), pa.int64()),
         }
     )
 
@@ -476,8 +535,7 @@ def minhash_lsh_pairs(corpus_ds, threshold: float = 0.5):
     exact shingle-Jaccard verification.  With 64 bands x 2 rows the miss
     probability at j=0.5 is (1-0.25)^64 ~ 1e-8, so the verified output
     matches the exact ngram_jaccard_pairs oracle in practice."""
-    import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count
 
     rows_per_band = NUM_PERM // LSH_BANDS
 
@@ -498,61 +556,17 @@ def minhash_lsh_pairs(corpus_ds, threshold: float = 0.5):
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(docs) < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "one": pa.array([], pa.int64())}
-            )
-        ai, bi = np.triu_indices(len(docs), k=1)
-        return pa.table(
-            {
-                "doc_a": pa.array(docs[ai], pa.int64()),
-                "doc_b": pa.array(docs[bi], pa.int64()),
-                "one": pa.array(np.ones(len(ai), dtype=np.int64), pa.int64()),
-            }
-        )
-
     candidates = (
         minhash_signatures(corpus_ds)
         .map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_groups(_pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("one", alias_name="nbands"))
+        .aggregate(Count(alias_name="nbands"))
+        .select_columns(["doc_a", "doc_b"])
     )
 
-    # exact verification against the true shingle sets (broadcast at test
-    # scale; partitioned join at real scale)
-    sets = {}
-    for r in (
-        corpus_ds.select_columns(["content", "ordinal"]).take_all()
-    ):
-        sets[int(r["ordinal"])] = shingles_of(tokenize(r["content"]))
-    sets_ref = ray.put(sets)
-
-    def verify(batch: pa.Table, *, threshold=threshold) -> pa.Table:
-        ss = ray.get(sets_ref)
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        keep_a, keep_b, jr = [], [], []
-        for x, y in zip(a, b):
-            sa, sb = ss[int(x)], ss[int(y)]
-            if not sa or not sb:
-                continue
-            inter = len(sa & sb)
-            j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                keep_a.append(int(x))
-                keep_b.append(int(y))
-                jr.append(round(j, 6))
-        return pa.table(
-            {
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard_r": pa.array(jr, pa.float64()),
-            }
-        )
-
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    # exact verification against the true shingle sets: the same
+    # hash-partitioned joins as the exact pipeline — the corpus never
+    # materializes on the driver
+    return _verify_pairs(candidates, shingle_sets(corpus_ds), threshold)
