@@ -37,11 +37,14 @@ def _cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.parquet as pq
-    import pyarrow.compute as pc
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    row = t.filter(pc.equal(t["vec_id"], vec_id))
-    return np.asarray(row["embedding"][0].as_py(), dtype=np.float64)
+    # predicate pushdown: only row groups whose stats admit vec_id load
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 def ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10):
@@ -117,6 +120,91 @@ def top_similar_pairs(sf_dir: str, k: int = 20):
     )
 
 
+# --- bucket-partitioned ANN storage ----------------------------------------
+# One-time pipelines write the embeddings Parquet partitioned by IVF
+# centroid / LSH signature; queries then READ only their probe partitions —
+# IO pruning, not just compute pruning.  Partitioned-by-bucket output is
+# also the resumability unit (a crashed build leaves whole bucket dirs).
+
+ANN_FORMAT_VERSION = 1
+LSH_SEED = 99
+
+
+def _ann_cache_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}@ann{ANN_FORMAT_VERSION}".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp/msray_ann_cache", tag)
+
+
+def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> str:
+    """Write embeddings partitioned by nearest-centroid bucket.  Centroids
+    are the first ``n_centroids`` vectors (read from the FIRST batch only,
+    never the whole table on the driver), normalized, stored beside the
+    buckets.  Returns the index directory; idempotent via a _DONE marker."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    out = os.path.join(_ann_cache_dir(sf_dir), f"ivf{n_centroids}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(
+        pf.iter_batches(batch_size=n_centroids, columns=["vec_id", "embedding"])
+    )
+    _, mat0 = _batch_matrix(pa.Table.from_batches([first]))
+    cents = mat0 / np.linalg.norm(mat0, axis=1, keepdims=True)
+
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "centroid": pa.array(range(len(cents)), pa.int32()),
+                "vec": pa.array(cents.tolist(), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(out, "centroids.parquet"),
+    )
+
+    ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(ref)
+        _, mat = _batch_matrix(batch)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bucket = np.argmax(matn @ cc.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(out, "vectors"), partition_cols=["bucket"]
+    )
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def _bucket_files(idx: str, buckets) -> list[str]:
+    """Parquet files of the probe buckets only (read_parquet wants files,
+    not hive dirs, when given an explicit list)."""
+    import glob
+    import os
+
+    out: list[str] = []
+    for b in buckets:
+        out.extend(
+            sorted(glob.glob(os.path.join(idx, "vectors", f"bucket={b}", "*.parquet")))
+        )
+    return out
+
+
 def ivf_ann_topk(
     sf_dir: str,
     vec_id: int = 0,
@@ -124,36 +212,33 @@ def ivf_ann_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
 ):
-    """IVF-flat variant (the other 10^12-row scale path): vectors are
-    bucketed by nearest centroid (deterministic centroids: the first
-    ``n_centroids`` embeddings, normalized); the query scans only its
-    ``nprobe`` nearest buckets.  Approximate — rows-only check."""
+    """IVF-flat over the bucket-partitioned store: the query loads the
+    tiny centroid table, picks its ``nprobe`` nearest buckets, and READS
+    ONLY those partition directories (a strict subset of the files).
+    Approximate — rows-only check."""
+    import os
+
     import pyarrow.parquet as pq
     import ray
     import ray.data
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids0, mat0 = _batch_matrix(t.slice(0, n_centroids))
-    cents = mat0 / np.linalg.norm(mat0, axis=1, keepdims=True)
+    idx = build_ivf_index(sf_dir, n_centroids)
+    ct = pq.read_table(os.path.join(idx, "centroids.parquet"))
+    cents = np.array(ct["vec"].to_pylist(), dtype=np.float64)
     q = query_vector(sf_dir, vec_id)
-    probe = set(
-        np.argsort(-(cents @ (q / np.linalg.norm(q))))[:nprobe].tolist()
-    )
-    ref = ray.put((q, cents, probe))
-
-    def score(batch: pa.Table) -> pa.Table:
-        qv, cc, pr = ray.get(ref)
-        ids, mat = _batch_matrix(batch)
-        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        assign = np.argmax(matn @ cc.T, axis=1)
-        keep = np.isin(assign, list(pr))
-        ids, mat = ids[keep], mat[keep]
-        if len(ids) == 0:
-            return pa.table(
+    probe = np.argsort(-(cents @ (q / np.linalg.norm(q))))[:nprobe].tolist()
+    paths = _bucket_files(idx, probe)
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
                 {"vec_id": pa.array([], pa.int64()), "cos_r": pa.array([], pa.float64())}
             )
+        )
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
         cos = np.round(_cosine(mat, qv), 6)
         top = np.lexsort((ids, -cos))[:k]
         return pa.table(
@@ -163,11 +248,9 @@ def ivf_ann_topk(
             }
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
     return (
-        ds.map_batches(score, batch_format="pyarrow")
+        ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
         .sort(["cos_r", "vec_id"], descending=[True, False])
         .limit(k)
     )
@@ -211,38 +294,70 @@ def ann_topk_per_label(sf_dir: str, vec_id: int = 0, k: int = 3):
     )
 
 
-def lsh_ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_planes: int = 8):
-    """Random-hyperplane LSH variant: bucket vectors by sign pattern
-    against ``n_planes`` fixed hyperplanes; the query searches only its
-    own bucket plus Hamming-1 neighbors.  Approximate (recall < 1) —
-    rows-only check; exists to demonstrate the scale path where the
-    brute-force matmul becomes infeasible."""
+def _lsh_planes(dim: int, n_planes: int) -> np.ndarray:
+    return np.random.RandomState(LSH_SEED).standard_normal((dim, n_planes))
+
+
+def build_lsh_index(sf_dir: str, n_planes: int = 8) -> str:
+    """Write embeddings partitioned by random-hyperplane sign signature.
+    Idempotent (_DONE marker); one dir per signature bucket."""
+    import os
+
     import ray
     import ray.data
 
+    out = os.path.join(_ann_cache_dir(sf_dir), f"lsh{n_planes}")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        _, mat = _batch_matrix(batch)
+        pl = _lsh_planes(mat.shape[1], n_planes)
+        sig = np.packbits(
+            (mat @ pl > 0).astype(np.uint8), axis=1, bitorder="little"
+        )[:, 0].astype(np.int32)
+        return batch.append_column("bucket", pa.array(sig, pa.int32()))
+
+    ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(out, "vectors"), partition_cols=["bucket"]
+    )
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def lsh_ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_planes: int = 8):
+    """Random-hyperplane LSH over the bucket-partitioned store: the query
+    reads ONLY its own signature's partition dir plus the Hamming-1
+    neighbor dirs.  Approximate (recall < 1) — rows-only check."""
+    import os
+
+    import ray
+    import ray.data
+
+    idx = build_lsh_index(sf_dir, n_planes)
     q = query_vector(sf_dir, vec_id)
-    rng = np.random.RandomState(99)
-    planes = rng.standard_normal((64, n_planes))
+    planes = _lsh_planes(len(q), n_planes)
     qsig = int(
         np.packbits((q @ planes > 0).astype(np.uint8), bitorder="little")[0]
     )
     ok_sigs = {qsig} | {qsig ^ (1 << i) for i in range(n_planes)}
-    refs = ray.put((q, planes, ok_sigs))
-
-    def score(batch: pa.Table) -> pa.Table:
-        qv, pl, sigs = ray.get(refs)
-        ids, mat = _batch_matrix(batch)
-        sig = np.packbits((mat @ pl > 0).astype(np.uint8), axis=1, bitorder="little")[
-            :, 0
-        ]
-        keep = np.isin(sig, list(sigs))
-        ids, mat = ids[keep], mat[keep]
-        if len(ids) == 0:
-            return pa.table(
+    paths = _bucket_files(idx, sorted(ok_sigs))
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
                 {"vec_id": pa.array([], pa.int64()), "cos_r": pa.array([], pa.float64())}
             )
+        )
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
         cos = np.round(_cosine(mat, qv), 6)
-        top = np.lexsort((ids, -cos))[: k]
+        top = np.lexsort((ids, -cos))[:k]
         return pa.table(
             {
                 "vec_id": pa.array(ids[top], pa.int64()),
@@ -250,11 +365,9 @@ def lsh_ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_planes: int = 8):
             }
         )
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
     return (
-        ds.map_batches(score, batch_format="pyarrow")
+        ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
         .sort(["cos_r", "vec_id"], descending=[True, False])
         .limit(k)
     )
