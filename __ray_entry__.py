@@ -84,7 +84,7 @@ REFERENCE_QUERIES = [
 
 # bump whenever the on-disk index format changes so a stale /tmp cache
 # from an older code revision can never be read by newer code
-INDEX_FORMAT_VERSION = 4  # v4: doc-bonus meta fields + SQL-expressible rank
+INDEX_FORMAT_VERSION = 5  # v5: per-language journal partitioning
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -324,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_normalized"] = lambda sf: _search(
         sf, "customer merge", normalize_score=True
     )
+    # per-language journal partition filter (pruned read of lang= dirs)
+    q["bm25_lang"] = lambda sf: _search(sf, "customer lang:en")
 
     # corpus aggregates
     def _doc_length_histogram(sf):
@@ -492,6 +494,7 @@ def _bm25_sql(
     document_bonus_weight: float = 0.0,
     normalize: bool = False,
     temporal_bias: str = "none",
+    lang: str | None = None,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -502,8 +505,11 @@ def _bm25_sql(
     need_bonus = document_bonus_weight > 0 or normalize
     tok_extra = ""
     cand_bonus = ""
+    if lang is not None:
+        tok_extra += ", lang"
+        cand_bonus += ", t.lang AS lang"
     if need_bonus:
-        tok_extra = (
+        tok_extra += (
             ", len(string_split(text, chr(10))) AS nl"
             ", (list_sum([unicode(source[i]) * i"
             " for i in generate_series(1, len(source))]) % 64) AS rnk"
@@ -519,7 +525,7 @@ def _bm25_sql(
             temporal = " + (-abs((1996 + t.yrb) - 2027) * 5.0)"
         elif temporal_bias == "old":
             temporal = " + (-abs((1996 + t.yrb) - 1995) * 5.0)"
-        cand_bonus = (
+        cand_bonus += (
             ", (CASE WHEN least(3, len(t.toks) // t.nl) >= 2"
             " THEN 0.0 ELSE -5.0 END)"
             " + (CASE WHEN len(t.toks) > 2000 THEN 0.0 ELSE -2.0 END)"
@@ -549,6 +555,8 @@ def _bm25_sql(
         extra.append(f"contains(c.joined, '{needle}')")
     if source:
         extra.append(f"c.source = '{source}'")
+    if lang is not None:
+        extra.append(f"c.lang = '{lang}'")
     if size_gt is not None:
         extra.append(f"c.dl > {size_gt}")
     if size_lt is not None:
@@ -870,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
             temporal_bias="recent",
         ),
         "bm25_normalized": _bm25_sql(["customer", "merge"], normalize=True),
+        "bm25_lang": _bm25_sql(["customer"], lang="en"),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

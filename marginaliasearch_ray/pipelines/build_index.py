@@ -153,8 +153,12 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
             batch_format="pyarrow",
             concurrency=pool,
         )
+        # per-language journal partitioning under each part (IndexJournal
+        # keeps one journal dir per language, IndexJournal.java:15-17,28-34
+        # — here lang nests under part so part-scoped readers stay valid
+        # and a lang: query filter reads only its language's dirs)
         journal.write_parquet(
-            os.path.join(out_dir, "journal"), partition_cols=["part"]
+            os.path.join(out_dir, "journal"), partition_cols=["part", "lang"]
         )
         # registry table for query-time repo filters / decoration
         reg_table = pa.table(

@@ -49,6 +49,7 @@ class CompiledQuery:
     # when the query's paren/| structure doesn't flatten to include+groups
     tree: tuple | None = None
     repo: str | None = None
+    lang: str | None = None  # lang:xx — per-language journal partition filter
     size_gt: int | None = None  # size>N spec limit (QueryParser year>/size< analog)
     size_lt: int | None = None
 
@@ -334,6 +335,8 @@ def compile_query(q: str, expand: bool = False) -> CompiledQuery:
             struct_tokens.append(word)
         elif word.startswith("repo:") and len(word) > 5:
             out.repo = word[5:]
+        elif word.startswith("lang:") and len(word) > 5:
+            out.lang = word[5:]
         elif m := _SPEC_RE.fullmatch(word):
             # size>N / size<N spec limits (QueryParser.java:20-27 year>/
             # size< analog -> ParamMatchingQueryFilter semantics)
@@ -393,6 +396,8 @@ class _Segment:
 
     def __init__(self, out_dir: str, part: int):
         self.part = part
+        self.out_dir = out_dir
+        self._lang_ids: dict[str, np.ndarray] = {}
         post = pq.read_table(
             os.path.join(out_dir, "postings", f"part={part}"),
             columns=["term_id", "df", "docs", "tfs", "metas", "positions", "pos_cnts"],
@@ -492,6 +497,27 @@ class _Segment:
     def doc_sizes(self, ids: np.ndarray) -> np.ndarray:
         i = np.searchsorted(self.fwd_ids, ids)
         return self.fwd_size[i]
+
+    def lang_ids(self, lang: str) -> np.ndarray:
+        """Sorted combined ids of one language — a PRUNED read: only this
+        part's ``journal/part=p/lang=<lang>`` dir is listed (per-language
+        journal partitioning, IndexJournal.java:15-17,28-34), decoded once
+        and cached."""
+        cached = self._lang_ids.get(lang)
+        if cached is None:
+            d = os.path.join(
+                self.out_dir, "journal", f"part={self.part}", f"lang={lang}"
+            )
+            if os.path.isdir(d):
+                cached = np.sort(
+                    pq.read_table(d, columns=["combined_id"])[
+                        "combined_id"
+                    ].to_numpy(zero_copy_only=False)
+                )
+            else:
+                cached = np.empty(0, dtype=np.int64)
+            self._lang_ids[lang] = cached
+        return cached
 
     def prio_postings(self, tid: int) -> np.ndarray:
         """Sorted combined ids of the term's priority (flagged) postings."""
@@ -655,6 +681,9 @@ class SearcherLogic:
         if domain_range is not None:
             lo, hi = domain_range
             cand = cand[(cand >= lo) & (cand < hi)]
+        lang = plan.get("lang")
+        if lang is not None and len(cand):
+            cand = _retain(cand, seg.lang_ids(lang))
         if (size_gt is not None or size_lt is not None) and len(cand):
             # metadata param filter (ParamMatchingQueryFilter analog,
             # CombinedIndexReader.java:349-450) as a forward-index predicate
@@ -1022,6 +1051,7 @@ class IndexSearch:
             "phrase_ids": cq.phrase_ids(),
             "tree": cq.tree_ids(),
             "domain_range": domain_range,
+            "lang": cq.lang,
             "size_gt": cq.size_gt,
             "size_lt": cq.size_lt,
             "first_position_weight": first_position_weight,
