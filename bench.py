@@ -141,6 +141,46 @@ def run_bench() -> dict:
 
     nq = timed("query_set", run_queries)
     extras["queries_per_s"] = round(nq / timings["query_set"], 1)
+
+    # 3b) candidate-heavy scenarios exercising the vectorized phrase /
+    # verbatim / proximity verification (hot terms -> ~n_docs candidates)
+    hot_scenarios = [
+        ('"license import" the', {}),
+        ("license import", {"verbatim_weight": 1.0, "proximity_weight": 0.5}),
+        ("copyright the", {"head_tf_weight": 0.5, "first_position_weight": 2.5}),
+    ]
+
+    def run_hot():
+        for _ in range(3):
+            for q, kw in hot_scenarios:
+                idx.search(q, k=10, **kw)
+        return 3 * len(hot_scenarios)
+
+    nh = timed("query_hot_phrase", run_hot)
+    extras["hot_queries_per_s"] = round(nh / timings["query_hot_phrase"], 1)
+
+    # 3c) per-query latency percentiles (PerfTestMain.java:44-67,150-199
+    # protocol: warmup pass, then a timed run, percentiles over
+    # individual query latencies)
+    import numpy as _np
+
+    lat: list[float] = []
+    for q, kw in [(q, {}) for q in qset] + hot_scenarios:  # warmup
+        idx.search(q, k=10, **kw)
+    for _ in range(8):
+        for q, kw in [(q, {}) for q in qset] + hot_scenarios:
+            t0 = time.perf_counter()
+            idx.search(q, k=10, **kw)
+            lat.append((time.perf_counter() - t0) * 1000.0)
+    p = _np.percentile(lat, [1, 10, 50, 90, 99])
+    extras["latency_ms"] = {
+        "p1": round(float(p[0]), 2),
+        "p10": round(float(p[1]), 2),
+        "p50": round(float(p[2]), 2),
+        "p90": round(float(p[3]), 2),
+        "p99": round(float(p[4]), 2),
+        "n": len(lat),
+    }
     idx.shutdown()
 
     # 4) training-data ops at sf scale

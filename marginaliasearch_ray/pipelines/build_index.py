@@ -100,8 +100,11 @@ def _journal_columns(kind: str) -> list[str]:
 
 def _premerge_runs(group: pa.Table) -> pa.Table:
     """Stateless-task wrapper around the k-way run merge — elastic
-    scheduling across all free CPUs."""
-    return MergeWorker()(group)
+    scheduling across all free CPUs.  Ultra-hot terms (> MERGE_FANIN runs)
+    merge hierarchically; output bytes are identical to a single pass."""
+    from ..stages.reverse import merge_runs_tree
+
+    return merge_runs_tree(group)
 
 
 def _cast_part(batch: pa.Table) -> pa.Table:

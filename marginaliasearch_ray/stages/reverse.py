@@ -231,6 +231,41 @@ def split_positions_by_counts(blob, cnts: np.ndarray) -> list[np.ndarray]:
 
 
 
+# Max runs of one term a single merge step consumes; beyond it the term's
+# runs merge in a tree of fanin-sized partial merges (hierarchical merge
+# for ultra-hot terms: bounds the working set any one step decodes).
+MERGE_FANIN = 256
+
+
+def merge_runs_tree(group: pa.Table, fanin: int = MERGE_FANIN) -> pa.Table:
+    """Hierarchical k-way merge: while any term has more than ``fanin``
+    runs, consecutive fanin-sized slices of its runs merge into partial
+    runs, preserving run order (stable) so first-wins dedup — and hence
+    the final posting bytes — are IDENTICAL to a single-pass merge.
+
+    The cross-task analog is the salted pre-merge (groupby
+    (part,bucket,salt) before (part,bucket)); this bounds the in-task
+    fan-in on top of it.  Mirrors FullPreindex.mergeSegments' associative
+    merge semantics (FullPreindex.java:255-274)."""
+    tbl = group
+    while True:
+        tids = tbl["term_id"].to_numpy(zero_copy_only=False)
+        if len(tids) == 0:
+            return MergeWorker()(tbl)
+        _, counts = np.unique(tids, return_counts=True)
+        if int(counts.max()) <= fanin:
+            return MergeWorker()(tbl)
+        order = np.argsort(tids, kind="stable")
+        starts = np.cumsum(counts) - counts
+        occ = np.arange(len(tids)) - np.repeat(starts, counts)
+        chunk = occ // fanin
+        parts = []
+        for c in range(int(chunk.max()) + 1):
+            sub = tbl.take(pa.array(order[chunk == c]))
+            parts.append(MergeWorker()(sub))
+        tbl = pa.concat_tables(parts)
+
+
 class MergeWorker:
     """Stateful merge stage: one (part, bucket) group holds every salted
     run of its terms; runs with the same term id are k-way sorted-merged

@@ -130,3 +130,40 @@ def test_merge_duplicate_first_wins():
     assert tfs.tolist() == [1, 3]  # first run wins for doc 5
     assert metas.tolist() == [111, 333]
     assert pos == [[1], [3]]
+
+
+def test_hierarchical_merge_byte_identical():
+    """A term with thousands of runs merged through the fanin tree must
+    produce byte-identical posting rows to the single-pass merge."""
+    from marginaliasearch_ray.stages.reverse import merge_runs_tree
+
+    rng = random.Random(7)
+    rows = []
+    # hot term: 2000 runs of 1-3 postings each, overlapping doc ids so
+    # first-wins dedup actually engages across runs
+    for r in range(2000):
+        postings = [
+            (rng.randrange(0, 5000), rng.randrange(1, 9), rng.randrange(0, 255),
+             sorted(rng.sample(range(1, 200), rng.randrange(1, 4))))
+            for _ in range(rng.randrange(1, 4))
+        ]
+        # unique docs within a run
+        seen, uniq_p = set(), []
+        for p in postings:
+            if p[0] not in seen:
+                seen.add(p[0])
+                uniq_p.append(p)
+        rows.append(make_run(0, 0, r % 4, 42, uniq_p))
+    # a couple of normal terms
+    for t in (7, 9):
+        rows.append(make_run(0, 0, 0, t, [(1, 2, 3, [4, 8]), (5, 1, 0, [2])]))
+    tbl = to_table(rows)
+
+    single = MergeWorker()(tbl)
+    tree = merge_runs_tree(tbl, fanin=8)
+
+    s = single.sort_by("term_id")
+    t = tree.sort_by("term_id")
+    assert s.column_names == t.column_names
+    for col in s.column_names:
+        assert s[col].to_pylist() == t[col].to_pylist(), col
