@@ -326,6 +326,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     # per-language journal partition filter (pruned read of lang= dirs)
     q["bm25_lang"] = lambda sf: _search(sf, "customer lang:en")
+    # ParamMatchingQueryFilter meta limits (year> / rank< / q<)
+    q["bm25_meta_year"] = lambda sf: _search(sf, "customer year>2010")
+    q["bm25_meta_rank"] = lambda sf: _search(sf, "customer rank<100")
+    q["bm25_meta_quality"] = lambda sf: _search(sf, "customer q<9")
+    # k-term proximity (minDistance over one offset position per term)
+    q["bm25_prox_all"] = lambda sf: _search(
+        sf, "customer merge table", proximity_all_weight=0.5
+    )
+    # tag-weighted verbatim (per-tag weights + attenuation + boundary
+    # bonus + sqrt-scaled optional phrase group)
+    q["bm25_verbatim_tags"] = lambda sf: _search(
+        sf, "fast table scan", verbatim_tag_weight=1.0
+    )
+    q["bm25_verbatim_tags_opt"] = lambda sf: _search(
+        sf, '"fast table" scan', verbatim_tag_weight=1.0
+    )
 
     # corpus aggregates
     def _doc_length_histogram(sf):
@@ -495,10 +511,14 @@ def _bm25_sql(
     normalize: bool = False,
     temporal_bias: str = "none",
     lang: str | None = None,
+    meta_limits: list[tuple[str, str, int]] | None = None,
+    proximity_all_weight: float = 0.0,
+    verbatim_tag_weight: float = 0.0,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
     groups = groups or []
+    meta_limits = meta_limits or []
     # document-bonus family (calculateDocumentBonus defaults) — extra
     # per-doc columns in tok + a scalar bonus column in cand, mirroring
     # marginaliasearch_ray.functions.metadata.document_bonus exactly
@@ -508,6 +528,22 @@ def _bm25_sql(
     if lang is not None:
         tok_extra += ", lang"
         cand_bonus += ", t.lang AS lang"
+    if meta_limits:
+        # year> / rank< / q< limits on the same deterministic meta fields
+        # the engine packs (rank byte = 4*rnk, year = 1996 + doc_id%30)
+        q_lim_expr = (
+            "CASE WHEN len(t.toks) = 0 THEN 0 ELSE least(15,"
+            " (16 * (len(t.toks) - len(list_distinct(t.toks)))) // len(t.toks)) END"
+        )
+        tok_extra += (
+            ", (list_sum([unicode(source[i]) * i"
+            " for i in generate_series(1, len(source))]) % 64) AS mrnk"
+            ", doc_id % 30 AS myrb"
+        )
+        cand_bonus += (
+            f", (4 * t.mrnk) AS rankb, (1996 + t.myrb) AS year,"
+            f" ({q_lim_expr}) AS quality"
+        )
     if need_bonus:
         tok_extra += (
             ", len(string_split(text, chr(10))) AS nl"
@@ -557,6 +593,9 @@ def _bm25_sql(
         extra.append(f"c.source = '{source}'")
     if lang is not None:
         extra.append(f"c.lang = '{lang}'")
+    for fname, op, val in meta_limits:
+        col = {"year": "c.year", "rank": "c.rankb", "quality": "c.quality"}[fname]
+        extra.append(f"{col} {op} {val}")
     if size_gt is not None:
         extra.append(f"c.dl > {size_gt}")
     if size_lt is not None:
@@ -599,6 +638,74 @@ def _bm25_sql(
             f" WHEN list_min({starts}) <= {HEAD_SPAN_TOKENS}"
             f" THEN {verbatim_weight * 1.5} ELSE {verbatim_weight} END"
         )
+    def _tok_positions(t: str, offset: int) -> str:
+        return (
+            f"[i - {offset} for i in generate_series(1, len(any_value(c.toks)))"
+            f" if any_value(c.toks)[i] = '{t}']"
+        )
+
+    if proximity_all_weight > 0 and len(terms) > 2:
+        # k-term minDistance: smallest spread of one offset position per
+        # term (SequenceOperations.minDistance) via the full cross product
+        # (test-scale docs are short); taper window minDist < k + 8
+        kL = len(terms)
+        inner_vars = [f"x{j}" for j in range(kL)]
+        expr = (
+            f"greatest({', '.join(inner_vars)}) - least({', '.join(inner_vars)})"
+        )
+        for j in range(kL - 1, -1, -1):
+            expr = f"[{expr} for {inner_vars[j]} in {_tok_positions(terms[j], j)}]"
+        for _ in range(kL - 1):
+            expr = f"flatten({expr})"
+        md = f"list_min({expr})"
+        fp_expr += (
+            f" + CASE WHEN {md} > 0 AND {md} < {kL + 8}"
+            f" THEN {proximity_all_weight} * 2.0 / (0.1 + sqrt({md}))"
+            f" ELSE 0.0 END"
+        )
+
+    def _starts_sql(seq: list[str]) -> str:
+        conds = " AND ".join(
+            f"any_value(c.toks)[i + {j}] = '{t}'" for j, t in enumerate(seq)
+        )
+        return (
+            f"[i for i in generate_series(1,"
+            f" len(any_value(c.toks)) - {len(seq) - 1}) if {conds}]"
+        )
+
+    def _vt_group(
+        seq: list[str], w_h: float, w_b: float, scale: float, boundary: bool
+    ) -> str:
+        # VerbatimMatches per-tag scoring on the head/body span model:
+        # w * |group| * scale * (1 + ln(1 + cnt^attenuation)) per tag
+        Lg = len(seq)
+        starts = _starts_sql(seq)
+        he = "least(16, len(any_value(c.toks)))"
+        cnt_h = f"len([s for s in {starts} if s + {Lg - 1} <= {he}])"
+        cnt_b = f"(len({starts}) - {cnt_h})"
+        parts = [
+            f"CASE WHEN {cnt_h} > 0 THEN {w_h} * {Lg} * {scale}"
+            f" * (1.0 + ln(1.0 + pow({cnt_h}, 1.0))) ELSE 0.0 END",
+            f"CASE WHEN {cnt_b} > 0 THEN {w_b} * {Lg} * {scale}"
+            f" * (1.0 + ln(1.0 + pow({cnt_b}, 0.5))) ELSE 0.0 END",
+        ]
+        if boundary:
+            bd = (
+                f"len([s for s in {starts} if s + {Lg - 1} <= {he}"
+                f" AND (s = 1 OR s + {Lg - 1} = {he})])"
+            )
+            parts.append(f"1.5 * {bd}")
+        return "(" + " + ".join(parts) + ")"
+
+    if verbatim_tag_weight > 0 and len(terms) >= 2:
+        vt = _vt_group(terms, 3.0, 1.0, 1.0, True)
+        if phrase and list(phrase) != list(terms):
+            import math
+
+            scale = math.sqrt(len(phrase) / len(terms))
+            vt += " + " + _vt_group(list(phrase), 2.25, 0.5, scale, False)
+        fp_expr += f" + {verbatim_tag_weight} * ({vt})"
+
     head_tf = ""
     if head_tf_weight > 0:
         from marginaliasearch_ray.stages.tokenize import HEAD_SPAN_TOKENS
@@ -879,6 +986,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_normalized": _bm25_sql(["customer", "merge"], normalize=True),
         "bm25_lang": _bm25_sql(["customer"], lang="en"),
+        "bm25_meta_year": _bm25_sql(
+            ["customer"], meta_limits=[("year", ">", 2010)]
+        ),
+        "bm25_meta_rank": _bm25_sql(
+            ["customer"], meta_limits=[("rank", "<", 100)]
+        ),
+        "bm25_meta_quality": _bm25_sql(
+            ["customer"], meta_limits=[("quality", "<", 9)]
+        ),
+        "bm25_prox_all": _bm25_sql(
+            ["customer", "merge", "table"], proximity_all_weight=0.5
+        ),
+        "bm25_verbatim_tags": _bm25_sql(
+            ["fast", "table", "scan"], verbatim_tag_weight=1.0
+        ),
+        "bm25_verbatim_tags_opt": _bm25_sql(
+            ["fast", "table", "scan"],
+            phrase=["fast", "table"],
+            verbatim_tag_weight=1.0,
+        ),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

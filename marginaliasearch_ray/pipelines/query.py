@@ -52,6 +52,9 @@ class CompiledQuery:
     lang: str | None = None  # lang:xx — per-language journal partition filter
     size_gt: int | None = None  # size>N spec limit (QueryParser year>/size< analog)
     size_lt: int | None = None
+    # ParamMatchingQueryFilter meta limits (CombinedIndexReader.java:349-450):
+    # (field, op, value) with field in year/rank/quality, op in <, >, =
+    meta_limits: list[tuple[str, str, int]] = field(default_factory=list)
 
     @property
     def include_ids(self) -> list[int]:
@@ -77,6 +80,9 @@ class CompiledQuery:
 
 _QUOTE_RE = re.compile(r'"([^"]*)"')
 _SPEC_RE = re.compile(r"size([<>])(\d+)")
+# year>2000 / rank<40 / q<5 spec limits (QueryParser.java year>/q>/rank
+# tokens -> SpecificationLimit -> ParamMatchingQueryFilter)
+_META_SPEC_RE = re.compile(r"(year|rank|q)([<>=])(\d+)")
 
 
 # --- nested compiled query trees -------------------------------------------
@@ -200,6 +206,18 @@ def _flatten_tree(root: tuple) -> tuple[list[str], list[list[str]]] | None:
 # IndexResultRankingService:145-153)
 PRIORITY_WEIGHT = 0.25
 
+# VerbatimMatches per-tag weight table mapped onto the code corpus's span
+# model (head = first 16 tokens ~ TITLE, everything else ~ BODY) —
+# IndexResultRankingService.java:406-454: weights_full/weights_partial/
+# attenuation switch tables
+VERBATIM_W_FULL_HEAD = 3.0  # TITLE -> 3.0f
+VERBATIM_W_FULL_BODY = 1.0  # BODY -> 1.0f
+VERBATIM_W_PART_HEAD = 2.25  # TITLE -> 2.25f
+VERBATIM_W_PART_BODY = 0.5  # BODY -> 0.5f
+VERBATIM_ATT_HEAD = 1.0  # default attenuation
+VERBATIM_ATT_BODY = 0.5  # BODY/HEADING -> 0.5f
+VERBATIM_SINGLE_TITLE_BONUS = 4.0  # single-word title == query -> +4
+
 
 def _membership(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
     """Boolean mask: which sorted-unique cand ids appear in sorted docs
@@ -267,6 +285,47 @@ def _intersect_sequences_batched(
         if len(running) == 0:
             break
     return running if running is not None else np.empty(0, dtype=np.int64)
+
+
+def _min_distance_k(
+    term_pos: list[tuple[np.ndarray, np.ndarray]],
+    rows_per_term: list[np.ndarray],
+    sel: np.ndarray,
+    n: int,
+) -> np.ndarray:
+    """Batched ``SequenceOperations.minDistance`` (SequenceOperations.java:
+    195-253): per candidate, the smallest spread of one position from each
+    term, each offset by -term_index (PhraseConstraintGroup.minDistance's
+    iterOffsets).  Classic smallest-covering-range, vectorized: sort all
+    (candidate, offset position) keys, forward-fill each term's last-seen
+    key, window = key - min over terms; per-candidate min via minimum.at.
+
+    Divergence: the reference skips terms with > 16 positions in a doc as
+    a CPU heuristic; we keep them (the batched form makes them cheap), so
+    our distance is never larger than the reference's."""
+    k = len(term_pos)
+    keys_all, term_tag = [], []
+    for j, (flat, offs) in enumerate(term_pos):
+        vals, lens = _gather_ragged(flat, offs, rows_per_term[j])
+        cidx = np.repeat(sel, lens)
+        keys_all.append(cidx * _POS_SHIFT + (vals - j))
+        term_tag.append(np.full(len(vals), j, dtype=np.int64))
+    keys = np.concatenate(keys_all)
+    tags = np.concatenate(term_tag)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    tags = tags[order]
+    big = np.int64(1) << 40
+    lasts = np.empty((k, len(keys)), dtype=np.int64)
+    for j in range(k):
+        lasts[j] = np.maximum.accumulate(np.where(tags == j, keys, np.int64(-1)))
+    lo = lasts.min(axis=0)
+    cand_of = keys // _POS_SHIFT
+    valid = lo >= cand_of * _POS_SHIFT  # every term seen within this candidate
+    width = keys - lo
+    out = np.full(n, big, dtype=np.int64)
+    np.minimum.at(out, cand_of[valid], width[valid])
+    return out
 
 
 def _present_rows(
@@ -344,6 +403,9 @@ def compile_query(q: str, expand: bool = False) -> CompiledQuery:
                 out.size_gt = int(m.group(2))
             else:
                 out.size_lt = int(m.group(2))
+        elif m := _META_SPEC_RE.fullmatch(word):
+            fieldname = {"q": "quality"}.get(m.group(1), m.group(1))
+            out.meta_limits.append((fieldname, m.group(2), int(m.group(3))))
         elif word.startswith("?") and len(word) > 1:
             for t in tokenize(word[1:]):
                 if t not in out.priority:
@@ -550,6 +612,66 @@ class _Segment:
         return out
 
 
+def _group_tag_score(
+    seg: "_Segment",
+    cand: np.ndarray,
+    seq_ids: list[int],
+    sizes: np.ndarray,
+    w_head: float,
+    w_body: float,
+    att_head: float,
+    att_body: float,
+    scale: float,
+    head_boundary_bonus: bool,
+) -> np.ndarray:
+    """Per-candidate tag-weighted verbatim score of one phrase group
+    (VerbatimMatches full/optional-group matching, IndexResultRanking
+    Service.java:456-554): count the group's exact-adjacency matches per
+    tag (head span vs body), score w * |group| * scale *
+    (1 + ln(1 + cnt^attenuation)) per tag with matches, plus the 1.5x
+    title(=head)-boundary bonus for the full group."""
+    from ..stages.tokenize import HEAD_SPAN_TOKENS
+
+    Lg = len(seq_ids)
+    out = np.zeros(len(cand), dtype=np.float64)
+    term_docs = [seg.postings(t)[0] for t in seq_ids]
+    term_pos = [seg.positions_flat(t) for t in seq_ids]
+    head_end = np.minimum(HEAD_SPAN_TOKENS, sizes.astype(np.int64))
+    for lo in range(0, len(cand), _VERIFY_CHUNK):
+        sub = cand[lo : lo + _VERIFY_CHUNK]
+        m = len(sub)
+        ok, rows = _present_rows(term_docs, sub)
+        sel = np.flatnonzero(ok)
+        if len(sel) == 0:
+            continue
+        surv = _intersect_sequences_batched(
+            term_pos, [r[sel] for r in rows], sel.astype(np.int64)
+        )
+        if len(surv) == 0:
+            continue
+        cidx = surv // _POS_SHIFT
+        start = surv - cidx * _POS_SHIFT
+        he = head_end[lo + cidx]
+        in_head = start + Lg - 1 <= he
+        cnt_h = np.bincount(cidx[in_head], minlength=m).astype(np.float64)
+        cnt_b = np.bincount(cidx[~in_head], minlength=m).astype(np.float64)
+        sc = np.where(
+            cnt_h > 0,
+            w_head * Lg * scale * (1.0 + np.log1p(cnt_h**att_head)),
+            0.0,
+        )
+        sc += np.where(
+            cnt_b > 0,
+            w_body * Lg * scale * (1.0 + np.log1p(cnt_b**att_body)),
+            0.0,
+        )
+        if head_boundary_bonus:
+            bd = in_head & ((start == 1) | (start + Lg - 1 == he))
+            sc += 1.5 * np.bincount(cidx[bd], minlength=m).astype(np.float64)
+        out[lo : lo + m] = sc
+    return out
+
+
 def _tree_docs(seg: "_Segment", node: tuple) -> np.ndarray:
     """Sorted doc ids satisfying the And/Or tree — And intersects
     smallest-first (rarest-first heuristic, CombinedIndexReader.
@@ -693,6 +815,35 @@ class SearcherLogic:
                 mask &= sz > size_gt
             if size_lt is not None:
                 mask &= sz < size_lt
+            cand = cand[mask]
+        meta_limits = plan.get("meta_limits") or []
+        if meta_limits and len(cand):
+            # year> / rank< / q< limits on the packed document meta
+            # (ParamMatchingQueryFilter.validateParameters' year/rank/
+            # quality branches)
+            from ..functions.metadata import (
+                PUBDATE_ENCODING_OFFSET,
+                decode_quality,
+                decode_rank,
+                decode_year_byte,
+            )
+
+            fi = np.searchsorted(seg.fwd_ids, cand)
+            metas = seg.fwd_meta[fi]
+            fields = {
+                "year": PUBDATE_ENCODING_OFFSET + decode_year_byte(metas),
+                "rank": decode_rank(metas),
+                "quality": decode_quality(metas),
+            }
+            mask = np.ones(len(cand), dtype=bool)
+            for fname, op, val in meta_limits:
+                v = fields[fname]
+                if op == ">":
+                    mask &= v > val
+                elif op == "<":
+                    mask &= v < val
+                else:
+                    mask &= v == val
             cand = cand[mask]
 
         # mandatory phrase constraints — batched SequenceOperations.
@@ -871,6 +1022,63 @@ class SearcherLogic:
                 dist[lo + sel] = dmin
             score += proximity_weight * 2.0 / (0.1 + np.sqrt(dist.astype(np.float64)))
 
+        # k-term proximity (getProximitiyFac:373-383 for >2 terms): the
+        # minimal covering range over one offset position per term; only a
+        # sufficiently tight range (minDist < k + 8) earns the tapering
+        # 2/(0.1+sqrt(d)) reward, and an exact in-order adjacency
+        # (minDist == 0) earns nothing (verbatim covers it)
+        proximity_all_weight = plan.get("proximity_all_weight", 0.0)
+        if proximity_all_weight > 0 and len(include_ids) > 2 and len(cand):
+            L = len(include_ids)
+            term_docs_p = [seg.postings(t)[0] for t in include_ids]
+            term_pos_p = [seg.positions_flat(t) for t in include_ids]
+            big = np.int64(1) << 40
+            md = np.full(len(cand), big, dtype=np.int64)
+            for lo_i in range(0, len(cand), _VERIFY_CHUNK):
+                sub = cand[lo_i : lo_i + _VERIFY_CHUNK]
+                ok, rows = _present_rows(term_docs_p, sub)
+                sel = np.flatnonzero(ok)
+                if len(sel) == 0:
+                    continue
+                md[lo_i : lo_i + len(sub)] = _min_distance_k(
+                    term_pos_p, [r[sel] for r in rows], sel.astype(np.int64),
+                    len(sub),
+                )
+            fac = np.where(
+                (md > 0) & (md < L + 8),
+                2.0 / (0.1 + np.sqrt(np.maximum(md, 1).astype(np.float64))),
+                0.0,
+            )
+            score += proximity_all_weight * fac
+
+        # tag-weighted verbatim (VerbatimMatches full analog): per-tag
+        # weight table + attenuation + head-boundary bonus + single-word
+        # title rule + sqrt-scaled optional groups (the query's phrases)
+        verbatim_tag_weight = plan.get("verbatim_tag_weight", 0.0)
+        if verbatim_tag_weight > 0:
+            L = len(include_ids)
+            if L >= 2:
+                v2 = _group_tag_score(
+                    seg, cand, include_ids, sizes,
+                    VERBATIM_W_FULL_HEAD, VERBATIM_W_FULL_BODY,
+                    VERBATIM_ATT_HEAD, VERBATIM_ATT_BODY, 1.0, True,
+                )
+            elif L == 1:
+                # single-word query whose "title" (head span) is exactly
+                # that word: head length 1 <=> doc length 1
+                v2 = np.where(sizes == 1.0, VERBATIM_SINGLE_TITLE_BONUS, 0.0)
+            else:
+                v2 = np.zeros(len(cand), dtype=np.float64)
+            for p in phrase_ids:
+                if len(p) >= 2 and list(p) != list(include_ids):
+                    v2 += _group_tag_score(
+                        seg, cand, p, sizes,
+                        VERBATIM_W_PART_HEAD, VERBATIM_W_PART_BODY,
+                        VERBATIM_ATT_HEAD, VERBATIM_ATT_BODY,
+                        float(np.sqrt(len(p) / max(L, 1))), False,
+                    )
+            score += verbatim_tag_weight * v2
+
         # bFlags component (TermFlagsGraphVisitor analog, score_bFlags =
         # 0.5 x flag-presence BM25, IndexResultRankingService:139-141):
         # presence comes from the prio index, idf from the global prio df
@@ -1018,7 +1226,9 @@ class IndexSearch:
         decorate: bool = False,
         first_position_weight: float = 0.0,
         proximity_weight: float = 0.0,
+        proximity_all_weight: float = 0.0,
         verbatim_weight: float = 0.0,
+        verbatim_tag_weight: float = 0.0,
         flags_weight: float = 0.0,
         head_tf_weight: float = 0.0,
         rank_bonus_weight: float = 0.0,
@@ -1054,9 +1264,12 @@ class IndexSearch:
             "lang": cq.lang,
             "size_gt": cq.size_gt,
             "size_lt": cq.size_lt,
+            "meta_limits": cq.meta_limits,
             "first_position_weight": first_position_weight,
             "proximity_weight": proximity_weight,
+            "proximity_all_weight": proximity_all_weight,
             "verbatim_weight": verbatim_weight,
+            "verbatim_tag_weight": verbatim_tag_weight,
             "flags_weight": flags_weight,
             "head_tf_weight": head_tf_weight,
             "rank_bonus_weight": rank_bonus_weight,
