@@ -342,6 +342,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_verbatim_tags_opt"] = lambda sf: _search(
         sf, '"fast table" scan', verbatim_tag_weight=1.0
     )
+    # remaining QueryExpansion strategies
+    q["bm25_plural"] = lambda sf: _search(
+        sf, "customer merges", expand_plural=True
+    )
+    q["bm25_category"] = lambda sf: _search(
+        sf, "customer wiki", expand_category=True
+    )
+    q["bm25_wordnum"] = lambda sf: _search(
+        sf, "customer scan2", expand_wordnum=True
+    )
+    q["bm25_ngram_all"] = lambda sf: _search(
+        sf, "fast table", expand_ngram_all=True
+    )
 
     # corpus aggregates
     def _doc_length_histogram(sf):
@@ -1006,6 +1019,16 @@ def oracle_sql() -> dict[str, str]:
             phrase=["fast", "table"],
             verbatim_tag_weight=1.0,
         ),
+        "bm25_plural": _bm25_sql(
+            ["customer"], groups=[["merges", "merge"]]
+        ),
+        "bm25_category": _bm25_sql(
+            ["customer"], groups=[["wiki", "generator_wiki"]]
+        ),
+        "bm25_wordnum": _bm25_sql(
+            ["customer"], groups=[["scan2", "scan-2"]]
+        ),
+        "bm25_ngram_all": _bm25_nested_sql("fast table | fast_table"),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

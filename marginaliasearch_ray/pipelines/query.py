@@ -365,13 +365,49 @@ def expand_term(t: str) -> list[str] | None:
     return sorted(variants)
 
 
-def compile_query(q: str, expand: bool = False) -> CompiledQuery:
+# categoryKeywords substitution table (QueryExpansion.java:130-146): the
+# replacement is a single synthetic keyword; ':' maps to '_' because the
+# code-corpus tokenizer admits underscore identifiers as one token
+CATEGORY_KEYWORDS = {
+    "recipe": "category_food",
+    "recipes": "category_food",
+    "forum": "generator_forum",
+    "wiki": "generator_wiki",
+}
+
+_WORDNUM_RE = re.compile(r"^([a-z]+)([0-9]+)$|^([0-9]+)([a-z]+)$")
+
+
+def plural_variants(w: str) -> list[str]:
+    """nounPluralFormsEN analog (QueryExpansion.java:168-180): rewrite the
+    word in the other pluralization.  The reference consults a noun-form
+    dictionary; the code corpus has none, so the s-suffix rule stands in."""
+    if len(w) > 3 and w.endswith("s"):
+        return [w[:-1]]
+    if w and not w.endswith("s"):
+        return [w + "s"]
+    return []
+
+
+def compile_query(
+    q: str,
+    expand: bool = False,
+    expand_plural: bool = False,
+    expand_category: bool = False,
+    expand_wordnum: bool = False,
+    expand_ngram_all: bool = False,
+) -> CompiledQuery:
     """Parse the human query into a compiled query (QueryParser subset).
 
     Quoted phrases contribute their terms to the include set AND add a
     mandatory adjacency constraint (QueryFactory.java:100-113 analog).
     With ``expand=True``, separator-bearing include terms become OR-groups
-    of their separator variants.
+    of their separator variants.  The remaining QueryExpansion strategies
+    are separate flags: ``expand_plural`` (nounPluralFormsEN on the last
+    word), ``expand_category`` (categoryKeywords on the last word),
+    ``expand_wordnum`` (splitWordNum: letter/digit boundary -> dashed
+    variant), ``expand_ngram_all`` (ngramAll: OR the whole query against
+    its underscore-joined identifier, as a nested tree).
     """
     out = CompiledQuery()
     rest = q
@@ -436,6 +472,46 @@ def compile_query(q: str, expand: bool = False) -> CompiledQuery:
             variants = expand_term(t)
             if variants:
                 out.groups.append(variants)
+            else:
+                kept.append(t)
+        out.include = kept
+
+    # ngramAll (QueryExpansion.java:95-110): OR the whole query against
+    # one underscore-joined identifier — expressed as a nested tree
+    if (
+        expand_ngram_all
+        and len(out.include) >= 2
+        and out.tree is None
+        and not out.groups
+    ):
+        joined = "_".join(out.include)
+        out.tree = (
+            "or",
+            [("and", [("word", w) for w in out.include]), ("word", joined)],
+        )
+        out.include = []
+    # strategies rewriting the LAST query word into an OR-group of variants
+    if out.include:
+        last = out.include[-1]
+        variants: list[str] = []
+        if expand_plural:
+            variants += plural_variants(last)
+        if expand_category and last in CATEGORY_KEYWORDS:
+            variants.append(CATEGORY_KEYWORDS[last])
+        if variants:
+            out.include = out.include[:-1]
+            out.groups.append([last] + variants)
+    if expand_wordnum:
+        # splitWordNum (QueryExpansion.java:112-121): 'mp3' also matches
+        # the dashed identifier 'mp-3'
+        kept = []
+        for t in out.include:
+            m = _WORDNUM_RE.fullmatch(t)
+            if m:
+                a, b = (m.group(1), m.group(2)) if m.group(1) else (
+                    m.group(3), m.group(4)
+                )
+                out.groups.append([t, f"{a}-{b}"])
             else:
                 kept.append(t)
         out.include = kept
@@ -1236,6 +1312,10 @@ class IndexSearch:
         normalize_score: bool = False,
         temporal_bias: str = "none",
         expand: bool = False,
+        expand_plural: bool = False,
+        expand_category: bool = False,
+        expand_wordnum: bool = False,
+        expand_ngram_all: bool = False,
         budget_s: float = float("inf"),
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
@@ -1243,7 +1323,14 @@ class IndexSearch:
         :159-178); ``dedup_by_hash`` drops later results with a seen
         sha256 (ResultConverter dataHash dedup, :512-524); ``decorate``
         adds repo/path/title/data_hash columns (docdb decoration join)."""
-        cq = compile_query(query, expand=expand)
+        cq = compile_query(
+            query,
+            expand=expand,
+            expand_plural=expand_plural,
+            expand_category=expand_category,
+            expand_wordnum=expand_wordnum,
+            expand_ngram_all=expand_ngram_all,
+        )
 
         domain_range = None
         if cq.repo is not None:
