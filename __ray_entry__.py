@@ -503,6 +503,12 @@ def _tok(col: str = "text") -> str:
     return sql_tokenize_expr(col)
 
 
+def _names(col: str = "text") -> str:
+    from marginaliasearch_ray.functions.wordpattern import sql_name_like_expr
+
+    return sql_name_like_expr(col)
+
+
 def _bm25_sql(
     terms: list[str],
     k: int = 10,
@@ -730,18 +736,26 @@ def _bm25_sql(
         )
     flags_cte = ""
     if flags_weight > 0:
+        from marginaliasearch_ray.functions.wordpattern import sql_name_like_expr
+
+        tok_extra += f", {sql_name_like_expr('text')} AS nm"
+        cand_bonus += ", t.nm AS nm"
         # flag presence = early-mention Subjects bit (the only flag that
         # fires on this corpus); prio df computed over ALL docs
         flags_cte = """,
 fdf AS (
   SELECT m.term, sum(CASE WHEN list_position(t.toks, m.term)
-                          BETWEEN 1 AND 8 THEN 1 ELSE 0 END)::DOUBLE AS fdf
+                          BETWEEN 1 AND 8
+                          OR list_contains(t.nm, m.term)
+                     THEN 1 ELSE 0 END)::DOUBLE AS fdf
   FROM tok t CROSS JOIN terms m WHERE m.grp = 0 GROUP BY m.term
 )"""
         for t in terms:
             fl = (
                 f"(CASE WHEN list_position(any_value(c.toks), '{t}')"
-                f" BETWEEN 1 AND 8 THEN 1.0 ELSE 0.0 END)"
+                f" BETWEEN 1 AND 8"
+                f" OR list_contains(any_value(c.nm), '{t}')"
+                f" THEN 1.0 ELSE 0.0 END)"
             )
             fdf_t = f"(SELECT fdf FROM fdf WHERE term = '{t}')"
             contrib = sql_bm25_term_expr(
@@ -942,7 +956,8 @@ def oracle_sql() -> dict[str, str]:
         # early-mention Subjects flag fires (first occurrence <= 8)
         "prio_posting_customer": (
             f"SELECT doc_id FROM documents "
-            f"WHERE list_position({_tok()}, 'customer') BETWEEN 1 AND 8"
+            f"WHERE list_position({_tok()}, 'customer') BETWEEN 1 AND 8 "
+            f"OR list_contains({_names()}, 'customer')"
         ),
         "span_stats": f"""
             SELECT doc_id,

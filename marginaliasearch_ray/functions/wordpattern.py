@@ -136,6 +136,42 @@ def admit_word(w: str) -> bool:
     return 1 <= len(w) <= MAX_WORD_LEN and ADMIT_RE.fullmatch(w) is not None
 
 
+CASED_CANDIDATE_RE = re.compile(r"[0-9A-Za-z.\-_/:+*@#]+")
+
+# SQL fragment mirroring name_like_tokens (case-preserving candidates,
+# uppercase initial, admissible after lowering)
+SQL_CASED_CANDIDATE_PATTERN = r"[0-9A-Za-z.\-_/:+*@#]+"
+
+
+def sql_name_like_expr(text_col: str) -> str:
+    """DuckDB list of the document's name-like tokens, lowered."""
+    return (
+        "list_distinct(list_transform(list_filter("
+        f"list_transform(regexp_extract_all({text_col}, '{SQL_CASED_CANDIDATE_PATTERN}'),"
+        f" w -> regexp_replace(w, '{SQL_STRIP_PATTERN}', '', 'g')),"
+        f" w -> regexp_matches(w, '^[A-Z]')"
+        f" AND length(w) BETWEEN 1 AND {MAX_WORD_LEN}"
+        f" AND regexp_full_match(lower(w), '{SQL_ADMIT_PATTERN}')),"
+        " w -> lower(w)))"
+    )
+
+
+def name_like_tokens(text: str) -> set[str]:
+    """NameLikeKeywords analog for the code corpus: admissible tokens
+    whose raw occurrence starts with an uppercase letter (the reference
+    flags capitalized non-sentence-initial words via POS heuristics,
+    NameLikeKeywords.java; case is the code-corpus signal).  Returned
+    lowered, as a membership set."""
+    out: set[str] = set()
+    for cand in CASED_CANDIDATE_RE.findall(text):
+        w = STRIP_RE.sub("", cand)
+        if w and "A" <= w[0] <= "Z":
+            lw = w.lower()
+            if admit_word(lw):
+                out.add(lw)
+    return out
+
+
 def tokenize(text: str) -> list[str]:
     """Tokenize one document (already matches sql_tokenize_expr)."""
     out = []

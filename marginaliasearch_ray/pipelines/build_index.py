@@ -471,17 +471,20 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     # ---- phase: prio (flagged-postings reverse index, gamma/delta) ------
     if not mf.is_committed(out_dir, "prio"):
         t_phase = time.time()
-        from ..stages.prio import encode_prio_group, explode_flagged
+        from ..stages.prio import encode_prio_batch_runs, merge_prio_group
 
+        # combiner first: only gamma/delta-compressed runs shuffle (same
+        # invariant as the full reverse build)
         prio = (
             read_journal(out_dir, "reverse")
             .select_columns(["part", "combined_id", "term_ids", "term_meta"])
             .map_batches(
-                lambda b: explode_flagged(b, cfg.num_buckets),
+                lambda b: encode_prio_batch_runs(b, cfg.num_buckets),
+                batch_size=cfg.tokenize_batch_size * 32,
                 batch_format="pyarrow",
             )
             .groupby(["part", "bucket"])
-            .map_groups(encode_prio_group, batch_format="pyarrow")
+            .map_groups(merge_prio_group, batch_format="pyarrow")
         )
         prio.write_parquet(
             os.path.join(out_dir, "postings_prio"), partition_cols=["part"]

@@ -40,7 +40,7 @@ from ..functions.metadata import (
     encode_document_meta,
 )
 from ..functions.murmur import KeywordHashCache
-from ..functions.wordpattern import tokenize
+from ..functions.wordpattern import name_like_tokens, tokenize
 from ..functions import idcodec
 
 
@@ -205,12 +205,17 @@ class TokenizeStage:
                 ts = self._tokens_of(titles[d])
                 ps = self._tokens_of(paths[d])
                 rs = self._tokens_of(repos[d])
+                ns = name_like_tokens(contents[d])
                 if ts:
                     f |= np.isin(words, list(ts)) * np.int64(WordFlags.TITLE)
                 if ps:
                     f |= np.isin(words, list(ps)) * np.int64(WordFlags.URL_PATH)
                 if rs:
                     f |= np.isin(words, list(rs)) * np.int64(WordFlags.URL_DOMAIN)
+                if ns:
+                    f |= np.isin(words, list(ns)) * np.int64(
+                        WordFlags.NAMES_WORDS
+                    )
                 seg_flags[a:b] |= f
 
             seg_meta = (seg_flags & 0xFF) | seg_mask

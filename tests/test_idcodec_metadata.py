@@ -82,3 +82,45 @@ def test_make_term_meta():
     assert tm & 0xFF == 0b1000001
     assert tm & (1 << 8)  # pos 1 window
     assert tm & (1 << 9)  # pos 300 window
+
+
+def test_name_like_flag_set_and_prio_listed():
+    """NAMES_WORDS fires for capitalized occurrences (NameLikeKeywords
+    analog) and flags the posting into the prio index path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from marginaliasearch_ray.functions.metadata import WordFlags
+    from marginaliasearch_ray.functions.murmur import hash_nearly_ascii
+    from marginaliasearch_ray.functions.wordpattern import name_like_tokens
+    from marginaliasearch_ray.stages.docids import DomainRegistry
+    from marginaliasearch_ray.stages.tokenize import TokenizeStage
+
+    assert name_like_tokens("foo Bar baz QuickSort x") == {"bar", "quicksort"}
+
+    reg = DomainRegistry(["org/r"], num_parts=1)
+    stage = TokenizeStage(reg)
+    batch = pa.table(
+        {
+            "repo": pa.array(["org/r"]),
+            "path": pa.array(["src/a.py"]),
+            "commit": pa.array(["c" * 40]),
+            "lang": pa.array(["py"]),
+            "content": pa.array(["plain words then QuickSort appears here"]),
+            "ordinal": pa.array([0], pa.int32()),
+        }
+    )
+    out = stage(batch)
+    tids = out["term_ids"][0].as_py()
+    metas = out["term_meta"][0].as_py()
+    flag_of = dict(zip(tids, metas))
+    qs = hash_nearly_ascii("quicksort")
+    plain = hash_nearly_ascii("plain")
+    assert flag_of[qs] & int(WordFlags.NAMES_WORDS)
+    assert not (flag_of[plain] & int(WordFlags.NAMES_WORDS))
+
+    # flagged postings reach the prio explode
+    from marginaliasearch_ray.stages.prio import explode_flagged
+
+    rows = explode_flagged(out, num_buckets=4)
+    assert qs in rows["term_id"].to_pylist()
