@@ -432,6 +432,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         documents_corpus_dataset(sf)
     )
     q["simhash64"] = lambda sf: textops.simhash64(documents_corpus_dataset(sf))
+    q["token_counts"] = lambda sf: textops.token_counts(
+        documents_corpus_dataset(sf)
+    )
+    q["winnow_fingerprints"] = lambda sf: textops.winnow_fingerprints(
+        documents_corpus_dataset(sf)
+    )
     q["ngram_jaccard_pairs"] = lambda sf: textops.ngram_jaccard_pairs(
         documents_corpus_dataset(sf), threshold=0.5
     )
@@ -1096,6 +1102,37 @@ def oracle_sql() -> dict[str, str]:
                               / len(toks), 6)
               END AS stop_ratio_r
             FROM t
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> ''))::BIGINT AS ws_tokens,
+                   len({_tok()})::BIGINT AS word_tokens
+            FROM documents
+        """,
+        # winnowing (k=3 rolling char-polynomial hash, min per 4-window)
+        "winnow_fingerprints": f"""
+            WITH t AS (SELECT doc_id, {_tok()} AS toks FROM documents),
+            v AS (
+              SELECT doc_id,
+                [list_sum([unicode(w[i]) * i
+                           for i in generate_series(1, len(w))]) % 1000003
+                 for w in toks] AS tv
+              FROM t WHERE len(toks) >= 6
+            ),
+            g AS (
+              SELECT doc_id,
+                [(tv[j] * 17161 + tv[j+1] * 131 + tv[j+2]) % 1000000007
+                 for j in generate_series(1, len(tv) - 2)] AS kh
+              FROM v
+            ),
+            f AS (
+              SELECT doc_id,
+                list_distinct([list_min(kh[j:j+3])
+                               for j in generate_series(1, len(kh) - 3)]) AS fps
+              FROM g WHERE len(kh) >= 4
+            )
+            SELECT doc_id, unnest(fps)::BIGINT AS fp FROM f
         """,
         "ngram_jaccard_pairs": _jaccard_sql(0.5),
         "minhash_lsh_pairs": _jaccard_sql(0.5),

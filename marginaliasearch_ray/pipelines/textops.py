@@ -237,6 +237,87 @@ def simhash64(corpus_ds):
     )
 
 
+def token_counts(corpus_ds):
+    """(doc_id, ws_tokens, word_tokens) — whitespace-split token count vs
+    the admission-filtered wordpattern token count (the 'BPE-ish regex'
+    counting a training pipeline budgets with)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        ws, wp = [], []
+        for t in batch["content"].to_pylist():
+            ws.append(len(t.split()))
+            wp.append(len(tokenize(t)))
+        return pa.table(
+            {
+                "doc_id": batch["ordinal"].cast(pa.int64()),
+                "ws_tokens": pa.array(ws, pa.int64()),
+                "word_tokens": pa.array(wp, pa.int64()),
+            }
+        )
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+# Winnowing fingerprint parameters (Schleimer et al., "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003): k-gram rolling
+# hashes, min per w-window.  The hash is a positional char polynomial so
+# a DuckDB oracle can recompute it exactly (murmur is not SQL-expressible).
+WINNOW_K = 3
+WINNOW_W = 4
+_WINNOW_TOK_P = 1_000_003
+_WINNOW_B = 131
+_WINNOW_P = 1_000_000_007
+
+
+def _tokval(w: str) -> int:
+    return sum(ord(c) * (i + 1) for i, c in enumerate(w)) % _WINNOW_TOK_P
+
+
+def winnow_fingerprints(corpus_ds, k: int = WINNOW_K, w: int = WINNOW_W):
+    """(doc_id, fp) — distinct winnowing fingerprints per document:
+    k-gram rolling hashes over token values, minimum per sliding window
+    of w hashes.  Deterministic, SQL-reproducible document fingerprinting
+    (rolling-hash family)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    assert k == 3, "rolling hash unrolled for k=3"
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out_doc, out_fp = [], []
+        # per-batch token-value cache: Zipfian vocab makes most lookups hits
+        cache: dict[str, int] = {}
+        for d, t in zip(batch["ordinal"].to_pylist(), batch["content"].to_pylist()):
+            toks = tokenize(t)
+            if len(toks) < k + w - 1:
+                continue
+            tv = np.fromiter(
+                (
+                    cache.get(x) or cache.setdefault(x, _tokval(x))
+                    for x in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            kh = (
+                tv[:-2] * (_WINNOW_B * _WINNOW_B) + tv[1:-1] * _WINNOW_B + tv[2:]
+            ) % _WINNOW_P
+            mins = np.unique(sliding_window_view(kh, w).min(axis=1))
+            out_doc.extend([int(d)] * len(mins))
+            out_fp.extend(mins.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "fp": pa.array(out_fp, pa.int64()),
+            }
+        )
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup: n-gram shingle Jaccard (exact) and MinHash-LSH (scale path)
 
