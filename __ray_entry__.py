@@ -79,6 +79,11 @@ REFERENCE_QUERIES = [
     "scan size>40",
     "customer ?merge",
     "nosuchterm12345",
+    "customer ( merge | sort ( table | scan ) )",
+    "scan filter | customer merge",
+    "customer lang:en",
+    "customer year>2010",
+    "customer ?org:src1",
 ]
 
 
@@ -355,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_ngram_all"] = lambda sf: _search(
         sf, "fast table", expand_ngram_all=True
     )
+    # ?org:<prefix> priority-domain boost (?tld: analog)
+    q["bm25_priority_org"] = lambda sf: _search(sf, "customer ?org:src1")
 
     # corpus aggregates
     def _doc_length_histogram(sf):
@@ -537,6 +544,7 @@ def _bm25_sql(
     temporal_bias: str = "none",
     lang: str | None = None,
     meta_limits: list[tuple[str, str, int]] | None = None,
+    priority_org: str | None = None,
     proximity_all_weight: float = 0.0,
     verbatim_tag_weight: float = 0.0,
 ) -> str:
@@ -774,6 +782,13 @@ fdf AS (
         if decorate
         else ""
     )
+    if priority_org is not None:
+        from marginaliasearch_ray.pipelines.query import PRIORITY_DOMAIN_WEIGHT
+
+        fp_expr += (
+            f" + CASE WHEN starts_with(any_value(c.source), '{priority_org}')"
+            f" THEN {PRIORITY_DOMAIN_WEIGHT} ELSE 0.0 END"
+        )
     if document_bonus_weight > 0:
         fp_expr += f" + {document_bonus_weight} * any_value(c.bonus)"
     scored = f"""
@@ -1050,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
             ["customer"], groups=[["scan2", "scan-2"]]
         ),
         "bm25_ngram_all": _bm25_nested_sql("fast table | fast_table"),
+        "bm25_priority_org": _bm25_sql(["customer"], priority_org="src1"),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

@@ -50,6 +50,7 @@ class CompiledQuery:
     tree: tuple | None = None
     repo: str | None = None
     lang: str | None = None  # lang:xx — per-language journal partition filter
+    priority_orgs: list[str] = field(default_factory=list)  # ?org:<prefix>
     size_gt: int | None = None  # size>N spec limit (QueryParser year>/size< analog)
     size_lt: int | None = None
     # ParamMatchingQueryFilter meta limits (CombinedIndexReader.java:349-450):
@@ -217,6 +218,12 @@ VERBATIM_W_PART_BODY = 0.5  # BODY -> 0.5f
 VERBATIM_ATT_HEAD = 1.0  # default attenuation
 VERBATIM_ATT_BODY = 0.5  # BODY/HEADING -> 0.5f
 VERBATIM_SINGLE_TITLE_BONUS = 4.0  # single-word title == query -> +4
+
+# ?tld: analog for the code corpus: '?org:<prefix>' boosts documents whose
+# repo (domain) name starts with the prefix — the reference's
+# priorityDomainIds adjustment (QueryFactory '?tld:se' patterns ->
+# SearchContext.priorityDomainIds, IndexResultRankingService.java:150-153)
+PRIORITY_DOMAIN_WEIGHT = 0.5
 
 
 def _membership(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
@@ -442,6 +449,8 @@ def compile_query(
         elif m := _META_SPEC_RE.fullmatch(word):
             fieldname = {"q": "quality"}.get(m.group(1), m.group(1))
             out.meta_limits.append((fieldname, m.group(2), int(m.group(3))))
+        elif word.startswith("?org:") and len(word) > 5:
+            out.priority_orgs.append(word[5:])
         elif word.startswith("?") and len(word) > 1:
             for t in tokenize(word[1:]):
                 if t not in out.priority:
@@ -1189,6 +1198,16 @@ class SearcherLogic:
                 0.0,
             )
 
+        # priority-domain boost (?org:<prefix> -> priorityDomainIds,
+        # IndexResultRankingService.java:150-153): flat adjustment where
+        # the candidate's domain id is in the prioritized set
+        prio_domains = plan.get("priority_domains")
+        if prio_domains:
+            dom = idcodec.get_domain_id(cand)
+            score += PRIORITY_DOMAIN_WEIGHT * np.isin(
+                dom, np.asarray(prio_domains, dtype=np.int64)
+            ).astype(np.float64)
+
         # document rank bonus (calculateDocumentBonus:281-358 subset):
         # w * (255 - rank_field)/100, rank from the packed document meta
         rank_bonus_weight = plan.get("rank_bonus_weight", 0.0)
@@ -1367,6 +1386,12 @@ class IndexSearch:
             "budget_s": budget_s,
             "k": k,
         }
+        if cq.priority_orgs:
+            plan["priority_domains"] = sorted(
+                d
+                for r, (d, _rk, _p) in self._registry.items()
+                if any(r.startswith(o) for o in cq.priority_orgs)
+            )
         if flags_weight > 0:
             pdfs = self._call("local_prio_df", plan["include_ids"])
             plan["prio_df"] = {
