@@ -696,6 +696,27 @@ def _bm25_sql(
             f" THEN {proximity_all_weight} * 2.0 / (0.1 + sqrt({md}))"
             f" ELSE 0.0 END"
         )
+        # all-terms-in-title(=head) bonus: each keyword once in the head
+        # span and no full verbatim match there
+        he = "least(16, len(any_value(c.toks)))"
+        obs = " + ".join(
+            f"len([i for i in {_tok_positions(t, 0)} if i <= {he}])"
+            for t in terms
+        )
+        vb_conds = " AND ".join(
+            f"any_value(c.toks)[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        vb_cnt = (
+            f"len([i for i in generate_series(1,"
+            f" len(any_value(c.toks)) - {kL - 1})"
+            f" if ({vb_conds}) AND i + {kL - 1} <= {he}])"
+        )
+        fp_expr += (
+            f" + CASE WHEN ({obs}) = {kL} AND {vb_cnt} = 0"
+            f" THEN {proximity_all_weight} * ({obs})"
+            f" * (2.5 + 2.0 / greatest(1, {he}))"
+            f" ELSE 0.0 END"
+        )
 
     def _starts_sql(seq: list[str]) -> str:
         conds = " AND ".join(

@@ -1134,6 +1134,40 @@ class SearcherLogic:
                 2.0 / (0.1 + np.sqrt(np.maximum(md, 1).astype(np.float64))),
                 0.0,
             )
+            # all-terms-in-title(=head) bonus (getProximitiyFac:387-392):
+            # when each keyword appears exactly once inside the head span
+            # and the full phrase does NOT verbatim-match there, add
+            # obs * (2.5 + 2/max(1, title_len))
+            he = np.minimum(HEAD_SPAN_TOKENS, sizes.astype(np.int64))
+            obs = np.zeros(len(cand), dtype=np.int64)
+            for j, t in enumerate(include_ids):
+                docs_t = term_docs_p[j]
+                ix = np.searchsorted(docs_t, cand)
+                flat, offs = term_pos_p[j]
+                vals, lens = _gather_ragged(flat, offs, np.minimum(ix, len(offs) - 2))
+                cidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+                obs += np.bincount(cidx[vals <= he[cidx]], minlength=len(cand))
+            vb_head = np.zeros(len(cand), dtype=bool)
+            for lo_i in range(0, len(cand), _VERIFY_CHUNK):
+                sub = cand[lo_i : lo_i + _VERIFY_CHUNK]
+                ok, rows = _present_rows(term_docs_p, sub)
+                sel = np.flatnonzero(ok)
+                if len(sel) == 0:
+                    continue
+                surv = _intersect_sequences_batched(
+                    term_pos_p, [r[sel] for r in rows], sel.astype(np.int64)
+                )
+                if len(surv) == 0:
+                    continue
+                cidx2 = surv // _POS_SHIFT
+                start = surv - cidx2 * _POS_SHIFT
+                inh = start + L - 1 <= he[lo_i + cidx2]
+                vb_head[lo_i + cidx2[inh]] = True
+            fac += np.where(
+                (obs == L) & ~vb_head,
+                obs * (2.5 + 2.0 / np.maximum(1, he).astype(np.float64)),
+                0.0,
+            )
             score += proximity_all_weight * fac
 
         # tag-weighted verbatim (VerbatimMatches full analog): per-tag

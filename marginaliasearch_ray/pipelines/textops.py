@@ -370,18 +370,21 @@ def shingle_sets(corpus_ds):
     )
 
 
-def _shingle_rows(batch: pa.Table) -> pa.Table:
-    doc_ids, sh_hash = [], []
-    for d, t in zip(
-        batch["ordinal"].to_pylist(), batch["content"].to_pylist()
-    ):
-        for s in shingles_of(tokenize(t)):
-            doc_ids.append(int(d))
-            sh_hash.append(hash_nearly_ascii(s))
+def _explode_sets(batch: pa.Table) -> pa.Table:
+    """(doc_id, sh blob) rows -> exploded (doc_id, shingle) rows — one
+    vectorized decode, no re-tokenization of the corpus."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    blobs = batch["sh"].to_pylist()
+    lens = np.array([len(b) // 8 for b in blobs], dtype=np.int64)
+    flat = (
+        np.frombuffer(b"".join(blobs), dtype=np.int64)
+        if lens.sum()
+        else np.empty(0, dtype=np.int64)
+    )
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "shingle": pa.array(sh_hash, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            "shingle": pa.array(flat, pa.int64()),
         }
     )
 
@@ -451,10 +454,13 @@ def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5):
     """
     from ray.data.aggregate import Count
 
-    sets_ds = shingle_sets(corpus_ds)
+    # ONE tokenize+shingle pass; the compact hash-set dataset feeds
+    # candidate generation AND both verification join sides.  (At 10^12
+    # docs, write this dataset to partitioned Parquet once instead of
+    # materializing — same single-pass structure.)
+    sets_ds = shingle_sets(corpus_ds).materialize()
     candidates = (
-        corpus_ds.select_columns(["content", "ordinal"])
-        .map_batches(_shingle_rows, batch_format="pyarrow")
+        sets_ds.map_batches(_explode_sets, batch_format="pyarrow")
         .groupby("shingle")
         .map_groups(_pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
@@ -619,11 +625,24 @@ def minhash_lsh_pairs(corpus_ds, threshold: float = 0.5):
     from ray.data.aggregate import Count
 
     rows_per_band = NUM_PERM // LSH_BANDS
+    a, b = _perm_coeffs()
+
+    # ONE tokenize+shingle pass: signatures derive from the compact
+    # shingle-hash blobs, which also serve both verification join sides
+    sets_ds = shingle_sets(corpus_ds).materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        sig = np.array(batch["sig"].to_pylist(), dtype=np.int64)
         n = len(ids)
+        sig = np.zeros((n, NUM_PERM), dtype=np.int64)
+        for i, blob in enumerate(batch["sh"].to_pylist()):
+            if not blob:
+                continue
+            x = np.frombuffer(blob, dtype=np.int64).astype(np.uint64)[:, None]
+            xr = x % np.uint64(_MERS_P)
+            sig[i] = ((xr * a + b) % np.uint64(_MERS_P)).min(axis=0).astype(
+                np.int64
+            )
         sig = sig.reshape(n, LSH_BANDS, rows_per_band)
         bh = np.zeros((n, LSH_BANDS), dtype=np.int64)
         for r in range(rows_per_band):
@@ -638,16 +657,11 @@ def minhash_lsh_pairs(corpus_ds, threshold: float = 0.5):
         )
 
     candidates = (
-        minhash_signatures(corpus_ds)
-        .map_batches(band_rows, batch_format="pyarrow")
+        sets_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bh"])
         .map_groups(_pairs_of_group, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="nbands"))
         .select_columns(["doc_a", "doc_b"])
     )
-
-    # exact verification against the true shingle sets: the same
-    # hash-partitioned joins as the exact pipeline — the corpus never
-    # materializes on the driver
-    return _verify_pairs(candidates, shingle_sets(corpus_ds), threshold)
+    return _verify_pairs(candidates, sets_ds, threshold)
