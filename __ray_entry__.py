@@ -89,7 +89,7 @@ REFERENCE_QUERIES = [
 
 # bump whenever the on-disk index format changes so a stale /tmp cache
 # from an older code revision can never be read by newer code
-INDEX_FORMAT_VERSION = 5  # v5: per-language journal partitioning
+INDEX_FORMAT_VERSION = 6  # v6: lang_index dir replaces journal lang sub-partitioning
 
 
 def _index_dir_for(sf_dir: str) -> str:

@@ -156,12 +156,20 @@ def sql_name_like_expr(text_col: str) -> str:
     )
 
 
+_HAS_UPPER_RE = re.compile(r"[A-Z]")
+
+
 def name_like_tokens(text: str) -> set[str]:
     """NameLikeKeywords analog for the code corpus: admissible tokens
     whose raw occurrence starts with an uppercase letter (the reference
     flags capitalized non-sentence-initial words via POS heuristics,
     NameLikeKeywords.java; case is the code-corpus signal).  Returned
-    lowered, as a membership set."""
+    lowered, as a membership set.
+
+    One C-level uppercase scan short-circuits the (second) tokenize pass
+    on all-lowercase documents — the overwhelmingly common case."""
+    if _HAS_UPPER_RE.search(text) is None:
+        return set()
     out: set[str] = set()
     for cand in CASED_CANDIDATE_RE.findall(text):
         w = STRIP_RE.sub("", cand)

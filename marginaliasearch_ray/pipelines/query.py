@@ -647,13 +647,13 @@ class _Segment:
 
     def lang_ids(self, lang: str) -> np.ndarray:
         """Sorted combined ids of one language — a PRUNED read: only this
-        part's ``journal/part=p/lang=<lang>`` dir is listed (per-language
+        part's ``lang_index/part=p/lang=<lang>`` dir is listed (per-language
         journal partitioning, IndexJournal.java:15-17,28-34), decoded once
         and cached."""
         cached = self._lang_ids.get(lang)
         if cached is None:
             d = os.path.join(
-                self.out_dir, "journal", f"part={self.part}", f"lang={lang}"
+                self.out_dir, "lang_index", f"part={self.part}", f"lang={lang}"
             )
             if os.path.isdir(d):
                 cached = np.sort(
