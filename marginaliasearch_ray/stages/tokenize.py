@@ -61,7 +61,11 @@ def _is_comment_line(line: str) -> bool:
 def tokenize_with_spans(content: str) -> tuple[list[str], list[int], list[list[int]]]:
     """Tokenize line-by-line (identical token stream — newlines always
     separate tokens) and record per-tag spans as flattened [start, end)
-    1-based position pairs."""
+    1-based position pairs.
+
+    (A single-finditer whole-document variant was measured ~25% SLOWER —
+    re.findall's C-level string list beats per-match objects — so the
+    per-line findall stays.)"""
     toks: list[str] = []
     comment_pairs: list[int] = []
     pos = 1
