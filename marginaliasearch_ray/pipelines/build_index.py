@@ -473,7 +473,12 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
 
         _stats_phase(
             rd.read_parquet(
-                os.path.join(out_dir, "postings"), columns=["term_id", "df"]
+                os.path.join(out_dir, "postings"),
+                columns=["term_id", "df"],
+                # the postings metadata is vocab-sized: ncpu-proportional
+                # blocks instead of one per segment file halve the
+                # aggregate's per-block overhead (measured 2x at 480k docs)
+                override_num_blocks=max(2 * ncpu, 8),
             ).map_batches(seg_partials, batch_format="pyarrow")
         )
 

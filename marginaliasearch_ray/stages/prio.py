@@ -60,10 +60,15 @@ _EMPTY_PRIO = {
 
 def encode_prio_batch_runs(batch: pa.Table, num_buckets: int) -> pa.Table:
     """Per-batch combiner (the prio analog of EncodeBatchRuns): flagged
-    postings are grouped by (part, term) and gamma/delta-encoded INSIDE
-    the batch, so the prio shuffle moves compressed runs — never raw
-    (term, doc) rows — restoring the build's 'raw postings never shuffle'
-    invariant (VERDICT r1 'what's wrong' item 8)."""
+    postings are grouped by (part, term) and delta+varint-encoded INSIDE
+    the batch in ONE vectorized pass, so the prio shuffle moves compressed
+    runs — never raw (term, doc) rows (VERDICT r1 'what's wrong' item 8).
+
+    The wire format of runs is the cheap varint stream (encode_stream_blob
+    — one call per batch); the expensive Elias gamma/delta prio format is
+    applied only ONCE per term, to the final merged posting."""
+    from ..functions.codecs import encode_stream_blob
+
     rows = explode_flagged(batch, num_buckets)
     if len(rows) == 0:
         return pa.table(_EMPTY_PRIO)
@@ -76,13 +81,14 @@ def encode_prio_batch_runs(batch: pa.Table, num_buckets: int) -> pa.Table:
     seg[1:] = (part_s[1:] != part_s[:-1]) | (tids_s[1:] != tids_s[:-1])
     starts = np.flatnonzero(seg)
     bounds = np.append(starts, len(order))
-    blobs = [
-        encode_prio_doc_ids(docs_s[bounds[k] : bounds[k + 1]])
-        for k in range(len(starts))
-    ]
     # (term, doc) pairs are unique within a journal batch, so run df is
     # exactly the run length
     dfs = np.diff(bounds)
+    dd = np.empty(len(docs_s), dtype=np.int64)
+    dd[1:] = docs_s[1:] - docs_s[:-1]
+    dd[starts] = docs_s[starts] + 1  # prev = -1 per run
+    blob, offs = encode_stream_blob(dd, dfs)
+    blobs = [blob[offs[k] : offs[k + 1]] for k in range(len(starts))]
     return pa.table(
         {
             "part": pa.array(part_s[starts], pa.int32()),
@@ -95,37 +101,59 @@ def encode_prio_batch_runs(batch: pa.Table, num_buckets: int) -> pa.Table:
 
 
 def merge_prio_group(group: pa.Table) -> pa.Table:
-    """One (part, bucket) group of encoded runs -> one posting row per
-    term: decode each term's runs, sorted-union the doc ids, re-encode.
-    Mirrors PrioPreindex merge semantics (distinct docs, ascending)."""
-    from ..functions.prio_codec import decode_prio_doc_ids
+    """One (part, bucket) group of varint runs -> one gamma/delta prio
+    posting row per term.  All runs decode in ONE vectorized varint pass
+    (MergeWorker's decode shape); per-term sorted-union then the final
+    prio encoding, once per term.  Mirrors PrioPreindex merge semantics
+    (distinct docs, ascending, rank-major)."""
+    from ..functions.codecs import decode_varints
 
     if len(group) == 0:
         return pa.table(_EMPTY_PRIO)
     tids = group["term_id"].to_numpy(zero_copy_only=False)
     order = np.argsort(tids, kind="stable")
     tids_s = tids[order]
+    dfs_s = group["df"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
     blob_col = group["docs"].combine_chunks()
-    uniq, starts = np.unique(tids_s, return_index=True)
-    bounds = np.append(starts, len(tids_s))
+    all_bytes = b"".join(
+        memoryview(blob_col[int(i)].as_buffer()) for i in order
+    )
+
+    vals = decode_varints(all_bytes).astype(np.int64)
+    nvals = dfs_s + 1
+    hdr_start = np.cumsum(nvals) - nvals
+    hdr_mask = np.zeros(len(vals), dtype=bool)
+    hdr_mask[hdr_start] = True
+    deltas = vals[~hdr_mask]
+    run_start = np.cumsum(dfs_s) - dfs_s
+    g = np.cumsum(deltas)
+    base = np.repeat(g[run_start] - deltas[run_start], dfs_s)
+    docs_flat = g - base - 1
+
+    terms_flat = np.repeat(tids_s, dfs_s)
+    o = np.lexsort((docs_flat, terms_flat))
+    t_m = terms_flat[o]
+    d_m = docs_flat[o]
+    keep = np.ones(len(o), dtype=bool)
+    keep[1:] = (t_m[1:] != t_m[:-1]) | (d_m[1:] != d_m[:-1])
+    t_m, d_m = t_m[keep], d_m[keep]
+
+    uniq, u_starts = np.unique(t_m, return_index=True)
+    u_bounds = np.append(u_starts, len(t_m))
     part = group["part"][0].as_py()
     bucket = group["bucket"][0].as_py()
-    blobs, dfs = [], []
-    for k in range(len(uniq)):
-        runs = [
-            decode_prio_doc_ids(memoryview(blob_col[int(order[i])].as_buffer()))
-            for i in range(int(bounds[k]), int(bounds[k + 1]))
-        ]
-        all_docs = np.unique(np.concatenate(runs)) if len(runs) > 1 else runs[0]
-        blobs.append(encode_prio_doc_ids(all_docs))
-        dfs.append(int(len(all_docs)))
+    blobs = [
+        encode_prio_doc_ids(d_m[u_bounds[k] : u_bounds[k + 1]])
+        for k in range(len(uniq))
+    ]
+    dfs_out = np.diff(u_bounds)
     n = len(uniq)
     return pa.table(
         {
             "part": pa.array(np.full(n, part, dtype=np.int32), pa.int32()),
             "bucket": pa.array(np.full(n, bucket, dtype=np.int32), pa.int32()),
             "term_id": pa.array(uniq, pa.int64()),
-            "df": pa.array(dfs, pa.int64()),
+            "df": pa.array(dfs_out, pa.int64()),
             "docs": pa.array(blobs, pa.binary()),
         }
     )
