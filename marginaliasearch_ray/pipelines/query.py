@@ -315,7 +315,10 @@ def _min_distance_k(
     for j, (flat, offs) in enumerate(term_pos):
         vals, lens = _gather_ragged(flat, offs, rows_per_term[j])
         cidx = np.repeat(sel, lens)
-        keys_all.append(cidx * _POS_SHIFT + (vals - j))
+        # +k bias keeps offset positions strictly positive (a term at
+        # position <= its index would otherwise bleed into the previous
+        # candidate's key band); the spread is shift-invariant
+        keys_all.append(cidx * _POS_SHIFT + (vals - j + k))
         term_tag.append(np.full(len(vals), j, dtype=np.int64))
     keys = np.concatenate(keys_all)
     tags = np.concatenate(term_tag)
@@ -697,6 +700,32 @@ class _Segment:
         return out
 
 
+def _adjacency_keys(
+    seg: "_Segment", cand: np.ndarray, seq_ids: list[int]
+) -> np.ndarray:
+    """Surviving (candidate, start) keys of the exact-adjacency match of
+    ``seq_ids`` over ALL candidates — global candidate indices, sorted.
+    Computed once per query and shared by the verbatim/proximity/tag-score
+    consumers."""
+    term_docs = [seg.postings(t)[0] for t in seq_ids]
+    term_pos = [seg.positions_flat(t) for t in seq_ids]
+    parts: list[np.ndarray] = []
+    for lo in range(0, len(cand), _VERIFY_CHUNK):
+        sub = cand[lo : lo + _VERIFY_CHUNK]
+        ok, rows = _present_rows(term_docs, sub)
+        sel = np.flatnonzero(ok)
+        if len(sel) == 0:
+            continue
+        surv = _intersect_sequences_batched(
+            term_pos, [r[sel] for r in rows], sel.astype(np.int64) + lo
+        )
+        if len(surv):
+            parts.append(surv)
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
+
+
 def _group_tag_score(
     seg: "_Segment",
     cand: np.ndarray,
@@ -708,6 +737,7 @@ def _group_tag_score(
     att_body: float,
     scale: float,
     head_boundary_bonus: bool,
+    keys: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-candidate tag-weighted verbatim score of one phrase group
     (VerbatimMatches full/optional-group matching, IndexResultRanking
@@ -718,42 +748,31 @@ def _group_tag_score(
     from ..stages.tokenize import HEAD_SPAN_TOKENS
 
     Lg = len(seq_ids)
-    out = np.zeros(len(cand), dtype=np.float64)
-    term_docs = [seg.postings(t)[0] for t in seq_ids]
-    term_pos = [seg.positions_flat(t) for t in seq_ids]
+    n = len(cand)
+    if keys is None:
+        keys = _adjacency_keys(seg, cand, seq_ids)
+    if len(keys) == 0:
+        return np.zeros(n, dtype=np.float64)
     head_end = np.minimum(HEAD_SPAN_TOKENS, sizes.astype(np.int64))
-    for lo in range(0, len(cand), _VERIFY_CHUNK):
-        sub = cand[lo : lo + _VERIFY_CHUNK]
-        m = len(sub)
-        ok, rows = _present_rows(term_docs, sub)
-        sel = np.flatnonzero(ok)
-        if len(sel) == 0:
-            continue
-        surv = _intersect_sequences_batched(
-            term_pos, [r[sel] for r in rows], sel.astype(np.int64)
-        )
-        if len(surv) == 0:
-            continue
-        cidx = surv // _POS_SHIFT
-        start = surv - cidx * _POS_SHIFT
-        he = head_end[lo + cidx]
-        in_head = start + Lg - 1 <= he
-        cnt_h = np.bincount(cidx[in_head], minlength=m).astype(np.float64)
-        cnt_b = np.bincount(cidx[~in_head], minlength=m).astype(np.float64)
-        sc = np.where(
-            cnt_h > 0,
-            w_head * Lg * scale * (1.0 + np.log1p(cnt_h**att_head)),
-            0.0,
-        )
-        sc += np.where(
-            cnt_b > 0,
-            w_body * Lg * scale * (1.0 + np.log1p(cnt_b**att_body)),
-            0.0,
-        )
-        if head_boundary_bonus:
-            bd = in_head & ((start == 1) | (start + Lg - 1 == he))
-            sc += 1.5 * np.bincount(cidx[bd], minlength=m).astype(np.float64)
-        out[lo : lo + m] = sc
+    cidx = keys // _POS_SHIFT
+    start = keys - cidx * _POS_SHIFT
+    he = head_end[cidx]
+    in_head = start + Lg - 1 <= he
+    cnt_h = np.bincount(cidx[in_head], minlength=n).astype(np.float64)
+    cnt_b = np.bincount(cidx[~in_head], minlength=n).astype(np.float64)
+    out = np.where(
+        cnt_h > 0,
+        w_head * Lg * scale * (1.0 + np.log1p(cnt_h**att_head)),
+        0.0,
+    )
+    out += np.where(
+        cnt_b > 0,
+        w_body * Lg * scale * (1.0 + np.log1p(cnt_b**att_body)),
+        0.0,
+    )
+    if head_boundary_bonus:
+        bd = in_head & ((start == 1) | (start + Lg - 1 == he))
+        out += 1.5 * np.bincount(cidx[bd], minlength=n).astype(np.float64)
     return out
 
 
@@ -1026,33 +1045,32 @@ class SearcherLogic:
                 fp = np.maximum(fp, firsts[ix].astype(np.float64))
             score += first_position_weight / np.sqrt(np.maximum(fp, 1.0))
 
+        # exact-adjacency keys of the include sequence, computed at most
+        # ONCE per query and shared by the verbatim v1 / verbatim-tags /
+        # proximity title-check consumers (review finding: was 3x)
+        _adj_memo: list[np.ndarray] = []
+
+        def _include_adjacency() -> np.ndarray:
+            if not _adj_memo:
+                _adj_memo.append(_adjacency_keys(seg, cand, include_ids))
+            return _adj_memo[0]
+
         # verbatim component (VerbatimMatches analog, IndexResultRanking
         # Service:406-554 simplified): bonus when the include terms occur
         # as an exact adjacent phrase; x1.5 when a match starts inside the
         # head span (title-boundary bonus analog, :509-513)
         verbatim_weight = plan.get("verbatim_weight", 0.0)
         if verbatim_weight > 0 and len(include_ids) >= 2:
-            term_docs_v = [seg.postings(t)[0] for t in include_ids]
-            term_pos_v = [seg.positions_flat(t) for t in include_ids]
+            keys_v = _include_adjacency()
             vbonus = np.zeros(len(cand), dtype=np.float64)
-            for lo in range(0, len(cand), _VERIFY_CHUNK):
-                sub = cand[lo : lo + _VERIFY_CHUNK]
-                ok, rows = _present_rows(term_docs_v, sub)
-                sel = np.flatnonzero(ok)
-                if len(sel) == 0:
-                    continue
-                surv = _intersect_sequences_batched(
-                    term_pos_v, [r[sel] for r in rows], sel.astype(np.int64)
-                )
-                if len(surv) == 0:
-                    continue
-                cidx = surv // _POS_SHIFT
-                start = surv - cidx * _POS_SHIFT
-                has = np.zeros(len(sub), dtype=bool)
+            if len(keys_v):
+                cidx = keys_v // _POS_SHIFT
+                start = keys_v - cidx * _POS_SHIFT
+                has = np.zeros(len(cand), dtype=bool)
                 has[cidx] = True
-                inh = np.zeros(len(sub), dtype=bool)
+                inh = np.zeros(len(cand), dtype=bool)
                 inh[cidx[start <= HEAD_SPAN_TOKENS]] = True
-                vbonus[lo : lo + len(sub)] = np.where(
+                vbonus = np.where(
                     has, verbatim_weight * np.where(inh, 1.5, 1.0), 0.0
                 )
             score += vbonus
@@ -1135,8 +1153,10 @@ class SearcherLogic:
                 0.0,
             )
             # all-terms-in-title(=head) bonus (getProximitiyFac:387-392):
-            # when each keyword appears exactly once inside the head span
-            # and the full phrase does NOT verbatim-match there, add
+            # when the TOTAL head-span observation count equals the
+            # keyword count (the reference's aggregate condition,
+            # observationsByTag[tag] == searchableKeywordCount) and the
+            # full phrase does NOT verbatim-match there, add
             # obs * (2.5 + 2/max(1, title_len))
             he = np.minimum(HEAD_SPAN_TOKENS, sizes.astype(np.int64))
             obs = np.zeros(len(cand), dtype=np.int64)
@@ -1148,21 +1168,12 @@ class SearcherLogic:
                 cidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
                 obs += np.bincount(cidx[vals <= he[cidx]], minlength=len(cand))
             vb_head = np.zeros(len(cand), dtype=bool)
-            for lo_i in range(0, len(cand), _VERIFY_CHUNK):
-                sub = cand[lo_i : lo_i + _VERIFY_CHUNK]
-                ok, rows = _present_rows(term_docs_p, sub)
-                sel = np.flatnonzero(ok)
-                if len(sel) == 0:
-                    continue
-                surv = _intersect_sequences_batched(
-                    term_pos_p, [r[sel] for r in rows], sel.astype(np.int64)
-                )
-                if len(surv) == 0:
-                    continue
-                cidx2 = surv // _POS_SHIFT
-                start = surv - cidx2 * _POS_SHIFT
-                inh = start + L - 1 <= he[lo_i + cidx2]
-                vb_head[lo_i + cidx2[inh]] = True
+            keys_p = _include_adjacency()
+            if len(keys_p):
+                cidx2 = keys_p // _POS_SHIFT
+                start = keys_p - cidx2 * _POS_SHIFT
+                inh = start + L - 1 <= he[cidx2]
+                vb_head[cidx2[inh]] = True
             fac += np.where(
                 (obs == L) & ~vb_head,
                 obs * (2.5 + 2.0 / np.maximum(1, he).astype(np.float64)),
@@ -1181,6 +1192,7 @@ class SearcherLogic:
                     seg, cand, include_ids, sizes,
                     VERBATIM_W_FULL_HEAD, VERBATIM_W_FULL_BODY,
                     VERBATIM_ATT_HEAD, VERBATIM_ATT_BODY, 1.0, True,
+                    keys=_include_adjacency(),
                 )
             elif L == 1:
                 # single-word query whose "title" (head span) is exactly

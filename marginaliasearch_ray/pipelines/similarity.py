@@ -134,10 +134,24 @@ def _ann_cache_dir(sf_dir: str) -> str:
     import hashlib
     import os
 
+    # mtime+size of the source file in the tag: regenerated embeddings at
+    # the same path can never serve a stale bucketed store
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     tag = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}@ann{ANN_FORMAT_VERSION}".encode()
+        f"{os.path.abspath(sf_dir)}@ann{ANN_FORMAT_VERSION}"
+        f"@{st.st_mtime_ns}@{st.st_size}".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp/msray_ann_cache", tag)
+
+
+def _commit_ann_dir(tmp: str, out: str) -> None:
+    """Atomic publish: a crashed build leaves only the .building dir, so a
+    rerun never appends duplicate vector files into live bucket dirs."""
+    import os
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
 
 
 def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> str:
@@ -154,6 +168,10 @@ def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> str:
     out = os.path.join(_ann_cache_dir(sf_dir), f"ivf{n_centroids}")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
+    tmp = out + ".building"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     first = next(
@@ -162,7 +180,7 @@ def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> str:
     _, mat0 = _batch_matrix(pa.Table.from_batches([first]))
     cents = mat0 / np.linalg.norm(mat0, axis=1, keepdims=True)
 
-    os.makedirs(out, exist_ok=True)
+    os.makedirs(tmp, exist_ok=True)
     pq.write_table(
         pa.table(
             {
@@ -170,7 +188,7 @@ def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> str:
                 "vec": pa.array(cents.tolist(), pa.list_(pa.float64())),
             }
         ),
-        os.path.join(out, "centroids.parquet"),
+        os.path.join(tmp, "centroids.parquet"),
     )
 
     ref = ray.put(cents)
@@ -185,9 +203,10 @@ def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> str:
     ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(assign, batch_format="pyarrow").write_parquet(
-        os.path.join(out, "vectors"), partition_cols=["bucket"]
+        os.path.join(tmp, "vectors"), partition_cols=["bucket"]
     )
-    open(os.path.join(out, "_DONE"), "w").close()
+    open(os.path.join(tmp, "_DONE"), "w").close()
+    _commit_ann_dir(tmp, out)
     return out
 
 
@@ -309,7 +328,11 @@ def build_lsh_index(sf_dir: str, n_planes: int = 8) -> str:
     out = os.path.join(_ann_cache_dir(sf_dir), f"lsh{n_planes}")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
-    os.makedirs(out, exist_ok=True)
+    tmp = out + ".building"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
 
     def assign(batch: pa.Table) -> pa.Table:
         _, mat = _batch_matrix(batch)
@@ -322,9 +345,10 @@ def build_lsh_index(sf_dir: str, n_planes: int = 8) -> str:
     ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(assign, batch_format="pyarrow").write_parquet(
-        os.path.join(out, "vectors"), partition_cols=["bucket"]
+        os.path.join(tmp, "vectors"), partition_cols=["bucket"]
     )
-    open(os.path.join(out, "_DONE"), "w").close()
+    open(os.path.join(tmp, "_DONE"), "w").close()
+    _commit_ann_dir(tmp, out)
     return out
 
 

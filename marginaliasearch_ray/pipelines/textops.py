@@ -292,13 +292,14 @@ def winnow_fingerprints(corpus_ds, k: int = WINNOW_K, w: int = WINNOW_W):
             toks = tokenize(t)
             if len(toks) < k + w - 1:
                 continue
+            def tv_of(x: str) -> int:
+                v = cache.get(x)
+                if v is None:  # 'or' would recompute hash-0 tokens forever
+                    v = cache[x] = _tokval(x)
+                return v
+
             tv = np.fromiter(
-                (
-                    cache.get(x) or cache.setdefault(x, _tokval(x))
-                    for x in toks
-                ),
-                dtype=np.int64,
-                count=len(toks),
+                (tv_of(x) for x in toks), dtype=np.int64, count=len(toks)
             )
             kh = (
                 tv[:-2] * (_WINNOW_B * _WINNOW_B) + tv[1:-1] * _WINNOW_B + tv[2:]
@@ -330,11 +331,14 @@ def shingles_of(toks: list[str]) -> set[str]:
     }
 
 
-# A shingle shared by more than this many documents generates no candidate
-# pairs (stop-shingle rule: one hot shingle — a license header — would emit
-# O(n^2) pairs).  Verification recomputes the EXACT Jaccard from the full
-# shingle sets, so a dropped hot shingle only loses a pair whose every
-# other shared shingle is also hot.  Dropped shingles are logged per task.
+# A shingle (or LSH band bucket) shared by more than this many documents
+# emits an O(n) doc-id CHAIN instead of O(n^2) all-pairs (stop-shingle
+# rule: one hot shingle — a license header — would otherwise explode).
+# The chain keeps duplicate CLUSTERS connected (near_dup_components stays
+# correct and chain pairs still verify exactly), but the exhaustive pair
+# LIST is capped: a pair of hot-cluster docs that are not chain-adjacent
+# is only reported if some non-hot shingle links it.  Hot groups are
+# logged per task.
 STOP_SHINGLE_DF = 1024
 
 
@@ -443,8 +447,9 @@ def _verify_pairs(cand_pairs, sets_ds, threshold: float, num_partitions: int = 8
 
 
 def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5):
-    """(doc_a, doc_b, jaccard_r) — EXACT pairs with 3-gram shingle
-    Jaccard >= threshold.
+    """(doc_a, doc_b, jaccard_r) — pairs with 3-gram shingle Jaccard >=
+    threshold; EXACT whenever no shingle exceeds STOP_SHINGLE_DF (hot
+    shingles degrade to a connectivity chain — see the constant's note).
 
     Distributed shape: explode (shingle, doc) -> groupby(shingle) ->
     per-group candidate pairs (df-capped by STOP_SHINGLE_DF) -> distinct
@@ -470,7 +475,7 @@ def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5):
     return _verify_pairs(candidates, sets_ds, threshold)
 
 
-def _pairs_of_group(group: pa.Table) -> pa.Table:
+def _pairs_of_group_impl(group: pa.Table, label: str) -> pa.Table:
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -481,12 +486,18 @@ def _pairs_of_group(group: pa.Table) -> pa.Table:
     if len(docs) < 2:
         return empty
     if len(docs) > STOP_SHINGLE_DF:
-        # stop-shingle rule: log and emit nothing (see STOP_SHINGLE_DF)
+        # stop rule: O(n) connectivity chain instead of O(n^2) pairs
         print(
-            f"[near-dup] dropped hot shingle df={len(docs)}"
-            f" (> {STOP_SHINGLE_DF}): no candidate pairs generated"
+            f"[near-dup] hot {label} with {len(docs)} docs"
+            f" (> {STOP_SHINGLE_DF}): emitting an O(n) chain of"
+            f" candidate pairs instead of all pairs"
         )
-        return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(docs[:-1], pa.int64()),
+                "doc_b": pa.array(docs[1:], pa.int64()),
+            }
+        )
     ai, bi = np.triu_indices(len(docs), k=1)
     return pa.table(
         {
@@ -494,6 +505,14 @@ def _pairs_of_group(group: pa.Table) -> pa.Table:
             "doc_b": pa.array(docs[bi], pa.int64()),
         }
     )
+
+
+def _pairs_of_group(group: pa.Table) -> pa.Table:
+    return _pairs_of_group_impl(group, "shingle")
+
+
+def _pairs_of_bucket(group: pa.Table) -> pa.Table:
+    return _pairs_of_group_impl(group, "LSH band bucket")
 
 
 def near_dup_components(corpus_ds, threshold: float = 0.5, max_rounds: int = 16):
@@ -621,7 +640,9 @@ def minhash_lsh_pairs(corpus_ds, threshold: float = 0.5):
     """(doc_a, doc_b, jaccard_r) — MinHash-LSH candidates (banding) with
     exact shingle-Jaccard verification.  With 64 bands x 2 rows the miss
     probability at j=0.5 is (1-0.25)^64 ~ 1e-8, so the verified output
-    matches the exact ngram_jaccard_pairs oracle in practice."""
+    matches the exact ngram_jaccard_pairs oracle in practice — except for
+    band buckets larger than STOP_SHINGLE_DF, which degrade to an O(n)
+    connectivity chain like the exact pipeline."""
     from ray.data.aggregate import Count
 
     rows_per_band = NUM_PERM // LSH_BANDS
@@ -659,7 +680,7 @@ def minhash_lsh_pairs(corpus_ds, threshold: float = 0.5):
     candidates = (
         sets_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(_pairs_of_group, batch_format="pyarrow")
+        .map_groups(_pairs_of_bucket, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="nbands"))
         .select_columns(["doc_a", "doc_b"])

@@ -247,14 +247,26 @@ def merge_runs_tree(group: pa.Table, fanin: int = MERGE_FANIN) -> pa.Table:
     (part,bucket,salt) before (part,bucket)); this bounds the in-task
     fan-in on top of it.  Mirrors FullPreindex.mergeSegments' associative
     merge semantics (FullPreindex.java:255-274)."""
+    done: list[pa.Table] = []
     tbl = group
     while True:
         tids = tbl["term_id"].to_numpy(zero_copy_only=False)
         if len(tids) == 0:
-            return MergeWorker()(tbl)
-        _, counts = np.unique(tids, return_counts=True)
+            break
+        uniq, counts = np.unique(tids, return_counts=True)
         if int(counts.max()) <= fanin:
-            return MergeWorker()(tbl)
+            done.append(MergeWorker()(tbl))
+            break
+        # split finished (<= fanin runs) terms out so each level only
+        # re-merges the still-hot terms
+        hot_terms = uniq[counts > fanin]
+        is_hot = np.isin(tids, hot_terms)
+        cold = tbl.filter(pa.array(~is_hot))
+        if len(cold):
+            done.append(MergeWorker()(cold))
+        tbl = tbl.filter(pa.array(is_hot))
+        tids = tids[is_hot]
+        _, counts = np.unique(tids, return_counts=True)
         order = np.argsort(tids, kind="stable")
         starts = np.cumsum(counts) - counts
         occ = np.arange(len(tids)) - np.repeat(starts, counts)
@@ -264,6 +276,10 @@ def merge_runs_tree(group: pa.Table, fanin: int = MERGE_FANIN) -> pa.Table:
             sub = tbl.take(pa.array(order[chunk == c]))
             parts.append(MergeWorker()(sub))
         tbl = pa.concat_tables(parts)
+    if not done:
+        return MergeWorker()(group)
+    out = pa.concat_tables(done) if len(done) > 1 else done[0]
+    return out
 
 
 class MergeWorker:

@@ -165,3 +165,37 @@ def test_tree_score_matches_pure_aggregate():
 
     docs = qmod._tree_docs(FakeSeg(), tree)
     assert docs.tolist() == [7]  # a present AND (b OR (c AND d))
+
+
+def test_min_distance_k_negative_offsets():
+    """A term occurring at a position <= its term index must not bleed
+    into the previous candidate's key band (regression: offset bias)."""
+    import itertools
+
+    from marginaliasearch_ray.pipelines import query as qmod
+
+    term_lists = [
+        [[1], [2]],
+        [[100], [3]],
+        [[200], [1]],  # candidate 1 holds term 2 at position 1
+    ]
+    term_pos, rows = [], []
+    for j, per_cand in enumerate(term_lists):
+        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in per_cand])
+        offs = np.concatenate(
+            [[0], np.cumsum([len(p) for p in per_cand])]
+        ).astype(np.int64)
+        term_pos.append((flat, offs))
+        rows.append(np.arange(len(per_cand), dtype=np.int64))
+    sel = np.array([0, 1], dtype=np.int64)
+    got = qmod._min_distance_k(term_pos, rows, sel, 2)
+
+    def brute(ci):
+        best = 1 << 40
+        for c in itertools.product(
+            *[[p - j for p in term_lists[j][ci]] for j in range(3)]
+        ):
+            best = min(best, max(c) - min(c))
+        return best
+
+    assert got.tolist() == [brute(0), brute(1)]
