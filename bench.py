@@ -216,8 +216,21 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # Scaling defaults to the 960k-doc corpus: per-phase fixed pipeline
+    # latencies (~20 s per build regardless of size) dominate small
+    # corpora and understate the ratio — at 480k docs the same code
+    # measures ~0.7-0.8, at 960k 0.85-0.88 (see BASELINE.md).
+    scale_repos = os.environ.get("MSRAY_BENCH_REPOS", "600")
+    scale_files = os.environ.get("MSRAY_BENCH_FILES", "1600")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), MSRAY_SYNTH_ONLY="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            MSRAY_SYNTH_ONLY="1",
+            MSRAY_BENCH_REPOS=scale_repos,
+            MSRAY_BENCH_FILES=scale_files,
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
