@@ -362,6 +362,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     # ?org:<prefix> priority-domain boost (?tld: analog)
     q["bm25_priority_org"] = lambda sf: _search(sf, "customer ?org:src1")
+    # advisory terms: required synthetic keywords, excluded from scoring
+    q["bm25_advice"] = lambda sf: _search(sf, "customer generator:wiki")
+    # pagination (IndexClient sort + sublist)
+    q["bm25_page2"] = lambda sf: _search(sf, "customer", k=10, offset=10)
 
     # corpus aggregates
     def _doc_length_histogram(sf):
@@ -525,6 +529,7 @@ def _names(col: str = "text") -> str:
 def _bm25_sql(
     terms: list[str],
     k: int = 10,
+    offset: int = 0,
     exclude: list[str] | None = None,
     phrase: list[str] | None = None,
     source: str | None = None,
@@ -543,6 +548,7 @@ def _bm25_sql(
     normalize: bool = False,
     temporal_bias: str = "none",
     lang: str | None = None,
+    advice: list[str] | None = None,
     meta_limits: list[tuple[str, str, int]] | None = None,
     priority_org: str | None = None,
     proximity_all_weight: float = 0.0,
@@ -626,6 +632,8 @@ def _bm25_sql(
         extra.append(f"c.source = '{source}'")
     if lang is not None:
         extra.append(f"c.lang = '{lang}'")
+    for t in advice or []:
+        extra.append(f"list_contains(c.toks, '{t}')")
     for fname, op, val in meta_limits:
         col = {"year": "c.year", "rank": "c.rankb", "quality": "c.quality"}[fname]
         extra.append(f"{col} {op} {val}")
@@ -878,7 +886,7 @@ LIMIT {k}
     return f"""{scored}
 SELECT doc_id, score_r{deco_sel} FROM scored
 ORDER BY score_r {direction}, doc_id
-LIMIT {k}
+LIMIT {k} OFFSET {offset}
 """
 
 
@@ -1087,6 +1095,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_ngram_all": _bm25_nested_sql("fast table | fast_table"),
         "bm25_priority_org": _bm25_sql(["customer"], priority_org="src1"),
+        "bm25_advice": _bm25_sql(["customer"], advice=["generator:wiki"]),
+        "bm25_page2": _bm25_sql(["customer"], k=10, offset=10),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_tok()})) AS term FROM documents

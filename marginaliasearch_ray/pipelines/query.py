@@ -51,6 +51,9 @@ class CompiledQuery:
     repo: str | None = None
     lang: str | None = None  # lang:xx — per-language journal partition filter
     priority_orgs: list[str] = field(default_factory=list)  # ?org:<prefix>
+    # advice terms (QueryParser.java:240-252 prefixes -> QueryFactory
+    # require(), :147): REQUIRED in the document, excluded from scoring
+    advice: list[str] = field(default_factory=list)
     size_gt: int | None = None  # size>N spec limit (QueryParser year>/size< analog)
     size_lt: int | None = None
     # ParamMatchingQueryFilter meta limits (CombinedIndexReader.java:349-450):
@@ -64,6 +67,10 @@ class CompiledQuery:
     @property
     def exclude_ids(self) -> list[int]:
         return [hash_nearly_ascii(t) for t in self.exclude]
+
+    @property
+    def advice_ids(self) -> list[int]:
+        return [hash_nearly_ascii(t) for t in self.advice]
 
     @property
     def priority_ids(self) -> list[int]:
@@ -357,6 +364,12 @@ def _present_rows(
     return ok, rows
 
 
+# QueryParser.java:240-252 advisory-term prefixes (the token is a
+# synthetic keyword the document must carry; site: is handled by repo:)
+ADVICE_PREFIXES = (
+    "site:", "format:", "file:", "tld:", "ip:", "as:", "asn:", "generator:"
+)
+
 _SEP_SPLIT_RE = re.compile(r"[.\-_]+")
 
 
@@ -442,6 +455,10 @@ def compile_query(
             out.repo = word[5:]
         elif word.startswith("lang:") and len(word) > 5:
             out.lang = word[5:]
+        elif word.startswith(ADVICE_PREFIXES) and ":" in word:
+            # advisory term: the whole prefixed token is the keyword
+            # (admitted by the code tokenizer — ':' is a separator char)
+            out.advice.append(word.lower())
         elif m := _SPEC_RE.fullmatch(word):
             # size>N / size<N spec limits (QueryParser.java:20-27 year>/
             # size< analog -> ParamMatchingQueryFilter semantics)
@@ -904,6 +921,11 @@ class SearcherLogic:
             if len(cand) == 0:
                 break
             cand = _reject(cand, seg.postings(t)[0])
+        for t in plan.get("advice_ids", []):
+            # required but unscored (searchTermsAdvice semantics)
+            if len(cand) == 0:
+                break
+            cand = _retain(cand, seg.postings(t)[0])
         if domain_range is not None:
             lo, hi = domain_range
             cand = cand[(cand >= lo) & (cand < hi)]
@@ -1362,6 +1384,7 @@ class IndexSearch:
         self,
         query: str,
         k: int = 10,
+        offset: int = 0,
         domain_cap: int | None = None,
         dedup_by_hash: bool = False,
         decorate: bool = False,
@@ -1408,6 +1431,7 @@ class IndexSearch:
         plan = {
             "include_ids": cq.include_ids,
             "exclude_ids": cq.exclude_ids,
+            "advice_ids": cq.advice_ids,
             "priority_ids": cq.priority_ids,
             "group_ids": cq.group_ids(),
             "phrase_ids": cq.phrase_ids(),
@@ -1430,7 +1454,9 @@ class IndexSearch:
             "temporal_bias": temporal_bias,
             "ascending": normalize_score,  # normalize => lower is better
             "budget_s": budget_s,
-            "k": k,
+            # partitions return enough headroom for pagination
+            # (IndexClient.executeQueries sort + sublist, :162-173)
+            "k": k + offset,
         }
         if cq.priority_orgs:
             plan["priority_domains"] = sorted(
@@ -1528,8 +1554,9 @@ class IndexSearch:
                 seen_hashes.add(deco["data_hash"][j])
             if domain_cap is not None:
                 domain_counts[d] = domain_counts.get(d, 0) + 1
-            if len(keep) == k:
+            if len(keep) == offset + k:
                 break
+        keep = keep[offset:]
 
         deco_out = (
             {col: [deco[col][j] for j in keep] for col in deco} if decorate else None

@@ -199,3 +199,12 @@ def test_min_distance_k_negative_offsets():
         return best
 
     assert got.tolist() == [brute(0), brute(1)]
+
+
+def test_advice_terms_parse_and_plan():
+    """Advisory-prefix tokens become required-but-unscored terms."""
+    cq = compile_query("customer generator:wiki -scan")
+    assert cq.advice == ["generator:wiki"]
+    assert cq.include == ["customer"]
+    assert cq.exclude == ["scan"]
+    assert len(cq.advice_ids) == 1
