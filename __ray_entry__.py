@@ -462,6 +462,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # similarity search
     q["ann_cosine_top10"] = lambda sf: similarity.ann_topk(sf, vec_id=0, k=10)
     q["embedding_top_pairs"] = lambda sf: similarity.top_similar_pairs(sf, k=20)
+    q["embedding_near_dup"] = lambda sf: similarity.embedding_near_dup_pairs(
+        sf, threshold=0.45
+    )
     q["lsh_ann_topk"] = lambda sf: similarity.lsh_ann_topk(sf, vec_id=0, k=10)
     q["ivf_ann_topk"] = lambda sf: similarity.ivf_ann_topk(sf, vec_id=0, k=10)
     q["ann_topk_per_label"] = lambda sf: similarity.ann_topk_per_label(
@@ -503,6 +506,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_media_features(media)
 
     q["media_features"] = _media_features
+
+    # video frame-sampling plumbing (flat_map fan-out; rows-only)
+    def _media_frames(sf):
+        import pyarrow as pa
+        import ray.data
+
+        from marginaliasearch_ray.pipelines.multimodal import (
+            sample_video_frames,
+        )
+
+        ds = ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["event_id", "props"]
+        ).limit(128)
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "media_id": batch["event_id"],
+                    "kind": pa.array(["video"] * len(batch), pa.string()),
+                    "payload": pa.array(
+                        [p.encode() for p in batch["props"].to_pylist()],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        frames = sample_video_frames(
+            ds.map_batches(to_media, batch_format="pyarrow"), n_frames=4
+        )
+
+        def stats(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "frame_no": batch["frame_no"].cast(pa.int32()),
+                    "frame_bytes": pa.array(
+                        [len(f) for f in batch["frame"].to_pylist()],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        return frames.map_batches(stats, batch_format="pyarrow")
+
+    q["media_frame_sample"] = _media_frames
 
     # stream-shaped windows
     q["events_tumbling_1h"] = lambda sf: events_ops.tumbling_window(sf, 3600)
@@ -1227,6 +1275,13 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY label ORDER BY cos_r DESC, vec_id
               ) AS rn FROM s
             ) WHERE rn <= 3
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         """,
         "embedding_top_pairs": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

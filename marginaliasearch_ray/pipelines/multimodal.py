@@ -87,6 +87,66 @@ def extract_media_features(media_ds, decoder: str = "fake", concurrency=(1, 4)):
     )
 
 
+class FrameSampleStage:
+    """Actor-pool stage: video payload -> one row PER SAMPLED FRAME
+    (flat_map shape: the output row count differs from the input's).
+
+    A real implementation seeks ``fps``-spaced keyframes with a codec
+    loaded once per actor; here the deterministic stand-in slices the
+    payload into ``n_frames`` chunks so schema, fan-out ratio, batch
+    sizing and the downstream per-frame feature join are exercised
+    end-to-end."""
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        if decoder == "pyav":
+            try:
+                import av  # noqa: F401
+            except ImportError as e:  # pragma: no cover - no codecs here
+                raise NotImplementedError(
+                    "real frame sampling requires PyAV; use decoder='fake'"
+                ) from e
+        elif decoder != "fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_no, frames = [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "video" or not payload:
+                continue
+            step = max(1, len(payload) // self.n_frames)
+            for f in range(self.n_frames):
+                chunk = payload[f * step : (f + 1) * step]
+                if not chunk:
+                    break
+                ids.append(int(mid))
+                frame_no.append(f)
+                frames.append(chunk)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(frame_no, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def sample_video_frames(media_ds, n_frames: int = 4, concurrency=(1, 4)):
+    """Video rows -> per-frame rows, then reusable by the feature stage
+    (frame-sample -> decode -> feature is the canonical video pipeline)."""
+    return media_ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=16,  # video payloads are the widest rows
+        concurrency=concurrency,
+    )
+
+
 def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
     """Deterministic fake media table for tests."""
     rng = np.random.RandomState(seed)

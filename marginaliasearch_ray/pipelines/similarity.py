@@ -120,6 +120,43 @@ def top_similar_pairs(sf_dir: str, k: int = 20):
     )
 
 
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.45):
+    """(vec_a, vec_b, cos_r) — ALL pairs (a < b) with cosine >= threshold:
+    embedding-space near-duplicate detection.  Exact blocked form (each
+    batch against the broadcast normalized matrix); the bucketed stores
+    (build_lsh_index / build_ivf_index) are the 10^12-row path where
+    candidate pairs come from shared buckets instead."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids, all_mat = _batch_matrix(t)
+    norm = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
+    ref = ray.put((all_ids, norm))
+
+    def pairs(batch: pa.Table, *, threshold=threshold) -> pa.Table:
+        ids_all, nm = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sim = np.round(matn @ nm.T, 6)
+        a = np.repeat(ids, len(ids_all))
+        b = np.tile(ids_all, len(ids))
+        s = sim.reshape(-1)
+        keep = (a < b) & (s >= threshold)
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "cos_r": pa.array(s[keep], pa.float64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(pairs, batch_format="pyarrow")
+
+
 # --- bucket-partitioned ANN storage ----------------------------------------
 # One-time pipelines write the embeddings Parquet partitioned by IVF
 # centroid / LSH signature; queries then READ only their probe partitions —

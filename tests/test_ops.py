@@ -125,3 +125,27 @@ def test_multimodal_feature_stage(ray_session):
     # the real-decoder path is stubbed behind NotImplementedError
     with pytest.raises(NotImplementedError):
         MediaFeatureStage(decoder="pil")
+
+
+def test_frame_sample_stage_fanout(ray_session):
+    """Frame sampling fans one video row out to n_frames frame rows with
+    deterministic chunking; non-video rows are dropped."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.multimodal import (
+        FrameSampleStage,
+        sample_video_frames,
+        synth_media_table,
+    )
+
+    media = synth_media_table(12)
+    out = sample_video_frames(
+        ray.data.from_arrow(media), n_frames=4
+    ).to_pandas()
+    n_videos = sum(1 for k in media["kind"].to_pylist() if k == "video")
+    assert len(out) == 4 * n_videos
+    assert set(out["frame_no"]) == {0, 1, 2, 3}
+    # deterministic: same input -> same chunks
+    stage = FrameSampleStage(n_frames=4)
+    again = stage(media)
+    assert again["frame"].to_pylist() == stage(media)["frame"].to_pylist()
