@@ -1470,16 +1470,22 @@ class IndexSearch:
                 t: sum(d.get(t, 0) for d in pdfs) for t in plan["include_ids"]
             }
 
-        # ngram segmentation (QueryExpansion.ngramAll / NgramLexicon
+        # ngram segmentation (QueryExpansion.createSegments / NgramLexicon
         # analog, ST2): when the corpus actually contains an identifier
-        # joining two adjacent query terms (df > 0 for a_b/ab/a-b/a.b),
-        # replace each term of the pair with an OR-group over
-        # [term, joined-variants] so `parse tree` also matches parse_tree
-        pair_variants: dict[tuple[str, str], list[str]] = {}
+        # joining a WINDOW of adjacent query terms (df > 0 for any of
+        # a_b/ab/a-b/a.b forms), replace each term of the window with an
+        # OR-group over [term, joined-variants] so `parse tree` also
+        # matches parse_tree and `fast table scan` matches
+        # fast_table_scan.  Windows probe longest-first (the reference
+        # scans segment lengths 2..min(10, n); we cap probes at 4)
         if expand and len(cq.include) >= 2:
+            inc = cq.include
+            windows: list[tuple[str, ...]] = []
+            for win_len in range(min(4, len(inc)), 1, -1):
+                for i in range(len(inc) - win_len + 1):
+                    windows.append(tuple(inc[i : i + win_len]))
             cands = {
-                (a, b): [f"{a}{s}{b}" for s in ("_", "", "-", ".")]
-                for a, b in zip(cq.include, cq.include[1:])
+                w: [s.join(w) for s in ("_", "", "-", ".")] for w in windows
             }
             cand_terms = sorted({t for v in cands.values() for t in v})
             cand_ids = {t: hash_nearly_ascii(t) for t in cand_terms}
@@ -1488,18 +1494,16 @@ class IndexSearch:
                 t: sum(d.get(i, 0) for d in dfs0) for t, i in cand_ids.items()
             }
             consumed: set[str] = set()
-            for (a, b), variants in cands.items():
+            for w, variants in cands.items():
                 live = [v for v in variants if joined_df.get(v, 0) > 0]
-                if not live or a in consumed or b in consumed:
+                if not live or any(t in consumed for t in w):
                     continue
-                consumed.update((a, b))
-                plan["group_ids"].append(
-                    [hash_nearly_ascii(a)] + [hash_nearly_ascii(v) for v in live]
-                )
-                plan["group_ids"].append(
-                    [hash_nearly_ascii(b)] + [hash_nearly_ascii(v) for v in live]
-                )
-                pair_variants[(a, b)] = live
+                consumed.update(w)
+                for t in w:
+                    plan["group_ids"].append(
+                        [hash_nearly_ascii(t)]
+                        + [hash_nearly_ascii(v) for v in live]
+                    )
             if consumed:
                 keep_ids = [
                     i

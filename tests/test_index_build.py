@@ -345,3 +345,40 @@ def test_resume_skips_committed_phases(index_dir, ray_session, corpus_table):
                 BuildConfig(num_parts=NUM_PARTS, num_buckets=8, num_salts=2,
                             hot_df_threshold=20))
     assert time.time() - t0 < 5  # all phases skipped via manifests
+
+
+def test_ngram_triple_segmentation(ray_session, tmp_path_factory):
+    """A window of THREE adjacent query terms joined in the corpus
+    (fast_table_scan) must be matched by `fast table scan` with
+    expand=True (multi-length segment probe, longest-first)."""
+    import pyarrow as pa
+
+    from marginaliasearch_ray.pipelines.build_index import BuildConfig, build_index
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+    import ray.data
+
+    docs = [
+        ("org/a", "src/x.py", "fast table scan in words", 0),
+        ("org/a", "src/y.py", "only fast_table_scan here", 1),
+        ("org/a", "src/z.py", "unrelated words entirely", 2),
+        ("org/a", "src/w.py", "fast but no table here", 3),
+    ]
+    tbl = pa.table(
+        {
+            "repo": pa.array([d[0] for d in docs]),
+            "path": pa.array([d[1] for d in docs]),
+            "commit": pa.array(["c" * 40] * len(docs)),
+            "lang": pa.array(["py"] * len(docs)),
+            "content": pa.array([d[2] for d in docs]),
+            "ordinal": pa.array([d[3] for d in docs], pa.int32()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("triseg"))
+    build_index(ray.data.from_arrow(tbl), out, BuildConfig(num_parts=1, num_buckets=4))
+    idx = IndexSearch(out, use_actors=False)
+    plain = set(idx.search("fast table scan", k=10)["doc_id"].to_pylist())
+    exp = set(
+        idx.search("fast table scan", k=10, expand=True)["doc_id"].to_pylist()
+    )
+    assert plain == {0}
+    assert exp == {0, 1}  # joined-identifier doc admitted via the probe
