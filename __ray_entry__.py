@@ -929,7 +929,7 @@ SELECT doc_id, score_r{deco_sel} FROM (
   ) AS rn FROM scored
 ) WHERE rn <= {domain_cap}
 ORDER BY score_r {direction}, doc_id
-LIMIT {k}
+LIMIT {k} OFFSET {offset}
 """
     return f"""{scored}
 SELECT doc_id, score_r{deco_sel} FROM scored

@@ -181,14 +181,32 @@ def _ann_cache_dir(sf_dir: str) -> str:
     return os.path.join("/tmp/msray_ann_cache", tag)
 
 
-def _commit_ann_dir(tmp: str, out: str) -> None:
+def _commit_ann_dir(tmp: str, out: str, sf_dir: str) -> None:
     """Atomic publish: a crashed build leaves only the .building dir, so a
-    rerun never appends duplicate vector files into live bucket dirs."""
+    rerun never appends duplicate vector files into live bucket dirs.
+    Also records the source path and evicts stale tags of the same source
+    (the content-keyed tag would otherwise orphan a full vector-store
+    copy every time the embeddings file is regenerated)."""
     import os
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
+    tag_dir = os.path.dirname(out)
+    src_path = os.path.abspath(sf_dir)
+    with open(os.path.join(tag_dir, "SOURCE"), "w") as f:
+        f.write(src_path)
+    root = os.path.dirname(tag_dir)
+    for other in os.listdir(root):
+        od = os.path.join(root, other)
+        if od == tag_dir or not os.path.isdir(od):
+            continue
+        marker = os.path.join(od, "SOURCE")
+        try:
+            if open(marker).read() == src_path:
+                shutil.rmtree(od, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> str:
@@ -243,7 +261,7 @@ def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> str:
         os.path.join(tmp, "vectors"), partition_cols=["bucket"]
     )
     open(os.path.join(tmp, "_DONE"), "w").close()
-    _commit_ann_dir(tmp, out)
+    _commit_ann_dir(tmp, out, sf_dir)
     return out
 
 
@@ -385,7 +403,7 @@ def build_lsh_index(sf_dir: str, n_planes: int = 8) -> str:
         os.path.join(tmp, "vectors"), partition_cols=["bucket"]
     )
     open(os.path.join(tmp, "_DONE"), "w").close()
-    _commit_ann_dir(tmp, out)
+    _commit_ann_dir(tmp, out, sf_dir)
     return out
 
 

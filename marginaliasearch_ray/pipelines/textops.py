@@ -334,11 +334,12 @@ def shingles_of(toks: list[str]) -> set[str]:
 # A shingle (or LSH band bucket) shared by more than this many documents
 # emits an O(n) doc-id CHAIN instead of O(n^2) all-pairs (stop-shingle
 # rule: one hot shingle — a license header — would otherwise explode).
-# The chain keeps duplicate CLUSTERS connected (near_dup_components stays
-# correct and chain pairs still verify exactly), but the exhaustive pair
-# LIST is capped: a pair of hot-cluster docs that are not chain-adjacent
-# is only reported if some non-hot shingle links it.  Hot groups are
-# logged per task.
+# The chain preserves connectivity for clusters of true NEAR-DUPLICATES
+# (consecutive members of an all-alike group verify at ~1.0 Jaccard), but
+# it is still lossy in general: chain-adjacent docs of a hot-but-diverse
+# group can fail verification, so a pair whose every shared shingle is
+# hot may go unreported and components may split.  Hot groups are logged
+# per task.
 STOP_SHINGLE_DF = 1024
 
 

@@ -382,3 +382,44 @@ def test_ngram_triple_segmentation(ray_session, tmp_path_factory):
     )
     assert plain == {0}
     assert exp == {0, 1}  # joined-identifier doc admitted via the probe
+
+
+def test_advice_term_filters_but_does_not_score(ray_session, tmp_path_factory):
+    """generator:-style advice terms must FILTER candidates to documents
+    carrying the synthetic keyword, while contributing nothing to the
+    score (non-vacuous end-to-end check: the driver corpus has no such
+    keywords, so its oracle parity is empty-vs-empty)."""
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.build_index import BuildConfig, build_index
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+
+    docs = [
+        ("org/a", "a.py", "customer data and more customer words", 0),
+        ("org/a", "b.py", "customer with generator:wiki marker", 1),
+        ("org/a", "c.py", "generator:wiki but no c-word", 2),
+    ]
+    tbl = pa.table(
+        {
+            "repo": pa.array([d[0] for d in docs]),
+            "path": pa.array([d[1] for d in docs]),
+            "commit": pa.array(["c" * 40] * len(docs)),
+            "lang": pa.array(["py"] * len(docs)),
+            "content": pa.array([d[2] for d in docs]),
+            "ordinal": pa.array([d[3] for d in docs], pa.int32()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("advice"))
+    build_index(ray.data.from_arrow(tbl), out, BuildConfig(num_parts=1, num_buckets=4))
+    idx = IndexSearch(out, use_actors=False)
+
+    plain = idx.search("customer", k=10)
+    assert set(plain["doc_id"].to_pylist()) == {0, 1}
+    advised = idx.search("customer generator:wiki", k=10)
+    assert advised["doc_id"].to_pylist() == [1]
+    # unscored: the advised doc keeps its plain-query score
+    plain_scores = dict(
+        zip(plain["doc_id"].to_pylist(), plain["score_r"].to_pylist())
+    )
+    assert advised["score_r"][0].as_py() == plain_scores[1]
