@@ -113,6 +113,60 @@ def _cast_part(batch: pa.Table) -> pa.Table:
     return batch.set_column(i, "part", pc.cast(batch["part"], pa.int32()))
 
 
+def _hex16_to_i64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized decode of the first 16 hex chars of each string to the
+    signed int64 with the same bit pattern as ``int(h[:16], 16) - 2**63``
+    (the historical manifest rollup value)."""
+    s = np.asarray(col.to_pylist(), dtype="S16")  # truncates to 16 chars
+    if not len(s):
+        return np.empty(0, dtype=np.int64)
+    nib = s.view(np.uint8).reshape(len(s), 16).astype(np.uint64)
+    nib = np.where(nib >= ord("a"), nib - ord("a") + 10, nib - ord("0"))
+    shifts = np.arange(60, -1, -4, dtype=np.uint64)
+    vals = (nib << shifts).sum(axis=1, dtype=np.uint64)
+    # x - 2**63 (two's complement) == flip the top bit, reinterpret signed
+    return (vals ^ np.uint64(1 << 63)).view(np.int64)
+
+
+def _lineage_partial(batch: pa.Table) -> pa.Table:
+    parts = pc.cast(batch["part"], pa.int64()).to_numpy(zero_copy_only=False)
+    signed = _hex16_to_i64(batch["data_hash"])
+    out_p, out_x, out_n = [], [], []
+    for p in np.unique(parts):
+        m = parts == p
+        out_p.append(int(p))
+        out_x.append(int(np.bitwise_xor.reduce(signed[m])))
+        out_n.append(int(m.sum()))
+    return pa.table(
+        {
+            "part": pa.array(out_p, pa.int64()),
+            "xor_p": pa.array(out_x, pa.int64()),
+            "docs": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def _lineage_rollup(journal_dir: str) -> dict:
+    """Distributed XOR rollup: map_batches partials (one row per part per
+    batch), then a driver combine of the already-aggregated partial rows
+    (#batches x #parts rows — a small result, not a per-row read)."""
+    import ray.data as _rd
+
+    partials = (
+        _rd.read_parquet(journal_dir, columns=["part", "data_hash"])
+        .map_batches(_lineage_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    lineage: dict[str, dict] = {}
+    for r in partials:
+        ent = lineage.setdefault(
+            str(int(r["part"])), {"docs": 0, "sha_rollup_xor": 0}
+        )
+        ent["docs"] += int(r["docs"])
+        ent["sha_rollup_xor"] ^= int(r["xor_p"])
+    return lineage
+
+
 def read_journal(out_dir: str, kind: str):
     import ray.data
 
@@ -196,20 +250,11 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
 
         # per-partition lineage: doc counts + an order-independent sha256
         # rollup (XOR of the leading 8 bytes of each row's content hash) so
-        # a segment can be traced back to the exact corpus rows it covers
-        lineage = {}
-        for p in range(cfg.num_parts):
-            d = os.path.join(out_dir, "journal", f"part={p}")
-            if not os.path.isdir(d):
-                continue
-            hcol = pads.dataset(d).to_table(columns=["data_hash"])["data_hash"]
-            acc = np.int64(0)
-            arr = np.array(
-                [int(h[:16], 16) - (1 << 63) for h in hcol.to_pylist()],
-                dtype=np.int64,
-            )
-            acc = int(np.bitwise_xor.reduce(arr)) if len(arr) else 0
-            lineage[str(p)] = {"docs": len(hcol), "sha_rollup_xor": acc}
+        # a segment can be traced back to the exact corpus rows it covers.
+        # Computed DISTRIBUTED: per-batch partial XOR/count rows (one row
+        # per part per batch) combine on the driver — only the tiny partial
+        # table ever leaves the cluster, never the per-row hash column.
+        lineage = _lineage_rollup(os.path.join(out_dir, "journal"))
         mf.commit_manifest(
             out_dir,
             "journal",

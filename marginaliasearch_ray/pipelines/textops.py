@@ -56,51 +56,69 @@ def term_df_top(corpus_ds, k: int = 100):
     return term_df(corpus_ds).sort(["df", "term"], descending=[True, False]).limit(k)
 
 
-def important_words(corpus_ds, k: int = 6):
-    """(doc_id, term, tfidf_r) — per-document top-k terms by tf-idf
-    (DocumentKeywordExtractor.getImportantWords:92-109 analog: score by
-    tf-idf, deterministic tie-break on the term, take k).
+def doc_term_tf(corpus_ds):
+    """(doc_id, term, tf) rows — ONE tokenize pass shared by the df
+    aggregate and the per-doc tf side of the tf-idf join."""
 
-    Two passes: a global df pass (broadcast — vocabulary-sized; becomes a
-    hash join at 10^12-doc scale), then a per-batch vectorized top-k.
-    idf is the BM25 idf so the engine and oracle share one formula.
-    """
-    import ray
-
-    from ..functions import bm25
-
-    df_rows = term_df(corpus_ds).take_all()
-    df_map = {r["term"]: r["df"] for r in df_rows}
-    n_docs = corpus_ds.count()
-    df_ref = ray.put(df_map)
-
-    def topk(batch: pa.Table, *, k=k) -> pa.Table:
-        dfm = ray.get(df_ref)
-        out_doc, out_term, out_s = [], [], []
+    def rows(batch: pa.Table) -> pa.Table:
+        out_doc: list[int] = []
+        out_term: list[str] = []
+        out_tf: list[int] = []
         for d, t in zip(batch["ordinal"].to_pylist(), batch["content"].to_pylist()):
             c = Counter(tokenize(t))
-            if not c:
-                continue
-            terms = sorted(c)
-            tfs = np.array([c[w] for w in terms], dtype=np.float64)
-            dfs = np.array([dfm[w] for w in terms], dtype=np.float64)
-            s = np.round(tfs * bm25.idf(n_docs, dfs), 6)
-            order = np.lexsort((np.array(terms), -s))[:k]
-            for j in order:
-                out_doc.append(int(d))
-                out_term.append(terms[int(j)])
-                out_s.append(float(s[int(j)]))
+            out_doc.extend([int(d)] * len(c))
+            out_term.extend(c.keys())
+            out_tf.extend(c.values())
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "term": pa.array(out_term, pa.string()),
-                "tfidf_r": pa.array(out_s, pa.float64()),
+                "tf": pa.array(out_tf, pa.int64()),
             }
         )
 
     return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
-        topk, batch_format="pyarrow"
+        rows, batch_format="pyarrow"
     )
+
+
+def important_words(corpus_ds, k: int = 6, num_partitions: int = 8):
+    """(doc_id, term, tfidf_r) — per-document top-k terms by tf-idf
+    (DocumentKeywordExtractor.getImportantWords:92-109 analog: score by
+    tf-idf, deterministic tie-break on the term, take k).
+
+    Fully distributed: one tokenize pass into (doc_id, term, tf) rows,
+    df from a groupby over the same rows, a hash-partitioned join on the
+    term (the vocabulary never reaches the driver), then a per-doc
+    vectorized top-k.  idf is the BM25 idf so the engine and oracle share
+    one formula.
+    """
+    from ray.data.aggregate import Count
+
+    from ..functions import bm25
+
+    n_docs = corpus_ds.count()
+    tf_ds = doc_term_tf(corpus_ds).materialize()
+    df_ds = tf_ds.groupby("term").aggregate(Count(alias_name="df"))
+    joined = tf_ds.join(
+        df_ds, join_type="inner", num_partitions=num_partitions, on=("term",)
+    )
+
+    def topk(group: pa.Table, *, k=k, n_docs=n_docs) -> pa.Table:
+        terms = np.asarray(group["term"].to_pylist())
+        tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfs = group["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tfs * bm25.idf(n_docs, dfs), 6)
+        order = np.lexsort((terms, -s))[:k]
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].take(order),
+                "term": pa.array(terms[order], pa.string()),
+                "tfidf_r": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    return joined.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
