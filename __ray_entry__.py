@@ -449,14 +449,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["winnow_fingerprints"] = lambda sf: textops.winnow_fingerprints(
         documents_corpus_dataset(sf)
     )
+    # strict_exact: the oracle stays exact all-pairs, so a hot-shingle
+    # chain degrade must fail loudly here instead of as a value diff
     q["ngram_jaccard_pairs"] = lambda sf: textops.ngram_jaccard_pairs(
-        documents_corpus_dataset(sf), threshold=0.5
+        documents_corpus_dataset(sf), threshold=0.5, strict_exact=True
     )
     q["minhash_lsh_pairs"] = lambda sf: textops.minhash_lsh_pairs(
-        documents_corpus_dataset(sf), threshold=0.5
+        documents_corpus_dataset(sf), threshold=0.5, strict_exact=True
     )
     q["near_dup_components"] = lambda sf: textops.near_dup_components(
-        documents_corpus_dataset(sf), threshold=0.5
+        documents_corpus_dataset(sf), threshold=0.5, strict_exact=True
     )
 
     # similarity search

@@ -437,38 +437,63 @@ def _verify_pairs(cand_pairs, sets_ds, threshold: float, num_partitions: int = 8
     )
 
     def verify(batch: pa.Table, *, threshold=threshold) -> pa.Table:
-        keep_a, keep_b, jr = [], [], []
-        for a, b, sa_b, sb_b in zip(
-            batch["doc_a"].to_pylist(),
-            batch["doc_b"].to_pylist(),
-            batch["sh_a"].to_pylist(),
-            batch["sh_b"].to_pylist(),
-        ):
-            sa = np.frombuffer(sa_b, dtype=np.int64)
-            sb = np.frombuffer(sb_b, dtype=np.int64)
-            if len(sa) == 0 or len(sb) == 0:
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                keep_a.append(int(a))
-                keep_b.append(int(b))
-                jr.append(round(j, 6))
+        # Batched intersection counts: dense-rank every shingle value in
+        # the batch, compose (pair_idx, rank) into one int64 key, one
+        # stable sort — adjacent equal keys from opposite sides are the
+        # intersections (values are unique within each side, so a key
+        # occurs at most twice).  No per-pair Python loop.
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard_r": pa.array([], pa.float64()),
+                }
+            )
+        blobs_a = batch["sh_a"].to_pylist()
+        blobs_b = batch["sh_b"].to_pylist()
+        la = np.array([len(x) // 8 for x in blobs_a], dtype=np.int64)
+        lb = np.array([len(x) // 8 for x in blobs_b], dtype=np.int64)
+        va = np.frombuffer(b"".join(blobs_a), dtype=np.int64)
+        vb = np.frombuffer(b"".join(blobs_b), dtype=np.int64)
+        allv = np.concatenate([va, vb])
+        allp = np.concatenate([np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)])
+        side = np.concatenate(
+            [np.zeros(len(va), np.int8), np.ones(len(vb), np.int8)]
+        )
+        inter = np.zeros(n, dtype=np.int64)
+        if len(allv):
+            uniq, inv = np.unique(allv, return_inverse=True)
+            # pair_idx * (#distinct values + 1) + rank: pairs-per-batch x
+            # distinct-shingles-per-batch stays far below 2**63
+            key = allp * np.int64(len(uniq) + 1) + inv
+            order = np.argsort(key, kind="stable")
+            k_s = key[order]
+            s_s = side[order]
+            match = (k_s[1:] == k_s[:-1]) & (s_s[1:] != s_s[:-1])
+            np.add.at(inter, allp[order][1:][match], 1)
+        union = la + lb - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = (la > 0) & (lb > 0) & (j >= threshold)
         return pa.table(
             {
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard_r": pa.array(jr, pa.float64()),
+                "doc_a": batch["doc_a"].combine_chunks().take(np.flatnonzero(keep)),
+                "doc_b": batch["doc_b"].combine_chunks().take(np.flatnonzero(keep)),
+                "jaccard_r": pa.array(np.round(j[keep], 6), pa.float64()),
             }
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5):
+def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5, strict_exact: bool = False):
     """(doc_a, doc_b, jaccard_r) — pairs with 3-gram shingle Jaccard >=
     threshold; EXACT whenever no shingle exceeds STOP_SHINGLE_DF (hot
     shingles degrade to a connectivity chain — see the constant's note).
+    ``strict_exact=True`` (the oracle-checked driver path) raises instead
+    of chaining so regime divergence fails loudly.
 
     Distributed shape: explode (shingle, doc) -> groupby(shingle) ->
     per-group candidate pairs (df-capped by STOP_SHINGLE_DF) -> distinct
@@ -486,7 +511,10 @@ def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5):
     candidates = (
         sets_ds.map_batches(_explode_sets, batch_format="pyarrow")
         .groupby("shingle")
-        .map_groups(_pairs_of_group, batch_format="pyarrow")
+        .map_groups(
+            _pairs_of_group_strict if strict_exact else _pairs_of_group,
+            batch_format="pyarrow",
+        )
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="nsh"))
         .select_columns(["doc_a", "doc_b"])
@@ -494,7 +522,9 @@ def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5):
     return _verify_pairs(candidates, sets_ds, threshold)
 
 
-def _pairs_of_group_impl(group: pa.Table, label: str) -> pa.Table:
+def _pairs_of_group_impl(
+    group: pa.Table, label: str, strict: bool = False
+) -> pa.Table:
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -505,6 +535,18 @@ def _pairs_of_group_impl(group: pa.Table, label: str) -> pa.Table:
     if len(docs) < 2:
         return empty
     if len(docs) > STOP_SHINGLE_DF:
+        if strict:
+            # oracle-checked runs fail LOUDLY instead of silently
+            # diverging from the exact all-pairs oracle (the chain regime
+            # is lossy; an exact-vs-chain mismatch must not surface as a
+            # value diff)
+            raise RuntimeError(
+                f"hot {label} with {len(docs)} docs exceeds"
+                f" STOP_SHINGLE_DF={STOP_SHINGLE_DF}: the engine would"
+                " enter the lossy chain regime while the exact oracle"
+                " stays all-pairs; rerun with strict_exact=False to"
+                " accept the documented chain degrade"
+            )
         # stop rule: O(n) connectivity chain instead of O(n^2) pairs
         print(
             f"[near-dup] hot {label} with {len(docs)} docs"
@@ -534,7 +576,20 @@ def _pairs_of_bucket(group: pa.Table) -> pa.Table:
     return _pairs_of_group_impl(group, "LSH band bucket")
 
 
-def near_dup_components(corpus_ds, threshold: float = 0.5, max_rounds: int = 16):
+def _pairs_of_group_strict(group: pa.Table) -> pa.Table:
+    return _pairs_of_group_impl(group, "shingle", strict=True)
+
+
+def _pairs_of_bucket_strict(group: pa.Table) -> pa.Table:
+    return _pairs_of_group_impl(group, "LSH band bucket", strict=True)
+
+
+def near_dup_components(
+    corpus_ds,
+    threshold: float = 0.5,
+    max_rounds: int = 16,
+    strict_exact: bool = False,
+):
     """(doc_id, component) — connected components over the exact
     near-dup pair graph (shingle Jaccard >= threshold), computed with
     iterative min-label propagation: each round joins labels across
@@ -545,7 +600,9 @@ def near_dup_components(corpus_ds, threshold: float = 0.5, max_rounds: int = 16)
     import ray.data
     from ray.data.aggregate import Min
 
-    pairs = ngram_jaccard_pairs(corpus_ds, threshold).materialize()
+    pairs = ngram_jaccard_pairs(
+        corpus_ds, threshold, strict_exact=strict_exact
+    ).materialize()
     # undirected edge list, both directions
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"]
@@ -655,13 +712,16 @@ def minhash_signatures(corpus_ds):
     )
 
 
-def minhash_lsh_pairs(corpus_ds, threshold: float = 0.5):
+def minhash_lsh_pairs(
+    corpus_ds, threshold: float = 0.5, strict_exact: bool = False
+):
     """(doc_a, doc_b, jaccard_r) — MinHash-LSH candidates (banding) with
     exact shingle-Jaccard verification.  With 64 bands x 2 rows the miss
     probability at j=0.5 is (1-0.25)^64 ~ 1e-8, so the verified output
     matches the exact ngram_jaccard_pairs oracle in practice — except for
     band buckets larger than STOP_SHINGLE_DF, which degrade to an O(n)
-    connectivity chain like the exact pipeline."""
+    connectivity chain like the exact pipeline (``strict_exact=True``
+    raises instead, so oracle-checked runs fail loudly)."""
     from ray.data.aggregate import Count
 
     rows_per_band = NUM_PERM // LSH_BANDS
@@ -699,7 +759,10 @@ def minhash_lsh_pairs(corpus_ds, threshold: float = 0.5):
     candidates = (
         sets_ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(_pairs_of_bucket, batch_format="pyarrow")
+        .map_groups(
+            _pairs_of_bucket_strict if strict_exact else _pairs_of_bucket,
+            batch_format="pyarrow",
+        )
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="nbands"))
         .select_columns(["doc_a", "doc_b"])

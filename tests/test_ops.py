@@ -149,3 +149,92 @@ def test_frame_sample_stage_fanout(ray_session):
     stage = FrameSampleStage(n_frames=4)
     again = stage(media)
     assert again["frame"].to_pylist() == stage(media)["frame"].to_pylist()
+
+
+def test_verify_pairs_batched_matches_per_pair(ray_session):
+    """The batched dense-rank intersection in _verify_pairs must equal a
+    per-pair np.intersect1d Jaccard on random ragged sets."""
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.pipelines import textops
+
+    rng = np.random.RandomState(7)
+    # small value universe -> real overlaps; a few giant values exercise
+    # the full-range int64 path
+    sets = {
+        i: np.unique(
+            np.concatenate(
+                [
+                    rng.randint(0, 60, size=rng.randint(0, 40)),
+                    rng.randint(-(2**62), 2**62, size=2),
+                ]
+            )
+        ).astype(np.int64)
+        for i in range(30)
+    }
+    sets[11] = np.empty(0, dtype=np.int64)  # one empty side
+    pairs = [(a, b) for a in range(30) for b in range(a + 1, 30) if (a + b) % 3 == 0]
+    sets_tbl = pa.table(
+        {
+            "doc_id": pa.array(list(sets), pa.int64()),
+            "sh": pa.array(
+                [sets[i].astype(np.int64).tobytes() for i in sets], pa.binary()
+            ),
+            "n_sh": pa.array([len(sets[i]) for i in sets], pa.int64()),
+        }
+    )
+    cand = pa.table(
+        {
+            "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    thr = 0.05
+    got = (
+        textops._verify_pairs(
+            ray.data.from_arrow(cand), ray.data.from_arrow(sets_tbl), thr
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for a, b in pairs:
+        sa, sb = sets[a], sets[b]
+        if len(sa) == 0 or len(sb) == 0:
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= thr:
+            want.append((a, b, round(j, 6)))
+    want.sort()
+    assert len(got) == len(want)
+    for row, (a, b, j) in zip(got.itertuples(index=False), want):
+        assert (row.doc_a, row.doc_b) == (a, b)
+        assert abs(row.jaccard_r - j) < 1e-9
+
+
+def test_strict_exact_raises_on_hot_group():
+    """strict_exact turns the lossy hot-shingle chain degrade into a loud
+    failure (the oracle stays exact all-pairs, so silent divergence is
+    worse than an error)."""
+    import pyarrow as pa
+
+    from marginaliasearch_ray.pipelines import textops
+
+    hot = pa.table(
+        {
+            "doc_id": pa.array(
+                range(textops.STOP_SHINGLE_DF + 2), pa.int64()
+            ),
+            "shingle": pa.array(
+                [1] * (textops.STOP_SHINGLE_DF + 2), pa.int64()
+            ),
+        }
+    )
+    with pytest.raises(RuntimeError, match="chain regime"):
+        textops._pairs_of_group_strict(hot)
+    # the default path still chains
+    out = textops._pairs_of_group(hot)
+    assert len(out) == textops.STOP_SHINGLE_DF + 1
