@@ -467,6 +467,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_near_dup"] = lambda sf: similarity.embedding_near_dup_pairs(
         sf, threshold=0.45
     )
+    # LSH-bucketed candidate generation (compute-pruned scale path;
+    # approximate outside the true near-dup regime -> rows-only)
+    q["embedding_near_dup_bucketed"] = (
+        lambda sf: similarity.embedding_near_dup_bucketed(sf, threshold=0.45)
+    )
     q["lsh_ann_topk"] = lambda sf: similarity.lsh_ann_topk(sf, vec_id=0, k=10)
     q["ivf_ann_topk"] = lambda sf: similarity.ivf_ann_topk(sf, vec_id=0, k=10)
     q["ann_topk_per_label"] = lambda sf: similarity.ann_topk_per_label(

@@ -78,83 +78,164 @@ def ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10):
     )
 
 
-def top_similar_pairs(sf_dir: str, k: int = 20):
-    """(vec_a, vec_b, cos_r) — the k most-similar distinct pairs (a < b).
-    Each batch is multiplied against the full normalized matrix
-    (broadcast once with ray.put, loaded per task)."""
-    import ray
-    import ray.data
-    import pyarrow.parquet as pq
+# --- distributed exact all-pairs (block-pair decomposition) -----------------
+# Every unordered block pair (i, j) becomes one group: a vector in block i
+# is replicated to the B groups {pk(i, j) : j}, so group (i, j) holds both
+# blocks and computes exactly the cross (or, for i == j, within-block)
+# pairs.  Total similarity compute is unchanged (it is exact all-pairs),
+# but nothing is ever read onto the driver or broadcast whole — the
+# replication factor is B and each group is 2N/B vectors, so B is chosen
+# so a group fits a worker's heap (B ~ sqrt of the N*d / worker-mem ratio
+# at real scale).
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids, all_mat = _batch_matrix(t)
-    norm = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
-    ref = ray.put((all_ids, norm))
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_all, nm = ray.get(ref)
-        ids, mat = _batch_matrix(batch)
-        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sim = matn @ nm.T  # |batch| x N
-        a = np.repeat(ids, len(ids_all))
-        b = np.tile(ids_all, len(ids))
-        s = sim.reshape(-1)
-        keep = a < b
-        a, b, s = a[keep], b[keep], s[keep]
-        top = np.lexsort((b, a, -np.round(s, 6)))[: k]
-        return pa.table(
-            {
-                "vec_a": pa.array(a[top], pa.int64()),
-                "vec_b": pa.array(b[top], pa.int64()),
-                "cos_r": pa.array(np.round(s[top], 6), pa.float64()),
-            }
+def _emb_block_rows(batch: pa.Table, *, num_blocks: int) -> pa.Table:
+    """Replicate each vector row to every unordered block pair involving
+    its block; the embedding travels as a float64 binary blob (groupby
+    shuffles binary untouched)."""
+    ids, mat = _batch_matrix(batch)
+    blk = (ids % num_blocks).astype(np.int64)
+    blobs = [row.tobytes() for row in mat]
+    tables = []
+    for j in range(num_blocks):
+        lo = np.minimum(blk, j)
+        hi = np.maximum(blk, j)
+        tables.append(
+            pa.table(
+                {
+                    "pk": pa.array(lo * num_blocks + hi, pa.int64()),
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "blk": pa.array(blk, pa.int64()),
+                    "eb": pa.array(blobs, pa.binary()),
+                }
+            )
         )
+    return pa.concat_tables(tables)
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+
+def _group_matrix(group: pa.Table, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ids = group["vec_id"].to_numpy(zero_copy_only=False)[rows]
+    blobs = [group["eb"][int(r)].as_py() for r in rows]
+    dim = len(blobs[0]) // 8 if blobs else 0
+    mat = (
+        np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(len(rows), dim)
+        if blobs
+        else np.empty((0, 0))
     )
+    return ids, mat
+
+
+def _block_pair_sims(
+    group: pa.Table, num_blocks: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All (a < b, rounded cosine) pairs owned by this block-pair group."""
+    pk = int(group["pk"][0].as_py())
+    i, j = divmod(pk, num_blocks)
+    blk = group["blk"].to_numpy(zero_copy_only=False)
+    if i == j:
+        rows = np.flatnonzero(blk == i)
+        ids, mat = _group_matrix(group, rows)
+        if len(ids) < 2:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sim = np.round(matn @ matn.T, 6)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        a, b = ids[ai], ids[bi]
+        s = sim[ai, bi]
+    else:
+        ra = np.flatnonzero(blk == i)
+        rb = np.flatnonzero(blk == j)
+        ids_a, ma = _group_matrix(group, ra)
+        ids_b, mb = _group_matrix(group, rb)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+        man = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        mbn = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        sim = np.round(man @ mbn.T, 6)
+        a = np.repeat(ids_a, len(ids_b))
+        b = np.tile(ids_b, len(ids_a))
+        s = sim.reshape(-1)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return lo, hi, s
+
+
+def _blocked_pair_groups(sf_dir: str, num_blocks: int):
+    import functools
+
+    import ray.data
+
     return (
-        ds.map_batches(pairs, batch_format="pyarrow")
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(
+            functools.partial(_emb_block_rows, num_blocks=num_blocks),
+            batch_format="pyarrow",
+        )
+        .groupby("pk")
+    )
+
+
+def _topk_of_group(group: pa.Table, *, num_blocks: int, k: int) -> pa.Table:
+    a, b, s = _block_pair_sims(group, num_blocks)
+    top = np.lexsort((b, a, -s))[:k]
+    return pa.table(
+        {
+            "vec_a": pa.array(a[top], pa.int64()),
+            "vec_b": pa.array(b[top], pa.int64()),
+            "cos_r": pa.array(s[top], pa.float64()),
+        }
+    )
+
+
+def _thresholded_of_group(
+    group: pa.Table, *, num_blocks: int, threshold: float
+) -> pa.Table:
+    a, b, s = _block_pair_sims(group, num_blocks)
+    keep = s >= threshold
+    return pa.table(
+        {
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+            "cos_r": pa.array(s[keep], pa.float64()),
+        }
+    )
+
+
+def top_similar_pairs(sf_dir: str, k: int = 20, num_blocks: int = 4):
+    """(vec_a, vec_b, cos_r) — the k most-similar distinct pairs (a < b).
+    Exact: block-pair decomposition (per-group partial top-k, tiny global
+    sort) — no driver read, no whole-matrix broadcast."""
+    import functools
+
+    return (
+        _blocked_pair_groups(sf_dir, num_blocks)
+        .map_groups(
+            functools.partial(_topk_of_group, num_blocks=num_blocks, k=k),
+            batch_format="pyarrow",
+        )
         .sort(["cos_r", "vec_a", "vec_b"], descending=[True, False, False])
         .limit(k)
     )
 
 
-def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.45):
+def embedding_near_dup_pairs(
+    sf_dir: str, threshold: float = 0.45, num_blocks: int = 4
+):
     """(vec_a, vec_b, cos_r) — ALL pairs (a < b) with cosine >= threshold:
-    embedding-space near-duplicate detection.  Exact blocked form (each
-    batch against the broadcast normalized matrix); the bucketed stores
-    (build_lsh_index / build_ivf_index) are the 10^12-row path where
-    candidate pairs come from shared buckets instead."""
-    import pyarrow.parquet as pq
-    import ray
-    import ray.data
+    embedding-space near-duplicate detection.  Exact block-pair
+    decomposition (O(N^2) compute, no driver materialization); for the
+    10^12-row path that prunes compute as well, see
+    ``embedding_near_dup_bucketed``."""
+    import functools
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids, all_mat = _batch_matrix(t)
-    norm = all_mat / np.linalg.norm(all_mat, axis=1, keepdims=True)
-    ref = ray.put((all_ids, norm))
-
-    def pairs(batch: pa.Table, *, threshold=threshold) -> pa.Table:
-        ids_all, nm = ray.get(ref)
-        ids, mat = _batch_matrix(batch)
-        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sim = np.round(matn @ nm.T, 6)
-        a = np.repeat(ids, len(ids_all))
-        b = np.tile(ids_all, len(ids))
-        s = sim.reshape(-1)
-        keep = (a < b) & (s >= threshold)
-        return pa.table(
-            {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
-                "cos_r": pa.array(s[keep], pa.float64()),
-            }
-        )
-
-    return ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(pairs, batch_format="pyarrow")
+    return _blocked_pair_groups(sf_dir, num_blocks).map_groups(
+        functools.partial(
+            _thresholded_of_group, num_blocks=num_blocks, threshold=threshold
+        ),
+        batch_format="pyarrow",
+    )
 
 
 # --- bucket-partitioned ANN storage ----------------------------------------
@@ -181,15 +262,30 @@ def _ann_cache_dir(sf_dir: str) -> str:
     return os.path.join("/tmp/msray_ann_cache", tag)
 
 
+def _staging_dir(out: str) -> str:
+    """Per-builder unique staging dir: two concurrent processes building
+    the same tag each write their own tmp tree, so the loser can never
+    interleave files into (or clobber) the winner's published store."""
+    import os
+    import uuid
+
+    return f"{out}.building.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+
+
 def _commit_ann_dir(tmp: str, out: str, sf_dir: str) -> None:
     """Atomic publish: a crashed build leaves only the .building dir, so a
     rerun never appends duplicate vector files into live bucket dirs.
+    If another builder already published (_DONE exists), this builder's
+    staging tree is discarded instead of replacing the live store.
     Also records the source path and evicts stale tags of the same source
     (the content-keyed tag would otherwise orphan a full vector-store
     copy every time the embeddings file is regenerated)."""
     import os
     import shutil
 
+    if os.path.exists(os.path.join(out, "_DONE")):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
     tag_dir = os.path.dirname(out)
@@ -223,10 +319,7 @@ def build_ivf_index(sf_dir: str, n_centroids: int = 16) -> str:
     out = os.path.join(_ann_cache_dir(sf_dir), f"ivf{n_centroids}")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
-    tmp = out + ".building"
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _staging_dir(out)
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     first = next(
@@ -383,10 +476,7 @@ def build_lsh_index(sf_dir: str, n_planes: int = 8) -> str:
     out = os.path.join(_ann_cache_dir(sf_dir), f"lsh{n_planes}")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
-    tmp = out + ".building"
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _staging_dir(out)
     os.makedirs(tmp, exist_ok=True)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -405,6 +495,106 @@ def build_lsh_index(sf_dir: str, n_planes: int = 8) -> str:
     open(os.path.join(tmp, "_DONE"), "w").close()
     _commit_ann_dir(tmp, out, sf_dir)
     return out
+
+
+def _neardup_probe_rows(batch: pa.Table, *, n_planes: int) -> pa.Table:
+    """One row per (vector, probe bucket): its own signature plus every
+    Hamming-1 neighbor.  Two vectors then share a probe bucket iff their
+    signatures differ in <= 2 bits — the candidate radius."""
+    import pyarrow.compute as pc
+
+    ids, mat = _batch_matrix(batch)
+    sig = pc.cast(batch["bucket"], pa.int64()).to_numpy(zero_copy_only=False)
+    blobs = [row.tobytes() for row in mat]
+    base = pa.table(
+        {
+            "probe": pa.array(sig, pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+            "eb": pa.array(blobs, pa.binary()),
+        }
+    )
+    tables = [base]
+    for bit in range(n_planes):
+        tables.append(
+            pa.table(
+                {
+                    "probe": pa.array(sig ^ (1 << bit), pa.int64()),
+                    "vec_id": base["vec_id"],
+                    "eb": base["eb"],
+                }
+            )
+        )
+    return pa.concat_tables(tables)
+
+
+def _neardup_bucket_pairs(group: pa.Table, *, threshold: float) -> pa.Table:
+    """Exact cosine over the pairs co-located in one probe bucket; the
+    same pair may surface in several buckets (identical rounded value) —
+    deduped downstream."""
+    rows = np.arange(len(group))
+    ids, mat = _group_matrix(group, rows)
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cos_r": pa.array([], pa.float64()),
+        }
+    )
+    # a vector probes its own signature + Hamming-1, so it can appear
+    # twice in one bucket group — collapse to unique ids first
+    uniq, first = np.unique(ids, return_index=True)
+    if len(uniq) < 2:
+        return empty
+    mat = mat[first]
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = np.round(matn @ matn.T, 6)
+    ai, bi = np.triu_indices(len(uniq), k=1)
+    s = sim[ai, bi]
+    keep = s >= threshold
+    return pa.table(
+        {
+            "vec_a": pa.array(uniq[ai[keep]], pa.int64()),
+            "vec_b": pa.array(uniq[bi[keep]], pa.int64()),
+            "cos_r": pa.array(s[keep], pa.float64()),
+        }
+    )
+
+
+def embedding_near_dup_bucketed(
+    sf_dir: str, threshold: float = 0.45, n_planes: int = 8
+):
+    """(vec_a, vec_b, cos_r) — near-dup pairs from the bucket-partitioned
+    LSH store: candidates are pairs whose sign signatures differ in <= 2
+    bits (own bucket + Hamming-1 probes on both sides), verified with the
+    exact rounded cosine.  Compute is pruned from O(N^2) to the bucket
+    neighborhoods; every emitted pair carries the exact value (a strict
+    subset of ``embedding_near_dup_pairs``), but a pair at signature
+    distance >= 3 is missed, so recall depends on the regime: ~1.0 for
+    true near-duplicates (cos >= ~0.9, the dedup use case — pytest-proven
+    on planted duplicates), low for weak-similarity thresholds like 0.45
+    (measured 62/144 at sf0.1 — random-projection LSH cannot prune a
+    cos ~0.5 neighborhood in 64-d).  Rows-only checked."""
+    import functools
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Max
+
+    idx = build_lsh_index(sf_dir, n_planes)
+    return (
+        ray.data.read_parquet(os.path.join(idx, "vectors"))
+        .map_batches(
+            functools.partial(_neardup_probe_rows, n_planes=n_planes),
+            batch_format="pyarrow",
+        )
+        .groupby("probe")
+        .map_groups(
+            functools.partial(_neardup_bucket_pairs, threshold=threshold),
+            batch_format="pyarrow",
+        )
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cos_r", alias_name="cos_r"))
+    )
 
 
 def lsh_ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_planes: int = 8):

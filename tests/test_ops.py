@@ -238,3 +238,87 @@ def test_strict_exact_raises_on_hot_group():
     # the default path still chains
     out = textops._pairs_of_group(hot)
     assert len(out) == textops.STOP_SHINGLE_DF + 1
+
+
+@pytest.fixture(scope="module")
+def planted_sf(tmp_path_factory):
+    """A synthetic sf dir whose embeddings contain planted near-duplicate
+    clusters (cos >= ~0.95) over random background vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("planted_sf")
+    rng = np.random.RandomState(42)
+    dim, n_bg, n_clusters, dup_per = 64, 200, 10, 4
+    rows = [rng.standard_normal(dim) for _ in range(n_bg)]
+    for _ in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(dup_per):
+            rows.append(base + 0.02 * rng.standard_normal(dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in rows],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 5 for i in range(len(rows))], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_embedding_near_dup_bucketed_exact_in_dedup_regime(
+    ray_session, planted_sf
+):
+    """In the true near-duplicate regime (cos >= 0.9) the LSH-bucketed
+    pair generation must find exactly the same pairs as the exact blocked
+    all-pairs form, with identical rounded cosines."""
+    from marginaliasearch_ray.pipelines import similarity as S
+
+    exact = (
+        S.embedding_near_dup_pairs(planted_sf, threshold=0.9)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    buck = (
+        S.embedding_near_dup_bucketed(planted_sf, threshold=0.9)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(exact) >= 40  # the planted clusters are found at all
+    assert len(buck) == len(exact)
+    assert (buck["vec_a"].to_numpy() == exact["vec_a"].to_numpy()).all()
+    assert (buck["vec_b"].to_numpy() == exact["vec_b"].to_numpy()).all()
+    assert np.allclose(buck["cos_r"], exact["cos_r"], atol=1e-9)
+
+
+def test_blocked_pairs_match_bruteforce(ray_session, planted_sf):
+    """The block-pair decomposition must reproduce a numpy brute-force
+    all-pairs cosine exactly (values and pair set)."""
+    import pyarrow.parquet as pq
+
+    from marginaliasearch_ray.pipelines import similarity as S
+
+    t = pq.read_table(f"{planted_sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = np.round(matn @ matn.T, 6)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    keep = sim[ai, bi] >= 0.5
+    want = sorted(zip(ids[ai[keep]], ids[bi[keep]], sim[ai, bi][keep]))
+    got = (
+        S.embedding_near_dup_pairs(planted_sf, threshold=0.5, num_blocks=3)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for row, (a, b, s) in zip(got.itertuples(index=False), want):
+        assert (row.vec_a, row.vec_b) == (a, b)
+        assert abs(row.cos_r - s) < 1e-9
