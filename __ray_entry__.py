@@ -89,7 +89,7 @@ REFERENCE_QUERIES = [
 
 # bump whenever the on-disk index format changes so a stale /tmp cache
 # from an older code revision can never be read by newer code
-INDEX_FORMAT_VERSION = 6  # v6: lang_index dir replaces journal lang sub-partitioning
+INDEX_FORMAT_VERSION = 7  # v7: synthetic site:/generator: keywords in the journal
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["bm25_or_group"] = lambda sf: _search(sf, "customer (merge | sort)")
     q["bm25_expanded"] = lambda sf: _search(sf, "fast-table scan", expand=True)
+    # paired no-expansion control: 'fast-table' is one (absent) token
+    q["bm25_expanded_off"] = lambda sf: _search(sf, "fast-table scan")
     # expansion path incl. ngram-pair segmentation probing (no corpus
     # identifier joins these terms at sf scale, so result == plain conj)
     q["bm25_segmented"] = lambda sf: _search(sf, "customer merge", expand=True)
@@ -364,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_priority_org"] = lambda sf: _search(sf, "customer ?org:src1")
     # advisory terms: required synthetic keywords, excluded from scoring
     q["bm25_advice"] = lambda sf: _search(sf, "customer generator:wiki")
+    q["bm25_advice_site"] = lambda sf: _search(sf, "customer site:src3")
     # pagination (IndexClient sort + sublist)
     q["bm25_page2"] = lambda sf: _search(sf, "customer", k=10, offset=10)
 
@@ -593,12 +596,14 @@ _DRIVER_WINDOW_FIRST = [
     "events_sessions",
     # round-3 work: expansion rework, flags family, ranking adjustment
     "bm25_expanded",
+    "bm25_expanded_off",
     "bm25_segmented",
     "bm25_plural",
     "bm25_category",
     "bm25_wordnum",
     "bm25_ngram_all",
     "bm25_advice",
+    "bm25_advice_site",
     "bm25_flags",
     "bm25_flags_tfidf",
     "bm25_priority",
@@ -742,9 +747,16 @@ def _bm25_sql(
         rows += [f"('{t}', 1.0, {gi})" for t in g]
     vals = ", ".join(rows)
     include_list = ", ".join(f"'{t}'" for t in terms) or "''"
+
+    def _has(t: str) -> str:
+        # membership over body tokens OR the injected synthetic keywords
+        return (
+            f"(list_contains(c.toks, '{t}') OR list_contains(c.synth, '{t}'))"
+        )
+
     extra = []
     for g in groups:
-        members = " OR ".join(f"list_contains(c.toks, '{t}')" for t in g)
+        members = " OR ".join(_has(t) for t in g)
         extra.append(f"({members})")
     if exclude:
         for t in exclude:
@@ -757,7 +769,7 @@ def _bm25_sql(
     if lang is not None:
         extra.append(f"c.lang = '{lang}'")
     for t in advice or []:
-        extra.append(f"list_contains(c.toks, '{t}')")
+        extra.append(_has(t))
     for fname, op, val in meta_limits:
         col = {"year": "c.year", "rank": "c.rankb", "quality": "c.quality"}[fname]
         extra.append(f"{col} {op} {val}")
@@ -947,6 +959,9 @@ fdf AS (
     scored = f"""
 WITH tok AS (
   SELECT doc_id, source, {_tok()} AS toks,
+         ['site:' || source,
+          CASE WHEN doc_id % 7 = 3 THEN 'generator:wiki'
+               ELSE 'generator:docs' END] AS synth,
          '|' || array_to_string({_tok()}, '|') || '|' AS joined,
          sha256(text) AS data_hash{tok_extra}
   FROM documents
@@ -955,12 +970,13 @@ n AS (SELECT count(*)::DOUBLE AS n FROM documents),
 terms(term, w, grp) AS (VALUES {vals}),
 tf AS (
   SELECT t.doc_id, m.term, m.w, m.grp,
-         len(list_filter(t.toks, x -> x = m.term)){head_tf} AS tf
+         len(list_filter(t.toks, x -> x = m.term))
+           + len(list_filter(t.synth, x -> x = m.term)){head_tf} AS tf
   FROM tok t CROSS JOIN terms m
 ),
 df AS (SELECT term, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY term),
 cand AS (
-  SELECT t.doc_id, len(t.toks) AS dl, t.source, t.joined, t.toks,
+  SELECT t.doc_id, len(t.toks) AS dl, t.source, t.joined, t.toks, t.synth,
          t.data_hash{cand_bonus}
   FROM tok t
   WHERE NOT EXISTS (
@@ -1158,14 +1174,14 @@ def oracle_sql() -> dict[str, str]:
         "search_decorated": _bm25_sql(["scan", "filter"], k=5, decorate=True),
         "bm25_or_group": _bm25_sql(["customer"], groups=[["merge", "sort"]]),
         "bm25_segmented": _bm25_sql(["customer", "merge"]),
-        "bm25_expanded": _bm25_sql(
-            ["scan"],
-            groups=[
-                __import__(
-                    "marginaliasearch_ray.pipelines.query", fromlist=["expand_term"]
-                ).expand_term("fast-table")
-            ],
+        # separator expansion admits the segmented conjunction (fast AND
+        # table) alongside the joined variants, so this is non-vacuous on
+        # the word-salad corpus; bm25_expanded_off is the paired
+        # no-expansion control proving expansion changes the result
+        "bm25_expanded": _bm25_nested_sql(
+            "scan ( fast table | fast-table | fast.table | fast_table | fasttable )"
         ),
+        "bm25_expanded_off": _bm25_sql(["fast-table", "scan"]),
         "bm25_first_position": _bm25_sql(
             ["customer", "merge"], first_position_weight=2.5
         ),
@@ -1211,8 +1227,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_plural": _bm25_sql(
             ["customer"], groups=[["merges", "merge"]]
         ),
+        # categoryKeywords substitution resolves to the injected synthetic
+        # generator:wiki keyword (doc_id % 7 = 3), so rows > 0
         "bm25_category": _bm25_sql(
-            ["customer"], groups=[["wiki", "generator_wiki"]]
+            ["customer"], groups=[["wiki", "generator:wiki"]]
         ),
         "bm25_wordnum": _bm25_sql(
             ["customer"], groups=[["scan2", "scan-2"]]
@@ -1220,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_ngram_all": _bm25_nested_sql("fast table | fast_table"),
         "bm25_priority_org": _bm25_sql(["customer"], priority_org="src1"),
         "bm25_advice": _bm25_sql(["customer"], advice=["generator:wiki"]),
+        "bm25_advice_site": _bm25_sql(["customer"], advice=["site:src3"]),
         "bm25_page2": _bm25_sql(["customer"], k=10, offset=10),
         "term_df_top100": f"""
             SELECT term, count(*) AS df FROM (

@@ -389,13 +389,15 @@ def expand_term(t: str) -> list[str] | None:
 
 
 # categoryKeywords substitution table (QueryExpansion.java:130-146): the
-# replacement is a single synthetic keyword; ':' maps to '_' because the
-# code-corpus tokenizer admits underscore identifiers as one token
+# replacement is a synthetic keyword in its reference colon form — the
+# build injects generator:<class> keywords per document (tokenize.py), so
+# the substituted term resolves against real lexicon entries
 CATEGORY_KEYWORDS = {
-    "recipe": "category_food",
-    "recipes": "category_food",
-    "forum": "generator_forum",
-    "wiki": "generator_wiki",
+    "recipe": "category:food",
+    "recipes": "category:food",
+    "forum": "generator:forum",
+    "wiki": "generator:wiki",
+    "docs": "generator:docs",
 }
 
 _WORDNUM_RE = re.compile(r"^([a-z]+)([0-9]+)$|^([0-9]+)([a-z]+)$")
@@ -496,14 +498,34 @@ def compile_query(
         out.tree = tree
 
     if expand:
-        kept = []
+        # separator identifiers expand to an OR of (a) the segmented word
+        # sequence as a conjunction — the reference's sentence extractor
+        # splits hyphenated words into separate query words, so
+        # ``fast-table`` admits documents containing both ``fast`` and
+        # ``table`` (QueryExpansion.java:57-109 joinDashes over the
+        # segmented graph) — and (b) every joined separator variant.
+        # Expressed as a nested And/Or tree so the intMaxSum aggregate
+        # scores it exactly like the reference's compiled query.
+        kept: list[str] = []
+        nodes: list[tuple] = []
         for t in out.include:
             variants = expand_term(t)
             if variants:
-                out.groups.append(variants)
+                parts = _SEP_SPLIT_RE.split(t)
+                nodes.append(
+                    (
+                        "or",
+                        [("and", [("word", p) for p in parts])]
+                        + [("word", v) for v in variants],
+                    )
+                )
             else:
                 kept.append(t)
         out.include = kept
+        if nodes:
+            if out.tree is not None:
+                nodes = [out.tree] + nodes
+            out.tree = nodes[0] if len(nodes) == 1 else ("and", nodes)
 
     # ngramAll (QueryExpansion.java:95-110): OR the whole query against
     # one underscore-joined identifier — expressed as a nested tree

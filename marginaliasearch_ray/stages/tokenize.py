@@ -225,34 +225,67 @@ class TokenizeStage:
             seg_meta = (seg_flags & 0xFF) | seg_mask
             seg_tids = tids_uniq[seg_term]
 
-            # per-doc segment counts -> list offsets
-            segs_per_doc = np.zeros(n, dtype=np.int64)
-            np.add.at(segs_per_doc, seg_doc, 1)
-            doc_offsets = np.concatenate(
-                [[0], np.cumsum(segs_per_doc)]
-            ).astype(np.int32)
-            pos_offsets = np.concatenate(
-                [[0], np.cumsum(counts_capped)]
-            ).astype(np.int32)
-
-            term_ids_arr = pa.ListArray.from_arrays(
-                pa.array(doc_offsets), pa.array(seg_tids, pa.int64())
-            )
-            term_tfs_arr = pa.ListArray.from_arrays(
-                pa.array(doc_offsets), pa.array(counts.astype(np.int32), pa.int32())
-            )
-            term_meta_arr = pa.ListArray.from_arrays(
-                pa.array(doc_offsets), pa.array(seg_meta, pa.int64())
-            )
-            inner = pa.ListArray.from_arrays(
-                pa.array(pos_offsets), pa.array(pos_vals, pa.int32())
-            )
-            term_pos_arr = pa.ListArray.from_arrays(pa.array(doc_offsets), inner)
         else:
-            term_ids_arr = pa.array([[]] * n, pa.list_(pa.int64()))
-            term_tfs_arr = pa.array([[]] * n, pa.list_(pa.int32()))
-            term_meta_arr = pa.array([[]] * n, pa.list_(pa.int64()))
-            term_pos_arr = pa.array([[]] * n, pa.list_(pa.list_(pa.int32())))
+            seg_doc = np.array([], dtype=np.int64)
+            seg_tids = np.array([], dtype=np.int64)
+            counts = np.array([], dtype=np.int64)
+            seg_meta = np.array([], dtype=np.int64)
+            counts_capped = np.array([], dtype=np.int64)
+            pos_vals = np.array([], dtype=np.int32)
+
+        # --- synthetic keywords (DocumentKeywordExtractor's injected
+        # non-body keywords: site:<domain> + a generator classification,
+        # DocumentKeywordExtractor.java getKeywords → addSyntheticKeywords;
+        # flags=SYNTHETIC, tf=1, no positions, excluded from doc size).
+        # The generator class is a deterministic function of the ordinal so
+        # DuckDB oracles can recompute membership (doc_id % 7 = 3 → wiki).
+        syn_flat: list[str] = []
+        for i in range(n):
+            syn_flat.append(f"site:{repos[i]}")
+            syn_flat.append(
+                "generator:wiki" if ordinals[i] % 7 == 3 else "generator:docs"
+            )
+        syn_tids = self.cache.hash_many(syn_flat)
+        syn_doc = np.repeat(np.arange(n, dtype=np.int64), 2)
+        # stable sort keeps body segments (and their position order) first
+        # within each doc, so the flat pos_vals stream is unchanged
+        order2 = np.argsort(
+            np.concatenate([seg_doc, syn_doc]), kind="stable"
+        )
+        all_tids = np.concatenate([seg_tids, syn_tids])[order2]
+        all_tf = np.concatenate(
+            [counts, np.ones(2 * n, dtype=np.int64)]
+        )[order2]
+        all_meta = np.concatenate(
+            [seg_meta, np.full(2 * n, int(WordFlags.SYNTHETIC), dtype=np.int64)]
+        )[order2]
+        all_pcnt = np.concatenate(
+            [counts_capped, np.zeros(2 * n, dtype=np.int64)]
+        )[order2]
+
+        # per-doc segment counts -> list offsets
+        segs_per_doc = np.full(n, 2, dtype=np.int64)
+        np.add.at(segs_per_doc, seg_doc, 1)
+        doc_offsets = np.concatenate(
+            [[0], np.cumsum(segs_per_doc)]
+        ).astype(np.int32)
+        pos_offsets = np.concatenate(
+            [[0], np.cumsum(all_pcnt)]
+        ).astype(np.int32)
+
+        term_ids_arr = pa.ListArray.from_arrays(
+            pa.array(doc_offsets), pa.array(all_tids, pa.int64())
+        )
+        term_tfs_arr = pa.ListArray.from_arrays(
+            pa.array(doc_offsets), pa.array(all_tf.astype(np.int32), pa.int32())
+        )
+        term_meta_arr = pa.ListArray.from_arrays(
+            pa.array(doc_offsets), pa.array(all_meta, pa.int64())
+        )
+        inner = pa.ListArray.from_arrays(
+            pa.array(pos_offsets), pa.array(pos_vals, pa.int32())
+        )
+        term_pos_arr = pa.ListArray.from_arrays(pa.array(doc_offsets), inner)
 
         # doc-level metadata (DocumentMetadata packing): rank in bits 48-55
         # (ForwardIndexConverter.java:104-109), plus the document-bonus

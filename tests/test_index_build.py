@@ -386,9 +386,10 @@ def test_ngram_triple_segmentation(ray_session, tmp_path_factory):
 
 def test_advice_term_filters_but_does_not_score(ray_session, tmp_path_factory):
     """generator:-style advice terms must FILTER candidates to documents
-    carrying the synthetic keyword, while contributing nothing to the
-    score (non-vacuous end-to-end check: the driver corpus has no such
-    keywords, so its oracle parity is empty-vs-empty)."""
+    carrying the keyword, while contributing nothing to the score (here
+    the keyword appears in the body; the build also injects synthetic
+    site:/generator: keywords per doc — see
+    test_expansion_strategies_admit_variant_docs)."""
     import pyarrow as pa
     import ray.data
 
@@ -423,3 +424,60 @@ def test_advice_term_filters_but_does_not_score(ray_session, tmp_path_factory):
         zip(plain["doc_id"].to_pylist(), plain["score_r"].to_pylist())
     )
     assert advised["score_r"][0].as_py() == plain_scores[1]
+
+
+def test_expansion_strategies_admit_variant_docs(ray_session, tmp_path_factory):
+    """Positive end-to-end evidence for every QueryExpansion strategy: on a
+    corpus that actually contains the variant tokens, each expansion flag
+    must admit documents the plain query misses (QueryFactoryTest.java
+    expansion smoke cases; the driver's word-salad corpus can only exercise
+    a subset of these non-vacuously)."""
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.build_index import BuildConfig, build_index
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+
+    docs = [
+        ("org/a", "a.py", "customer merge data", 0),
+        ("org/a", "b.py", "customer merges often", 1),
+        ("org/a", "c.py", "customer fast_table here", 2),
+        # ordinal 3 -> the build injects the synthetic generator:wiki keyword
+        ("org/a", "d.py", "customer fast table split", 3),
+        ("org/a", "e.py", "customer mp-3 encoder", 4),
+        ("org/a", "f.py", "customer wiki things", 5),
+        ("org/a", "g.py", "customer plain words", 6),
+    ]
+    tbl = pa.table(
+        {
+            "repo": pa.array([d[0] for d in docs]),
+            "path": pa.array([d[1] for d in docs]),
+            "commit": pa.array(["c" * 40] * len(docs)),
+            "lang": pa.array(["py"] * len(docs)),
+            "content": pa.array([d[2] for d in docs]),
+            "ordinal": pa.array([d[3] for d in docs], pa.int32()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("expansion"))
+    build_index(ray.data.from_arrow(tbl), out, BuildConfig(num_parts=1, num_buckets=4))
+    idx = IndexSearch(out, use_actors=False)
+
+    def ids(q, **kw):
+        return set(idx.search(q, k=10, **kw)["doc_id"].to_pylist())
+
+    # nounPluralFormsEN: 'merges' also matches the singular form
+    assert ids("customer merges") == {1}
+    assert ids("customer merges", expand_plural=True) == {0, 1}
+    # separator expansion: joined identifier also matches the segmented
+    # word pair (and vice versa every joined separator variant)
+    assert ids("customer fast_table") == {2}
+    assert ids("customer fast_table", expand=True) == {2, 3}
+    # splitWordNum: 'mp3' also matches the dashed identifier
+    assert ids("customer mp3") == set()
+    assert ids("customer mp3", expand_wordnum=True) == {4}
+    # categoryKeywords: 'wiki' also matches the synthetic generator:wiki
+    # keyword injected at build time (ordinal % 7 == 3)
+    assert ids("customer wiki") == {5}
+    assert ids("customer wiki", expand_category=True) == {3, 5}
+    # site: advice keyword injected at build time filters by repo
+    assert ids("customer site:org/a") == {0, 1, 2, 3, 4, 5, 6}
