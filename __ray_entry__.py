@@ -49,7 +49,10 @@ _ensure_pickle_by_value()
 from marginaliasearch_ray.functions import idcodec  # noqa: E402
 from marginaliasearch_ray.functions.bm25 import sql_bm25_term_expr  # noqa: E402
 from marginaliasearch_ray.functions.murmur import hash_nearly_ascii  # noqa: E402
-from marginaliasearch_ray.functions.wordpattern import sql_tokenize_expr  # noqa: E402
+from marginaliasearch_ray.functions.wordpattern import (  # noqa: E402
+    sql_artifact_expr,
+    sql_tokenize_expr,
+)
 from marginaliasearch_ray.pipelines import (  # noqa: E402
     events as events_ops,
     similarity,
@@ -89,7 +92,7 @@ REFERENCE_QUERIES = [
 
 # bump whenever the on-disk index format changes so a stale /tmp cache
 # from an older code revision can never be read by newer code
-INDEX_FORMAT_VERSION = 7  # v7: synthetic site:/generator: keywords in the journal
+INDEX_FORMAT_VERSION = 8  # v8: mail-like artifact keywords (putIfAbsent) in the journal
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -452,6 +455,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["winnow_fingerprints"] = lambda sf: textops.winnow_fingerprints(
         documents_corpus_dataset(sf)
     )
+
+    # ArtifactKeywords over a corpus that actually contains mail-like
+    # tokens: contact lines derived deterministically from customer keys
+    # (the documents table has no '@' at any sf, so the journal-side
+    # injection is exercised here end-to-end instead).  The derivation is
+    # pure column arithmetic, mirrored exactly in the oracle SQL.
+    def _artifact_terms(sf):
+        import pyarrow as pa
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf}/customer.parquet", columns=["c_custkey"]
+        )
+
+        def contact_line(batch: pa.Table) -> pa.Table:
+            texts = []
+            for k in batch["c_custkey"].to_pylist():
+                user = "noreply" if k % 5 == 0 else f"user{k}"
+                if k % 7 == 0:
+                    dom = "gmail.com"
+                elif k % 7 == 1:
+                    dom = "dev.example.org"
+                else:
+                    dom = f"mail{k % 13}.net"
+                texts.append(f"contact {user}@{dom} for access")
+            return pa.table(
+                {
+                    "ordinal": batch["c_custkey"].cast(pa.int64()),
+                    "content": pa.array(texts, pa.string()),
+                }
+            )
+
+        return textops.artifact_terms(
+            ds.map_batches(contact_line, batch_format="pyarrow")
+        )
+
+    q["artifact_terms"] = _artifact_terms
     # strict_exact: the oracle stays exact all-pairs, so a hot-shingle
     # chain degrade must fail loudly here instead of as a value diff
     q["ngram_jaccard_pairs"] = lambda sf: textops.ngram_jaccard_pairs(
@@ -577,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # operator's implementation changes materially.
 _DRIVER_WINDOW_FIRST = [
     # rewritten round 2-3, never driver-checked (r02 capped at 50 keys)
+    "artifact_terms",
     "token_counts",
     "winnow_fingerprints",
     "ngram_jaccard_pairs",
@@ -961,7 +1002,9 @@ WITH tok AS (
   SELECT doc_id, source, {_tok()} AS toks,
          ['site:' || source,
           CASE WHEN doc_id % 7 = 3 THEN 'generator:wiki'
-               ELSE 'generator:docs' END] AS synth,
+               ELSE 'generator:docs' END]
+           || list_filter({sql_artifact_expr('toks')},
+                          a -> NOT list_contains(toks, a)) AS synth,
          '|' || array_to_string({_tok()}, '|') || '|' AS joined,
          sha256(text) AS data_hash{tok_extra}
   FROM documents
@@ -1299,6 +1342,24 @@ def oracle_sql() -> dict[str, str]:
                        x -> x <> ''))::BIGINT AS ws_tokens,
                    len({_tok()})::BIGINT AS word_tokens
             FROM documents
+        """,
+        # contact-line derivation mirrors queries()._artifact_terms exactly
+        "artifact_terms": f"""
+            WITH t AS (
+              SELECT c_custkey AS doc_id,
+                     'contact '
+                     || CASE WHEN c_custkey % 5 = 0 THEN 'noreply'
+                             ELSE 'user' || c_custkey END
+                     || '@'
+                     || CASE WHEN c_custkey % 7 = 0 THEN 'gmail.com'
+                             WHEN c_custkey % 7 = 1 THEN 'dev.example.org'
+                             ELSE 'mail' || (c_custkey % 13) || '.net' END
+                     || ' for access' AS text
+              FROM customer
+            ),
+            tok AS (SELECT doc_id, {_tok()} AS toks FROM t)
+            SELECT doc_id, unnest({sql_artifact_expr('toks')}) AS keyword
+            FROM tok
         """,
         # winnowing (k=3 rolling char-polynomial hash, min per 4-window)
         "winnow_fingerprints": f"""

@@ -188,3 +188,59 @@ def tokenize(text: str) -> list[str]:
         if w and len(w) <= MAX_WORD_LEN and ADMIT_RE.fullmatch(w):
             out.append(w)
     return out
+
+
+# ArtifactKeywords (ArtifactKeywords.java:12-48): mail-like tokens yield
+# synthetic discovery keywords — the full address, the domain (with and
+# without '@'), and the user part, minus the reference's ignore lists.
+_MAIL_LIKE_RE = re.compile(r"[a-zA-Z0-9._\-]+@[a-zA-Z0-9]+(?:\.[a-zA-Z0-9]+)+")
+# a mail-like fullmatch contains exactly one '@' (neither side's character
+# class admits it), so split_part on '@' is exact in the SQL twin below
+SQL_MAIL_LIKE_PATTERN = r"[a-z0-9._\-]+@[a-z0-9]+(\.[a-z0-9]+)+"
+_ARTIFACT_IGNORED_DOMAINS = {"@hotmail.com", "@gmail.com", "@paypal.com"}
+_ARTIFACT_IGNORED_USERS = {
+    "info", "legal", "contact", "press", "donotreply", "noreply",
+    "no-reply", "admin", "root",
+}
+
+
+def artifact_keywords(tokens: list[str]) -> list[str]:
+    """Synthetic artifact keywords from a document's token stream
+    (ArtifactKeywords.java:20-44 semantics over wordsLowerCase).  Sorted
+    for determinism."""
+    out: set[str] = set()
+    for lc in tokens:
+        at = lc.find("@")
+        if len(lc) < 6 or at < 0 or _MAIL_LIKE_RE.fullmatch(lc) is None:
+            continue
+        out.add(lc)
+        domain = lc[at:]
+        user = lc[:at]
+        if domain not in _ARTIFACT_IGNORED_DOMAINS:
+            out.add(domain[1:])
+            out.add(domain)
+        if user not in _ARTIFACT_IGNORED_USERS:
+            out.add(user)
+    return sorted(out)
+
+
+def sql_artifact_expr(toks_col: str) -> str:
+    """DuckDB list of the artifact keywords ``artifact_keywords`` yields
+    for the token list ``toks_col`` (order-free: consumers use it for
+    membership/counts only)."""
+    ign_dom = "['hotmail.com', 'gmail.com', 'paypal.com']"
+    ign_usr = (
+        "['info', 'legal', 'contact', 'press', 'donotreply', 'noreply',"
+        " 'no-reply', 'admin', 'root']"
+    )
+    return (
+        "list_distinct(flatten(list_transform("
+        f"list_filter({toks_col}, x -> length(x) >= 6"
+        f" AND regexp_full_match(x, '{SQL_MAIL_LIKE_PATTERN}')),"
+        " x -> [x]"
+        f" || (CASE WHEN list_contains({ign_dom}, split_part(x, '@', 2))"
+        " THEN []::VARCHAR[]"
+        " ELSE [split_part(x, '@', 2), '@' || split_part(x, '@', 2)] END)"
+        f" || (CASE WHEN list_contains({ign_usr}, split_part(x, '@', 1))"
+        " THEN []::VARCHAR[] ELSE [split_part(x, '@', 1)] END))))"
+    )

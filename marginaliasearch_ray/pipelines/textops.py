@@ -278,6 +278,36 @@ def token_counts(corpus_ds):
     )
 
 
+def artifact_terms(corpus_ds):
+    """(doc_id, keyword) — one row per artifact keyword the document's
+    token stream yields (ArtifactKeywords.java:20-44: mail-like tokens
+    expand to full address + domain forms + user part, minus the ignore
+    lists).  The same extractor the journal stage injects as synthetic
+    keywords; exposed standalone so the driver oracle exercises it over a
+    corpus that actually contains mail-like tokens."""
+    from ..functions.wordpattern import artifact_keywords
+
+    def extract(batch: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        kws: list[str] = []
+        for did, t in zip(
+            batch["ordinal"].to_pylist(), batch["content"].to_pylist()
+        ):
+            for kw in artifact_keywords(tokenize(t)):
+                doc_ids.append(did)
+                kws.append(kw)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "keyword": pa.array(kws, pa.string()),
+            }
+        )
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
 # Winnowing fingerprint parameters (Schleimer et al., "Winnowing: Local
 # Algorithms for Document Fingerprinting", SIGMOD 2003): k-gram rolling
 # hashes, min per w-window.  The hash is a positional char polynomial so

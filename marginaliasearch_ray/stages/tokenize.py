@@ -40,7 +40,7 @@ from ..functions.metadata import (
     encode_document_meta,
 )
 from ..functions.murmur import KeywordHashCache
-from ..functions.wordpattern import name_like_tokens, tokenize
+from ..functions.wordpattern import artifact_keywords, name_like_tokens, tokenize
 from ..functions import idcodec
 
 
@@ -234,19 +234,36 @@ class TokenizeStage:
             pos_vals = np.array([], dtype=np.int32)
 
         # --- synthetic keywords (DocumentKeywordExtractor's injected
-        # non-body keywords: site:<domain> + a generator classification,
-        # DocumentKeywordExtractor.java getKeywords → addSyntheticKeywords;
+        # non-body keywords: site:<domain>, a generator classification,
+        # and mail-like artifact keywords,
+        # DocumentKeywordExtractor.java:36-72 extractKeywords →
+        # addAllSyntheticTerms(artifactKeywords);
         # flags=SYNTHETIC, tf=1, no positions, excluded from doc size).
         # The generator class is a deterministic function of the ordinal so
         # DuckDB oracles can recompute membership (doc_id % 7 = 3 → wiki).
+        # Artifact keywords follow DocumentKeywordsBuilder.putIfAbsent
+        # (addAllSyntheticTerms, DocumentKeywordsBuilder.java:185-191): a
+        # keyword already present as a body term keeps its body tf/meta and
+        # is NOT re-added as a synthetic segment.
         syn_flat: list[str] = []
+        syn_counts = np.empty(n, dtype=np.int64)
         for i in range(n):
             syn_flat.append(f"site:{repos[i]}")
             syn_flat.append(
                 "generator:wiki" if ordinals[i] % 7 == 3 else "generator:docs"
             )
+            k_syn = 2
+            if "@" in contents[i]:
+                body = set(tok_lists[i])
+                arts = [
+                    a for a in artifact_keywords(tok_lists[i]) if a not in body
+                ]
+                syn_flat.extend(arts)
+                k_syn += len(arts)
+            syn_counts[i] = k_syn
+        n_syn = len(syn_flat)
         syn_tids = self.cache.hash_many(syn_flat)
-        syn_doc = np.repeat(np.arange(n, dtype=np.int64), 2)
+        syn_doc = np.repeat(np.arange(n, dtype=np.int64), syn_counts)
         # stable sort keeps body segments (and their position order) first
         # within each doc, so the flat pos_vals stream is unchanged
         order2 = np.argsort(
@@ -254,17 +271,17 @@ class TokenizeStage:
         )
         all_tids = np.concatenate([seg_tids, syn_tids])[order2]
         all_tf = np.concatenate(
-            [counts, np.ones(2 * n, dtype=np.int64)]
+            [counts, np.ones(n_syn, dtype=np.int64)]
         )[order2]
         all_meta = np.concatenate(
-            [seg_meta, np.full(2 * n, int(WordFlags.SYNTHETIC), dtype=np.int64)]
+            [seg_meta, np.full(n_syn, int(WordFlags.SYNTHETIC), dtype=np.int64)]
         )[order2]
         all_pcnt = np.concatenate(
-            [counts_capped, np.zeros(2 * n, dtype=np.int64)]
+            [counts_capped, np.zeros(n_syn, dtype=np.int64)]
         )[order2]
 
         # per-doc segment counts -> list offsets
-        segs_per_doc = np.full(n, 2, dtype=np.int64)
+        segs_per_doc = syn_counts.copy()
         np.add.at(segs_per_doc, seg_doc, 1)
         doc_offsets = np.concatenate(
             [[0], np.cumsum(segs_per_doc)]
