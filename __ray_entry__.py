@@ -444,6 +444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["important_words"] = lambda sf: textops.important_words(
         documents_corpus_dataset(sf), k=6
     )
+    q["words_tfidf"] = lambda sf: textops.words_tfidf(
+        documents_corpus_dataset(sf)
+    )
     q["lang_id"] = lambda sf: textops.lang_id(documents_corpus_dataset(sf))
     q["quality_scores"] = lambda sf: textops.quality_scores(
         documents_corpus_dataset(sf)
@@ -647,6 +650,7 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_advice_site",
     "bm25_flags",
     "bm25_flags_tfidf",
+    "words_tfidf",
     "bm25_priority",
     "bm25_priority_org",
     "bm25_priority_norm",
@@ -1322,6 +1326,42 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY doc_id ORDER BY tfidf_r DESC, term
               ) AS rn FROM scored
             ) WHERE rn <= 6
+        """,
+        # WordsTfIdfCounts.getTermValue (WordsTfIdfCounts.java:103-127):
+        # trunc(-75 * (0.1 + 0.9*tf/maxtf) * avg over '_'-parts of
+        # ln(max(df_part,1)/N)); empty parts dropped (StringUtils.split),
+        # absent part -> freq 1
+        "words_tfidf": f"""
+            WITH tok AS (SELECT doc_id, {_tok()} AS toks FROM documents),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            occ AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+            tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM occ GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term AS part, count(DISTINCT doc_id)::DOUBLE AS df
+              FROM occ GROUP BY term
+            ),
+            mx AS (SELECT doc_id, max(tf) AS max_tf FROM tf GROUP BY doc_id),
+            parts AS (
+              SELECT doc_id, term, tf, p AS part FROM (
+                SELECT doc_id, term, tf,
+                       unnest(string_split(term, '_')) AS p
+                FROM tf
+              ) WHERE p <> ''
+            ),
+            pl AS (
+              SELECT p.doc_id, p.term, p.tf,
+                     avg(ln(greatest(coalesce(d.df, 1), 1)
+                            / (SELECT n FROM n))) AS mlnf
+              FROM parts p LEFT JOIN df d ON p.part = d.part
+              GROUP BY p.doc_id, p.term, p.tf
+            )
+            SELECT pl.doc_id, pl.term,
+                   trunc(-75.0 * (0.1 + 0.9 * pl.tf / mx.max_tf)
+                         * pl.mlnf)::BIGINT AS tfidf
+            FROM pl JOIN mx ON pl.doc_id = mx.doc_id
         """,
         "lang_id": _lang_sql(),
         "quality_scores": f"""

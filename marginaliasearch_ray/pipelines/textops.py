@@ -121,6 +121,101 @@ def important_words(corpus_ds, k: int = 6, num_partitions: int = 8):
     return joined.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
 
 
+def words_tfidf(corpus_ds, num_partitions: int = 8):
+    """(doc_id, term, tfidf) — the reference's per-document tf-idf value
+    for every admitted term (WordsTfIdfCounts.getTermValue,
+    WordsTfIdfCounts.java:103-127): ``value(part, cnt, maxCnt) =
+    (0.1 + 0.9*cnt/maxCnt) * ln(freq_part / docCount)``, a term with
+    '_'-joined parts averages ``value`` over its nonempty parts (the
+    whole term's cnt, each part's own dict freq), and the published
+    integer is ``trunc(-75 * value)`` (normalizeValue, :118-120).
+    ``freq`` = number of corpus documents containing the part
+    (TermFrequencyExporter.java:106-118 per-doc set semantics), clamped
+    to >= 1 (:123-126); ``docCount`` = corpus size.
+
+    Fully distributed: one tokenize pass into (doc_id, term, tf) rows
+    (shared with the df groupby), '_'-parts exploded and left-joined with
+    the df table on the part (absent part -> freq 1), ``mean ln(freq/N)``
+    re-aggregated per (doc_id, term), then a doc_id join against the
+    per-doc max tf.  The vocabulary never reaches the driver."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Mean
+
+    n_docs = corpus_ds.count()
+    tf_ds = doc_term_tf(corpus_ds).materialize()
+    df_ds = tf_ds.groupby("term").aggregate(Count(alias_name="df"))
+
+    def rename_part(batch: pa.Table) -> pa.Table:
+        return pa.table({"part": batch["term"], "df": batch["df"]})
+
+    df_ds = df_ds.map_batches(rename_part, batch_format="pyarrow")
+    mx_ds = tf_ds.groupby("doc_id").aggregate(Max("tf", alias_name="max_tf"))
+
+    def explode_parts(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].combine_chunks()
+        sp = pc.split_pattern(terms, "_")
+        flat = pc.list_flatten(sp)
+        par = pc.list_parent_indices(sp)
+        # StringUtils.split drops empty strings (leading/trailing/double
+        # '_'); a token always has a leading alnum run, so every term
+        # keeps at least one part
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = par.filter(keep)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(par),
+                "term": terms.take(par),
+                "tf": batch["tf"].take(par),
+                "part": flat,
+            }
+        )
+
+    parts_ds = tf_ds.map_batches(explode_parts, batch_format="pyarrow")
+    j = parts_ds.join(
+        df_ds, join_type="left_outer", num_partitions=num_partitions,
+        on=("part",),
+    )
+
+    def lnf(batch: pa.Table, *, n_docs=n_docs) -> pa.Table:
+        freq = np.maximum(
+            pc.fill_null(batch["df"], 1).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "term": batch["term"],
+                "tf": batch["tf"],
+                "lnf": pa.array(np.log(freq / float(n_docs)), pa.float64()),
+            }
+        )
+
+    g = (
+        j.map_batches(lnf, batch_format="pyarrow")
+        .groupby(["doc_id", "term"])
+        .aggregate(Mean("lnf", alias_name="mlnf"), Max("tf", alias_name="tf"))
+    )
+    j2 = g.join(
+        mx_ds, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mx = batch["max_tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mlnf = batch["mlnf"].to_numpy(zero_copy_only=False)
+        v = -75.0 * (0.1 + 0.9 * tf / mx) * mlnf
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "term": batch["term"],
+                "tfidf": pa.array(np.trunc(v).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (hash-partitioned, first doc per content hash)
 

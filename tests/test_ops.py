@@ -322,3 +322,61 @@ def test_blocked_pairs_match_bruteforce(ray_session, planted_sf):
     for row, (a, b, s) in zip(got.itertuples(index=False), want):
         assert (row.vec_a, row.vec_b) == (a, b)
         assert abs(row.cos_r - s) < 1e-9
+
+
+def test_words_tfidf_reference_semantics(ray_session):
+    """words_tfidf matches a literal port of WordsTfIdfCounts.getTermValue
+    (WordsTfIdfCounts.java:103-127) on a tiny corpus with underscore
+    terms, dict-absent parts (freq clamp) and repeated tokens."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.functions.wordpattern import tokenize
+    from marginaliasearch_ray.pipelines import textops
+
+    contents = [
+        "alpha alpha beta customer_key alpha",
+        "alpha gamma customer key",
+        "beta beta zeta_qux beta qux customer_key",
+    ]
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r"] * 3),
+            "path": pa.array([f"p{i}" for i in range(3)]),
+            "lang": pa.array(["py"] * 3),
+            "content": pa.array(contents),
+            "ordinal": pa.array([10, 11, 12], pa.int64()),
+        }
+    )
+    out = (
+        textops.words_tfidf(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .set_index(["doc_id", "term"])["tfidf"]
+        .to_dict()
+    )
+
+    toks = [tokenize(c) for c in contents]
+    n_docs = float(len(contents))
+    df: dict[str, int] = {}
+    for ts in toks:
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+
+    def value(part, cnt, maxv):
+        freq = max(df.get(part, 0), 1)
+        return (0.1 + 0.9 * cnt / maxv) * math.log(freq / n_docs)
+
+    expected = {}
+    for i, ts in enumerate(toks):
+        counts: dict[str, int] = {}
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+        maxv = max(counts.values())
+        for t, cnt in counts.items():
+            parts = [p for p in t.split("_") if p]
+            v = sum(value(p, cnt, maxv) for p in parts) / len(parts)
+            expected[(10 + i, t)] = int(-v * 75)
+
+    assert out == expected
