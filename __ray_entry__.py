@@ -92,7 +92,7 @@ REFERENCE_QUERIES = [
 
 # bump whenever the on-disk index format changes so a stale /tmp cache
 # from an older code revision can never be read by newer code
-INDEX_FORMAT_VERSION = 8  # v8: mail-like artifact keywords (putIfAbsent) in the journal
+INDEX_FORMAT_VERSION = 9  # v9: Subjects flag gated on the tf-idf admission
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -262,10 +262,20 @@ def _prio_posting_list(sf_dir: str, term: str):
         doc = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return pa.table({"doc_id": pa.array(doc, pa.int64())})
 
-    return ray.data.read_parquet(
-        os.path.join(_index_dir_for(sf_dir), "postings_prio"),
-        columns=["term_id", "docs"],
-    ).map_batches(decode, batch_format="pyarrow")
+    df = (
+        ray.data.read_parquet(
+            os.path.join(_index_dir_for(sf_dir), "postings_prio"),
+            columns=["term_id", "docs"],
+        )
+        .map_batches(decode, batch_format="pyarrow")
+        .to_pandas()  # one term's posting list — small by design
+    )
+    if df.shape[1] == 0:
+        # Dataset.to_pandas() drops the schema when every block is empty
+        import pandas as pd
+
+        df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return df
 
 
 def _search(sf_dir: str, query: str, k: int = 10, **kw):
@@ -285,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["posting_list_merge"] = lambda sf: _posting_list(sf, "merge")
     q["posting_list_customer"] = lambda sf: _posting_list(sf, "customer")
     q["prio_posting_customer"] = lambda sf: _prio_posting_list(sf, "customer")
+    q["prio_posting_dup"] = lambda sf: _prio_posting_list(sf, "dup")
     q["span_stats"] = _span_stats
 
     # BM25 search (the north-star surface)
@@ -316,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf, "fast table", verbatim_weight=1.0
     )
     q["bm25_flags"] = lambda sf: _search(sf, "customer merge", flags_weight=1.0)
+    # positive tf-idf-gate evidence: 'dup' clears the Subjects admission
+    # on a handful of sf docs, so the flag boost visibly reorders results
+    q["bm25_flags_tfidf"] = lambda sf: _search(sf, "dup", flags_weight=1.0)
     q["bm25_head_weighted"] = lambda sf: _search(
         sf, "customer merge", head_tf_weight=0.5
     )
@@ -661,6 +675,7 @@ _DRIVER_WINDOW_FIRST = [
     "posting_list_merge",
     "posting_list_customer",
     "prio_posting_customer",
+    "prio_posting_dup",
     "span_stats",
     "important_words",
     # recently-exercised scoring family (rounds 2-3)
@@ -698,6 +713,50 @@ def _names(col: str = "text") -> str:
     from marginaliasearch_ray.functions.wordpattern import sql_name_like_expr
 
     return sql_name_like_expr(col)
+
+
+def _subj_gate_sql(tokref: str, maxtfref: str, term: str, quoted: bool = True) -> str:
+    """SQL twin of the Subjects tf-idf admission
+    (TokenizeStage._subjects_gate / SubjectLikeKeywords.java:48-60) for
+    '_'-less terms: trunc(-75*(0.1+0.9*tf/maxtf)*ln(greatest(df,1)/N))
+    >= 100 with df = body-token distinct-doc count.  Requires ``tok``
+    (doc_id, toks) and ``n`` CTEs in scope.  Oracle queries use plain
+    terms; the '_'-part-averaged variant is pinned by words_tfidf."""
+    t = f"'{term}'" if quoted else term
+    bdf = (
+        f"(SELECT count(*)::DOUBLE FROM tok t2"
+        f" WHERE list_contains(t2.toks, {t}))"
+    )
+    tf_t = f"len(list_filter({tokref}, x -> x = {t}))::DOUBLE"
+    return (
+        f"trunc(-75.0 * (0.1 + 0.9 * {tf_t} / {maxtfref})"
+        f" * ln(greatest({bdf}, 1.0) / (SELECT n FROM n))) >= 100"
+    )
+
+
+def _prio_sql(term: str) -> str:
+    """Oracle for a priority posting list: documents where ``term`` earns
+    any WordFlags bit — on this corpus the head-span Subjects candidate
+    (first occurrence <= 16) that clears the tf-idf admission gate, or a
+    name-like mention."""
+    from marginaliasearch_ray.stages.tokenize import EARLY_MENTION_POS
+
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, {_tok()} AS toks, {_names()} AS nm FROM documents
+        ),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        mx AS (
+          SELECT doc_id, list_max(list_transform(list_distinct(toks),
+                 y -> len(list_filter(toks, x -> x = y)))) AS maxtf
+          FROM tok
+        )
+        SELECT t.doc_id FROM tok t JOIN mx ON mx.doc_id = t.doc_id
+        WHERE (list_position(t.toks, '{term}')
+                 BETWEEN 1 AND {EARLY_MENTION_POS}
+               AND {_subj_gate_sql('t.toks', 'mx.maxtf', term)})
+           OR list_contains(t.nm, '{term}')
+    """
 
 
 def _bm25_sql(
@@ -962,22 +1021,34 @@ def _bm25_sql(
     if flags_weight > 0:
         from marginaliasearch_ray.functions.wordpattern import sql_name_like_expr
 
+        from marginaliasearch_ray.stages.tokenize import EARLY_MENTION_POS
+
         tok_extra += f", {sql_name_like_expr('text')} AS nm"
-        cand_bonus += ", t.nm AS nm"
-        # flag presence = early-mention Subjects bit (the only flag that
-        # fires on this corpus); prio df computed over ALL docs
-        flags_cte = """,
+        tok_extra += (
+            ", list_max(list_transform(list_distinct(toks),"
+            " y -> len(list_filter(toks, x -> x = y)))) AS maxtf"
+        )
+        cand_bonus += ", t.nm AS nm, t.maxtf AS maxtf"
+        # flag presence = Subjects bit (the only flag family that fires on
+        # this corpus): head-span candidate (first occurrence <= 16) AND
+        # the tf-idf admission gate (SubjectLikeKeywords.java:48-60 —
+        # trunc(-75*(0.1+0.9*tf/maxtf)*ln(df/N)) >= 100, body-token df),
+        # OR name-like; prio df computed over ALL docs
+        gate = _subj_gate_sql
+        flags_cte = f""",
 fdf AS (
-  SELECT m.term, sum(CASE WHEN list_position(t.toks, m.term)
-                          BETWEEN 1 AND 8
+  SELECT m.term, sum(CASE WHEN (list_position(t.toks, m.term)
+                          BETWEEN 1 AND {EARLY_MENTION_POS}
+                          AND {gate('t.toks', 't.maxtf', 'm.term', quoted=False)})
                           OR list_contains(t.nm, m.term)
                      THEN 1 ELSE 0 END)::DOUBLE AS fdf
   FROM tok t CROSS JOIN terms m WHERE m.grp = 0 GROUP BY m.term
 )"""
         for t in terms:
             fl = (
-                f"(CASE WHEN list_position(any_value(c.toks), '{t}')"
-                f" BETWEEN 1 AND 8"
+                f"(CASE WHEN (list_position(any_value(c.toks), '{t}')"
+                f" BETWEEN 1 AND {EARLY_MENTION_POS}"
+                f" AND {gate('any_value(c.toks)', 'any_value(c.maxtf)', t)})"
                 f" OR list_contains(any_value(c.nm), '{t}')"
                 f" THEN 1.0 ELSE 0.0 END)"
             )
@@ -1191,11 +1262,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # prio list = flagged postings; on this corpus only the
         # early-mention Subjects flag fires (first occurrence <= 8)
-        "prio_posting_customer": (
-            f"SELECT doc_id FROM documents "
-            f"WHERE list_position({_tok()}, 'customer') BETWEEN 1 AND 8 "
-            f"OR list_contains({_names()}, 'customer')"
-        ),
+        # prio list = flagged postings: head-span Subjects candidate AND
+        # the tf-idf admission gate (SubjectLikeKeywords), OR name-like.
+        # 'customer' never clears the gate on this corpus (high df -> low
+        # idf) — the engine must agree it yields an empty prio list;
+        # prio_posting_dup is the non-vacuous positive twin.
+        "prio_posting_customer": _prio_sql("customer"),
+        "prio_posting_dup": _prio_sql("dup"),
         "span_stats": f"""
             SELECT doc_id,
               coalesce(list_sum(list_transform(
@@ -1235,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_proximity": _bm25_sql(["customer", "merge"], proximity_weight=0.5),
         "bm25_verbatim": _bm25_sql(["fast", "table"], verbatim_weight=1.0),
         "bm25_flags": _bm25_sql(["customer", "merge"], flags_weight=1.0),
+        "bm25_flags_tfidf": _bm25_sql(["dup"], flags_weight=1.0),
         "bm25_head_weighted": _bm25_sql(
             ["customer", "merge"], head_tf_weight=0.5
         ),

@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 
 from ..stages.docids import DomainRegistry, build_domain_registry
 from ..stages.reverse import EncodeBatchRuns, MergeWorker, term_bucket
-from ..stages.tokenize import TokenizeStage
+from ..stages.tokenize import TfDictStage, TokenizeStage
 from ..state import manifest as mf
 
 
@@ -195,17 +195,76 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
 
     max_pool = pool if isinstance(pool, int) else pool[1]
 
+    # single-file corpora arrive as a handful of blocks; split so the
+    # tokenize pools actually fan out (repartition without shuffle)
+    corpus_ds = corpus_ds.repartition(max_pool * 2)
+
+    # ---- phase: stats (corpus term-frequency dict) ----------------------
+    # Built BEFORE the journal: the reference's TermFrequencyDict is an
+    # input artifact of keyword extraction (loaded per process,
+    # DocumentKeywordExtractor.java:45) produced by a separate corpus
+    # pass (TermFrequencyExporter.java:101-130).  The journal's Subjects
+    # tf-idf gate needs it, and hot terms are now known before the
+    # reverse build in every configuration (previously only with
+    # premerge_salted).
+    if not mf.is_committed(out_dir, "stats"):
+        t_phase = time.time()
+        from ray.data.aggregate import Sum
+
+        n_corpus_docs = corpus_ds.count()
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = term_bucket(
+                batch["term_id"].to_numpy(zero_copy_only=False), cfg.num_buckets
+            )
+            return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+        df_ds = (
+            corpus_ds.map_batches(
+                TfDictStage,
+                batch_size=cfg.tokenize_batch_size,
+                batch_format="pyarrow",
+                concurrency=pool,
+            )
+            .groupby("term_id")
+            .aggregate(
+                Sum("cnt", alias_name="df"),
+                Sum("body", alias_name="body_df"),
+            )
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .materialize()  # vocabulary-sized; reused for write + hot scan
+        )
+        df_ds.write_parquet(os.path.join(out_dir, "stats"))
+        hot_terms = [
+            r["term_id"]
+            for r in df_ds.filter(expr=f"df >= {cfg.hot_df_threshold}")
+            .select_columns(["term_id"])
+            .take_all()
+        ]
+        mf.commit_manifest(
+            out_dir,
+            "stats",
+            {
+                "hot_terms": hot_terms,
+                "hot_df_threshold": cfg.hot_df_threshold,
+                "num_buckets": cfg.num_buckets,
+                "doc_count": n_corpus_docs,
+                "seconds": round(time.time() - t_phase, 3),
+            },
+        )
+
     # ---- phase: journal -------------------------------------------------
     if not mf.is_committed(out_dir, "journal"):
         t_phase = time.time()
         registry = build_domain_registry(corpus_ds, cfg.num_parts)
         reg_ref = ray.put(registry)
-        # single-file corpora arrive as a handful of blocks; split so the
-        # tokenize pool actually fans out (repartition without shuffle)
-        corpus_ds = corpus_ds.repartition(max_pool * 2)
         journal = corpus_ds.map_batches(
             TokenizeStage,
-            fn_constructor_args=(reg_ref,),
+            fn_constructor_args=(
+                reg_ref,
+                os.path.join(out_dir, "stats"),
+                mf.read_manifest(out_dir, "stats")["doc_count"],
+            ),
             batch_size=cfg.tokenize_batch_size,
             batch_format="pyarrow",
             concurrency=pool,
@@ -271,69 +330,6 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     journal_manifest = mf.read_manifest(out_dir, "journal")
     num_parts = journal_manifest["num_parts"]
 
-    # ---- phase: stats (global df + hot terms) ---------------------------
-    # With the salted pre-merge enabled, hot terms must be known BEFORE
-    # the reverse build -> compute df from the journal here.  Otherwise
-    # the reverse phase runs first (hot set empty is fine: salting is
-    # unused) and stats derives df from the compact posting segments —
-    # no second tokenized-journal scan.
-    stats_from_journal = cfg.premerge_salted
-
-    def _stats_phase(source_ds) -> None:
-        t_phase = time.time()
-        from ray.data.aggregate import Sum
-
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            b = term_bucket(
-                batch["term_id"].to_numpy(zero_copy_only=False), cfg.num_buckets
-            )
-            return batch.append_column("bucket", pa.array(b, pa.int32()))
-
-        df_ds = (
-            source_ds.groupby("term_id")
-            .aggregate(Sum("cnt", alias_name="df"))
-            .map_batches(add_bucket, batch_format="pyarrow")
-            .materialize()  # vocabulary-sized; reused for write + hot scan
-        )
-        df_ds.write_parquet(os.path.join(out_dir, "stats"))
-        hot_terms = [
-            r["term_id"]
-            for r in df_ds.filter(expr=f"df >= {cfg.hot_df_threshold}")
-            .select_columns(["term_id"])
-            .take_all()
-        ]
-        mf.commit_manifest(
-            out_dir,
-            "stats",
-            {
-                "hot_terms": hot_terms,
-                "hot_df_threshold": cfg.hot_df_threshold,
-                "num_buckets": cfg.num_buckets,
-                "seconds": round(time.time() - t_phase, 3),
-            },
-        )
-
-    def _journal_df_partials():
-        js = read_journal(out_dir, "reverse")
-
-        def partial_df(batch: pa.Table) -> pa.Table:
-            flat = pc.list_flatten(batch["term_ids"].combine_chunks()).to_numpy(
-                zero_copy_only=False
-            )
-            uniq, counts = np.unique(flat, return_counts=True)
-            return pa.table(
-                {
-                    "term_id": pa.array(uniq, pa.int64()),
-                    "cnt": pa.array(counts, pa.int64()),
-                }
-            )
-
-        return js.select_columns(["term_ids"]).map_batches(
-            partial_df, batch_format="pyarrow"
-        )
-
-    if stats_from_journal and not mf.is_committed(out_dir, "stats"):
-        _stats_phase(_journal_df_partials())
 
     # ---- phase: forward -------------------------------------------------
     if not mf.is_committed(out_dir, "forward"):
@@ -502,29 +498,6 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
                     "journal_files": journal_manifest.get("files", []),
                 },
             },
-        )
-
-    if not mf.is_committed(out_dir, "stats"):
-        # df from the final posting segments: one cheap vocab-sized pass
-        import ray.data as rd
-
-        def seg_partials(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "term_id": batch["term_id"],
-                    "cnt": batch["df"].cast(pa.int64()),
-                }
-            )
-
-        _stats_phase(
-            rd.read_parquet(
-                os.path.join(out_dir, "postings"),
-                columns=["term_id", "df"],
-                # the postings metadata is vocab-sized: ncpu-proportional
-                # blocks instead of one per segment file halve the
-                # aggregate's per-block overhead (measured 2x at 480k docs)
-                override_num_blocks=max(2 * ncpu, 8),
-            ).map_batches(seg_partials, batch_format="pyarrow")
         )
 
     # ---- phase: prio (flagged-postings reverse index, gamma/delta) ------

@@ -44,7 +44,11 @@ from ..functions.wordpattern import artifact_keywords, name_like_tokens, tokeniz
 from ..functions import idcodec
 
 
-EARLY_MENTION_POS = 8  # Subjects flag: first occurrence within N tokens
+# Subjects candidate rule: first occurrence inside the head span (the
+# code-corpus structural analog of the reference's noun-grammar candidate
+# pattern, SubjectLikeKeywords.java:32-46); admission additionally
+# requires the tf-idf gate (see TokenizeStage._subjects_gate)
+EARLY_MENTION_POS = 16
 
 # Span tags for the code corpus (HtmlTag analog, IndexSpansWriter/
 # SpansCodec S8): 'c' = comment lines, 'h' = head (first 16 tokens).
@@ -86,11 +90,68 @@ def tokenize_with_spans(content: str) -> tuple[list[str], list[int], list[list[i
     return toks, codes, spans
 
 
+class TfDictStage:
+    """Corpus term-document-frequency partials — the regenerated
+    TermFrequencyDict (TermFrequencyExporter.java:101-130: per-document
+    distinct-term sets summed into doc counts).  One row per distinct
+    batch term with two partial counts: ``cnt`` counts documents that
+    contain the term in the body OR as one of the journal's synthetic
+    keywords (so hot-term salting sees site:/generator:/artifact terms
+    exactly as the reverse build will), ``body`` counts body-only
+    documents — the Subjects tf-idf gate uses body counts, matching the
+    reference dict (built from raw crawl text, no synthetics)."""
+
+    def __init__(self):
+        from collections import Counter  # noqa: F401  (used per call)
+
+        self.cache = KeywordHashCache()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c_all: Counter = Counter()
+        c_body: Counter = Counter()
+        for repo, ordinal, content in zip(
+            batch["repo"].to_pylist(),
+            batch["ordinal"].to_pylist(),
+            batch["content"].to_pylist(),
+        ):
+            body = set(tokenize(content))
+            syn = {
+                f"site:{repo}",
+                "generator:wiki" if ordinal % 7 == 3 else "generator:docs",
+            }
+            if "@" in content:
+                syn.update(artifact_keywords(list(body)))
+            c_body.update(body)
+            c_all.update(body | syn)
+        terms = list(c_all.keys())
+        return pa.table(
+            {
+                "term_id": pa.array(self.cache.hash_many(terms), pa.int64()),
+                "cnt": pa.array([c_all[t] for t in terms], pa.int64()),
+                "body": pa.array(
+                    [c_body.get(t, 0) for t in terms], pa.int64()
+                ),
+            }
+        )
+
+
 class TokenizeStage:
     """Callable class for ``ds.map_batches(TokenizeStage, fn_constructor_args=
-    (registry_ref,), concurrency=N, batch_size=B, batch_format="pyarrow")``."""
+    (registry_ref, tfdict_dir, dict_doc_count), concurrency=N, batch_size=B,
+    batch_format="pyarrow")``.
 
-    def __init__(self, registry_ref):
+    ``tfdict_dir`` points at the stats-phase term-frequency table; each
+    actor loads it once in ``__init__`` — the reference's
+    TermFrequencyDict is likewise loaded fully per extractor process
+    (DocumentKeywordExtractor.java:45).  When provided, the Subjects flag
+    is gated on the reference's tf-idf admission (see ``_subjects_gate``);
+    without it (bare test construction) the early-mention candidate flag
+    is stored ungated."""
+
+    def __init__(self, registry_ref, tfdict_dir: str | None = None,
+                 dict_doc_count: int = 0):
         import ray
 
         self.registry = (
@@ -98,6 +159,101 @@ class TokenizeStage:
         )
         self.cache = KeywordHashCache()
         self._key_tokens_cache: dict[str, frozenset] = {}
+        self.dict_ids: np.ndarray | None = None
+        self.dict_df: np.ndarray | None = None
+        self.dict_doc_count = float(max(dict_doc_count, 1))
+        if tfdict_dir is not None:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(tfdict_dir).to_table(
+                columns=["term_id", "body_df"]
+            )
+            ids = t["term_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bdf = t["body_df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.argsort(ids)
+            self.dict_ids = ids[o]
+            self.dict_df = bdf[o]
+
+    def _lookup_body_df(self, strs: list[str]) -> np.ndarray:
+        """Dict doc-frequency per term string (0 when absent)."""
+        if len(self.dict_ids) == 0:
+            return np.zeros(len(strs), dtype=np.int64)
+        h = np.asarray(self.cache.hash_many(strs), dtype=np.int64)
+        ix = np.searchsorted(self.dict_ids, h)
+        safe = np.minimum(ix, len(self.dict_ids) - 1)
+        return np.where(self.dict_ids[safe] == h, self.dict_df[safe], 0)
+
+    def _subjects_gate(self, uniq_batch, seg_doc, seg_term, counts, n_docs):
+        """SubjectLikeKeywords admission (SubjectLikeKeywords.java:48-60):
+        a subject candidate keeps its flag iff the term's tf-idf value is
+        >= 100.  The value is WordsTfIdfCounts.getTermValue
+        (WordsTfIdfCounts.java:103-127): ``trunc(-75 * (0.1 +
+        0.9*tf/maxtf) * mean over '_'-parts of ln(max(freq,1)/N))``; for
+        '_'-joined terms the gate instead averages the *parts'* own
+        in-document map values with Java integer division, absent part ->
+        0 (SubjectLikeKeywords.getTermTfIdf:71-88).  Fully vectorized:
+        parts resolved against the batch vocabulary, (doc, part) map
+        lookups as one searchsorted over the sorted (doc, term) segment
+        keys."""
+        import pyarrow.compute as pc
+
+        V = len(uniq_batch)
+        # parts per unique batch term (empty parts dropped, as
+        # StringUtils.split does)
+        sp = pc.split_pattern(pa.array(uniq_batch), "_")
+        flat = pc.list_flatten(sp)
+        par = pc.list_parent_indices(sp)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        par = par.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_list = flat.to_pylist()
+        pcnt = np.zeros(V, dtype=np.int64)
+        np.add.at(pcnt, par, 1)
+        poff = np.concatenate([[0], np.cumsum(pcnt)])
+
+        # mean ln(max(freq,1)/N) per unique term over its parts
+        dfp = self._lookup_body_df(flat_list).astype(np.float64)
+        lnp = np.log(np.maximum(dfp, 1.0) / self.dict_doc_count)
+        sums = np.zeros(V, dtype=np.float64)
+        np.add.at(sums, par, lnp)
+        mlnf = sums / np.maximum(pcnt, 1)
+
+        # per-doc max tf (maxValue, WordsTfIdfCounts.java:92-101)
+        maxtf = np.ones(n_docs, dtype=np.int64)
+        np.maximum.at(maxtf, seg_doc, counts)
+        w = 0.1 + 0.9 * counts / maxtf[seg_doc]
+        seg_v = np.trunc(-75.0 * w * mlnf[seg_term]).astype(np.int64)
+        gate = seg_v >= 100
+
+        # '_' terms: integer-average the parts' own (doc, part) values
+        has_us = np.char.find(uniq_batch, "_") >= 0
+        us_ix = np.flatnonzero(has_us[seg_term])
+        if us_ix.size:
+            t_u = seg_term[us_ix]
+            d_u = seg_doc[us_ix]
+            cnts = pcnt[t_u]
+            n_flat = int(cnts.sum())
+            rep = np.repeat(np.arange(us_ix.size), cnts)
+            fstart = np.repeat(poff[t_u], cnts)
+            within = np.arange(n_flat) - np.repeat(
+                np.cumsum(cnts) - cnts, cnts
+            )
+            part_strs = np.asarray(flat_list, dtype=object).astype(
+                uniq_batch.dtype
+            )[fstart + within]
+            p_ix = np.searchsorted(uniq_batch, part_strs)
+            p_safe = np.minimum(p_ix, V - 1)
+            p_ok = uniq_batch[p_safe] == part_strs
+            seg_key = seg_doc * V + seg_term  # sorted: segs are (doc, term)-ordered
+            q_key = np.repeat(d_u, cnts) * V + p_safe
+            s_ix = np.searchsorted(seg_key, q_key)
+            s_safe = np.minimum(s_ix, seg_key.size - 1)
+            s_ok = p_ok & (seg_key[s_safe] == q_key)
+            vals = np.where(s_ok, seg_v[s_safe], 0)
+            vsum = np.zeros(us_ix.size, dtype=np.int64)
+            np.add.at(vsum, rep, vals)
+            gate[us_ix] = (vsum // cnts) >= 100
+        return gate
 
     def _tokens_of(self, s: str) -> frozenset:
         out = self._key_tokens_cache.get(s)
@@ -193,9 +349,14 @@ class TokenizeStage:
             # SubjectLikeKeywords prominence flag)
             seg_flags = np.zeros(len(starts), dtype=np.int64)
             first_pos = p_s[starts]
-            seg_flags |= (first_pos <= EARLY_MENTION_POS) * np.int64(
-                WordFlags.SUBJECTS
-            )
+            early = first_pos <= EARLY_MENTION_POS
+            if self.dict_ids is not None:
+                # reference admission: a subject candidate keeps the flag
+                # only when its tf-idf clears 100 (SubjectLikeKeywords)
+                early = early & self._subjects_gate(
+                    uniq_batch, seg_doc, seg_term, counts, n
+                )
+            seg_flags |= early * np.int64(WordFlags.SUBJECTS)
             seg_words = uniq_batch[seg_term]
             doc_seg_bounds = np.flatnonzero(
                 np.diff(np.append(-1, seg_doc)) != 0

@@ -124,3 +124,119 @@ def test_name_like_flag_set_and_prio_listed():
 
     rows = explode_flagged(out, num_buckets=4)
     assert qs in rows["term_id"].to_pylist()
+
+
+def test_subjects_tfidf_gate_reference_semantics(tmp_path):
+    """The Subjects flag = head-span candidate AND the tf-idf admission
+    (SubjectLikeKeywords.java:48-60): plain terms gate on their own
+    getTermValue; '_' terms integer-average the parts' own in-document
+    values (absent part -> 0, SubjectLikeKeywords.getTermTfIdf:71-88)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marginaliasearch_ray.functions.metadata import WordFlags
+    from marginaliasearch_ray.functions.murmur import (
+        KeywordHashCache,
+        hash_nearly_ascii,
+    )
+    from marginaliasearch_ray.functions.wordpattern import tokenize
+    from marginaliasearch_ray.stages.docids import DomainRegistry
+    from marginaliasearch_ray.stages.tokenize import TokenizeStage
+
+    # synthetic dict: df over a nominal 1000-doc corpus
+    dict_df = {
+        "rare": 1,          # very rare -> high idf
+        "pair": 2,
+        "common": 900,      # ln(900/1000) ~ 0 -> never gates
+        "filler": 800,
+        "rare_pair": 1,
+        "ghost_rare": 1,    # 'ghost' absent from dict -> freq clamps to 1
+        "ghost": 3,
+    }
+    n_dict = 1000
+    terms = list(dict_df)
+    tbl = pa.table(
+        {
+            "term_id": pa.array(
+                [hash_nearly_ascii(t) for t in terms], pa.int64()
+            ),
+            "body_df": pa.array([dict_df[t] for t in terms], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "stats.parquet")
+
+    # doc: rare and pair appear standalone AND joined; common repeats to
+    # set maxtf; everything of interest sits inside the first 16 tokens
+    content = (
+        "rare_pair rare rare pair ghost_rare common common common common "
+        "filler filler ghost_rare rare"
+    )
+    reg = DomainRegistry(["org/r"], num_parts=1)
+    stage = TokenizeStage(reg, str(tmp_path / "stats.parquet"), n_dict)
+    batch = pa.table(
+        {
+            "repo": pa.array(["org/r"]),
+            "path": pa.array(["src/a.py"]),
+            "commit": pa.array(["c" * 40]),
+            "lang": pa.array(["py"]),
+            "content": pa.array([content]),
+            "ordinal": pa.array([0], pa.int32()),
+        }
+    )
+    out = stage(batch)
+    flag_of = dict(zip(out["term_ids"][0].as_py(), out["term_meta"][0].as_py()))
+
+    toks = tokenize(content)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    maxv = max(counts.values())
+
+    def vmap(term):  # WordsTfIdfCounts.getTermValue
+        parts = [p for p in term.split("_") if p]
+        v = sum(
+            (0.1 + 0.9 * counts[term] / maxv)
+            * math.log(max(dict_df.get(p, 0), 1) / n_dict)
+            for p in parts
+        ) / len(parts)
+        return int(-v * 75)
+
+    def gate(term):  # SubjectLikeKeywords.getTermTfIdf
+        if "_" in term:
+            parts = [p for p in term.split("_") if p]
+            s = sum(vmap(p) if p in counts else 0 for p in parts)
+            return (s // len(parts)) >= 100
+        return vmap(term) >= 100
+
+    subj = int(WordFlags.SUBJECTS)
+    cache = KeywordHashCache()
+    for term in counts:
+        got = bool(flag_of[int(cache.hash_many([term])[0])] & subj)
+        first = toks.index(term) + 1
+        want = first <= 16 and gate(term)
+        assert got == want, (term, got, want, vmap(term))
+
+    # sanity: the fixture exercises both gate outcomes, including both
+    # '_' terms (part-averaged, one with a dict-absent 'ghost' part)
+    assert gate("rare") and gate("rare_pair") and gate("ghost_rare")
+    assert not gate("common") and not gate("filler")
+
+    # the SubjectLikeKeywords divergence from plain getTermValue: a '_'
+    # term whose parts are NOT in the document averages part values of 0
+    # and fails the gate, even though its own tf-idf value is huge
+    batch2 = batch.set_column(
+        batch.schema.get_field_index("content"),
+        "content",
+        pa.array(["rare_pair alone here common common"]),
+    )
+    out2 = stage(batch2)
+    flag2 = dict(zip(out2["term_ids"][0].as_py(), out2["term_meta"][0].as_py()))
+    rp = int(cache.hash_many(["rare_pair"])[0])
+    assert not (flag2[rp] & subj)
+    # its own map value would have cleared 100 (idf of the rare parts)
+    assert int(
+        -(0.1 + 0.9 / 2) * math.log(1 / n_dict) * 75 / 1
+    ) >= 100  # w=0.55, both parts freq 1
