@@ -348,6 +348,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_normalized"] = lambda sf: _search(
         sf, "customer merge", normalize_score=True
     )
+    # reference-exact final composition: normalize(Σscores * exp(adj/5), p)
+    # with adj = 1.0 per present ?term + 1.0 per ?org: domain match
+    # (IndexResultRankingService.java:145-158)
+    q["bm25_priority_norm"] = lambda sf: _search(
+        sf,
+        "customer ?merge ?org:src1",
+        normalize_score=True,
+        multiplicative_priority=True,
+    )
     # per-language journal partition filter (pruned read of lang= dirs)
     q["bm25_lang"] = lambda sf: _search(sf, "customer lang:en")
     # ParamMatchingQueryFilter meta limits (year> / rank< / q<)
@@ -786,6 +795,7 @@ def _bm25_sql(
     priority_org: str | None = None,
     proximity_all_weight: float = 0.0,
     verbatim_tag_weight: float = 0.0,
+    multiplicative_priority: bool = False,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -846,7 +856,8 @@ def _bm25_sql(
     # grp <= 0 contributions are SUMMED; grp >= 1 take the MAX over their
     # members (CompiledQueryAggregates intMaxSum shape)
     rows = [f"('{t}', 1.0, 0)" for t in terms]
-    rows += [f"('{t}', {PRIORITY_WEIGHT}, -1)" for t in (priority or [])]
+    if not multiplicative_priority:
+        rows += [f"('{t}', {PRIORITY_WEIGHT}, -1)" for t in (priority or [])]
     for gi, g in enumerate(groups, start=1):
         rows += [f"('{t}', 1.0, {gi})" for t in g]
     vals = ", ".join(rows)
@@ -1063,15 +1074,42 @@ fdf AS (
         if decorate
         else ""
     )
-    if priority_org is not None:
+    if priority_org is not None and not multiplicative_priority:
         from marginaliasearch_ray.pipelines.query import PRIORITY_DOMAIN_WEIGHT
 
         fp_expr += (
             f" + CASE WHEN starts_with(any_value(c.source), '{priority_org}')"
             f" THEN {PRIORITY_DOMAIN_WEIGHT} ELSE 0.0 END"
         )
+    # multiplicative composition: Σscores * exp(priorityTermAdjustment/5)
+    # with 1.0 per present ?term + 1.0 per priority-domain match
+    # (IndexResultRankingService.java:145-156; rankingAdjustment = 1.0)
+    mult_expr = ""
+    if multiplicative_priority:
+        from marginaliasearch_ray.pipelines.query import (
+            PRIORITY_DOMAIN_ADJ,
+            PRIORITY_TERM_ADJ,
+        )
+
+        adj_terms = [
+            f"CASE WHEN (list_contains(any_value(c.toks), '{t}')"
+            f" OR list_contains(any_value(c.synth), '{t}'))"
+            f" THEN {PRIORITY_TERM_ADJ} ELSE 0.0 END"
+            for t in (priority or [])
+        ]
+        if priority_org is not None:
+            adj_terms.append(
+                f"CASE WHEN starts_with(any_value(c.source), '{priority_org}')"
+                f" THEN {PRIORITY_DOMAIN_ADJ} ELSE 0.0 END"
+            )
+        adj = " + ".join(adj_terms) if adj_terms else "0.0"
+        mult_expr = f" * exp(({adj}) / 5.0)"
+    # document bonus stays OUTSIDE the multiplicative factor: the reference
+    # multiplies exp(adj/5) into the first/prox/verbatim/bm25/bflags sum
+    # only (IndexResultRankingService.java:155-156)
+    bonus_add = ""
     if document_bonus_weight > 0:
-        fp_expr += f" + {document_bonus_weight} * any_value(c.bonus)"
+        bonus_add = f" + {document_bonus_weight} * any_value(c.bonus)"
     scored = f"""
 WITH tok AS (
   SELECT doc_id, source, {_tok()} AS toks,
@@ -1118,10 +1156,14 @@ contrib AS (
         # part of the document bonus| — LOWER is better, so ORDER BY ASC
         score_sel = (
             f"round(sqrt((1.0 + 500.0 + 20.0 * greatest(0.0, -any_value(c.bonus)))"
-            f" / (1.0 + greatest(sum(ct.contrib){fp_expr}, 0.0))), 6) AS score_r"
+            f" / (1.0 + greatest((sum(ct.contrib){fp_expr}){mult_expr}"
+            f"{bonus_add}, 0.0))), 6) AS score_r"
         )
     else:
-        score_sel = f"round(sum(ct.contrib){fp_expr}, 6) AS score_r"
+        score_sel = (
+            f"round((sum(ct.contrib){fp_expr}){mult_expr}{bonus_add}, 6)"
+            " AS score_r"
+        )
     direction = "ASC" if normalize else "DESC"
     scored = f"""{scored}
 scored AS (
@@ -1324,6 +1366,13 @@ def oracle_sql() -> dict[str, str]:
             temporal_bias="recent",
         ),
         "bm25_normalized": _bm25_sql(["customer", "merge"], normalize=True),
+        "bm25_priority_norm": _bm25_sql(
+            ["customer"],
+            priority=["merge"],
+            priority_org="src1",
+            normalize=True,
+            multiplicative_priority=True,
+        ),
         "bm25_lang": _bm25_sql(["customer"], lang="en"),
         "bm25_meta_year": _bm25_sql(
             ["customer"], meta_limits=[("year", ">", 2010)]

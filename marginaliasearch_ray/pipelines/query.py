@@ -214,6 +214,14 @@ def _flatten_tree(root: tuple) -> tuple[list[str], list[list[str]]] | None:
 # IndexResultRankingService:145-153)
 PRIORITY_WEIGHT = 0.25
 
+# multiplicative composition (plan["multiplicative_priority"]): per-term /
+# per-domain promote amounts summed into priorityTermAdjustment, then
+# score *= exp(adj/5) — the defaults mirror the reference's usual 1.0f
+# promote weights (IndexQueryServiceIntegrationTest.java:149,
+# SearchContext.java:146-153, IndexResultRankingService.java:145-156)
+PRIORITY_TERM_ADJ = 1.0
+PRIORITY_DOMAIN_ADJ = 1.0
+
 # VerbatimMatches per-tag weight table mapped onto the code corpus's span
 # model (head = first 16 tokens ~ TITLE, everything else ~ BODY) —
 # IndexResultRankingService.java:406-454: weights_full/weights_partial/
@@ -1271,14 +1279,27 @@ class SearcherLogic:
                     )
                 )
 
-        # ?priority terms: non-filtering boost — PRIORITY_WEIGHT x the
-        # term's BM25 score where present
+        # ?priority terms. Two compositions:
+        #  - additive (default, legacy): PRIORITY_WEIGHT x the term's BM25
+        #    score where present (SQL-expressible stand-in)
+        #  - multiplicative (plan["multiplicative_priority"]): the
+        #    reference's exact shape — each present ?term contributes its
+        #    promote weight (default 1.0/term) to priorityTermAdjustment,
+        #    and the final score is
+        #    rankingAdjustment * Σscores * exp(priorityTermAdjustment/5)
+        #    (IndexResultRankingService.java:145-156; rankingAdjustment is
+        #    a per-domain override factor, default 1.0 — modeled as 1.0)
+        multiplicative = plan.get("multiplicative_priority", False)
+        prio_adj = np.zeros(len(cand), dtype=np.float64) if multiplicative else None
         for t in priority_ids:
             docs, tfs = seg.postings(t)
             if len(docs) == 0:
                 continue
             ix = np.searchsorted(docs, cand)
             present = _membership(cand, docs)
+            if multiplicative:
+                prio_adj += PRIORITY_TERM_ADJ * present.astype(np.float64)
+                continue
             tf = np.where(present, tfs[np.minimum(ix, len(tfs) - 1)], 0).astype(
                 np.float64
             )
@@ -1290,13 +1311,26 @@ class SearcherLogic:
 
         # priority-domain boost (?org:<prefix> -> priorityDomainIds,
         # IndexResultRankingService.java:150-153): flat adjustment where
-        # the candidate's domain id is in the prioritized set
+        # the candidate's domain id is in the prioritized set; in
+        # multiplicative mode it joins priorityTermAdjustment instead
+        # (SearchContext.java:146-153 — priorityDomainIds amounts feed
+        # the same exp() term, IndexResultRankingService.java:153-156)
         prio_domains = plan.get("priority_domains")
         if prio_domains:
             dom = idcodec.get_domain_id(cand)
-            score += PRIORITY_DOMAIN_WEIGHT * np.isin(
+            in_set = np.isin(
                 dom, np.asarray(prio_domains, dtype=np.int64)
             ).astype(np.float64)
+            if multiplicative:
+                prio_adj += PRIORITY_DOMAIN_ADJ * in_set
+            else:
+                score += PRIORITY_DOMAIN_WEIGHT * in_set
+
+        if multiplicative:
+            # applied to the full additive sum (first/prox/verbatim/bm25/
+            # bFlags), before the document-bonus family — mirroring the
+            # reference where documentBonus only feeds normalize's penalty
+            score = score * np.exp(prio_adj / 5.0)
 
         # document rank bonus (calculateDocumentBonus:281-358 subset):
         # w * (255 - rank_field)/100, rank from the packed document meta
@@ -1420,6 +1454,7 @@ class IndexSearch:
         rank_bonus_weight: float = 0.0,
         document_bonus_weight: float = 0.0,
         normalize_score: bool = False,
+        multiplicative_priority: bool = False,
         temporal_bias: str = "none",
         expand: bool = False,
         expand_plural: bool = False,
@@ -1473,6 +1508,7 @@ class IndexSearch:
             "rank_bonus_weight": rank_bonus_weight,
             "document_bonus_weight": document_bonus_weight,
             "normalize_score": normalize_score,
+            "multiplicative_priority": multiplicative_priority,
             "temporal_bias": temporal_bias,
             "ascending": normalize_score,  # normalize => lower is better
             "budget_s": budget_s,

@@ -481,3 +481,58 @@ def test_expansion_strategies_admit_variant_docs(ray_session, tmp_path_factory):
     assert ids("customer wiki", expand_category=True) == {3, 5}
     # site: advice keyword injected at build time filters by repo
     assert ids("customer site:org/a") == {0, 1, 2, 3, 4, 5, 6}
+
+
+def test_multiplicative_priority_normalize(index_dir, oracle):
+    """Reference-exact final composition (IndexResultRankingService.java:
+    145-158): score = normalize(Σscores * exp(priorityTermAdjustment/5),
+    penalty) with adj = 1.0 per present ?term + 1.0 per ?org: domain
+    match.  Recompose the expected value from the raw-score and
+    plain-normalized runs and check the multiplicative run matches."""
+    import math
+
+    idx = IndexSearch(index_dir, use_actors=False)
+
+    def by_key(t):
+        # ordinals repeat across repos in this fixture; key by (repo, path)
+        return {
+            (r, p): s
+            for r, p, s in zip(
+                t["repo"].to_pylist(),
+                t["path"].to_pylist(),
+                t["score_r"].to_pylist(),
+            )
+        }
+
+    raw = by_key(idx.search("license", k=1000, decorate=True))
+    norm = by_key(
+        idx.search("license", k=1000, normalize_score=True, decorate=True)
+    )
+    mult_t = idx.search(
+        "license ?import ?org:org0000",
+        k=1000,
+        normalize_score=True,
+        multiplicative_priority=True,
+        decorate=True,
+    )
+    got = by_key(mult_t)
+    docs_by = {(d["repo"], d["path"]): d for d in oracle["docs"]}
+    raw_by, norm_by = raw, norm
+    assert set(got) == set(raw_by) == set(norm_by)
+    n_boosted = 0
+    for key, r in raw_by.items():
+        # recover the normalize penalty from the plain-normalized run:
+        # norm = sqrt((501 + 20p) / (1 + r))  =>  20p = norm^2*(1+r) - 501
+        p20 = norm_by[key] ** 2 * (1.0 + r) - 501.0
+        d = docs_by[key]
+        adj = (1.0 if "import" in d["tf"] else 0.0) + (
+            1.0 if d["repo"].startswith("org0000") else 0.0
+        )
+        n_boosted += adj > 0
+        want = math.sqrt((501.0 + p20) / (1.0 + r * math.exp(adj / 5.0)))
+        assert abs(got[key] - want) < 1e-4, (key, got[key], want, adj)
+    # the fixture corpus must actually exercise the boost
+    assert n_boosted > 0
+    # lower-is-better: ascending order end-to-end
+    scores = mult_t["score_r"].to_pylist()
+    assert scores == sorted(scores)
