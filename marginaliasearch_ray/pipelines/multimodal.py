@@ -10,6 +10,11 @@ libraries exist in this container:
 - ``decoder="fake"`` (default): deterministic stand-in that derives a
   fixed-size feature vector from the payload bytes (sha256-seeded), so
   the pipeline shape is exercised end-to-end.
+- ``decoder="ppm"``: a REAL, dependency-free decode path — pure
+  numpy parsers for binary PPM (P6) and uncompressed 24-bit BMP
+  payloads (dispatched on the magic bytes), producing genuine
+  pixel-statistics features.  This is the honest subset of "real image
+  decode" expressible without PIL/PyAV in this container.
 - ``decoder="pil"``: raises NotImplementedError at actor construction
   unless PIL is importable (the real path on a production image).
 """
@@ -17,6 +22,7 @@ libraries exist in this container:
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -35,6 +41,120 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 16
 
 
+# ---------------------------------------------------------------------------
+# Dependency-free image codecs (binary PPM / 24-bit BMP)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6, maxval 255)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 RGB.
+
+    Handles the full header grammar: any whitespace between tokens and
+    ``#`` comments through end-of-line; exactly one whitespace byte
+    separates the maxval from the raster."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        # skip whitespace and comments
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            nl = buf.find(b"\n", pos)
+            pos = len(buf) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(buf) and buf[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        vals.append(int(buf[start:pos]))
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # the single whitespace byte after maxval
+    need = w * h * 3
+    raster = buf[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP (bottom-up,
+    BGR, rows padded to 4 bytes)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (h, w, 3) uint8 RGB.
+    Supports bottom-up (positive height) and top-down (negative) rows."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", buf, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = stride * h
+    raster = buf[off : off + need]
+    if len(raster) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return px if top_down else px[::-1]
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: P6 PPM or BM BMP -> (h, w, 3) uint8."""
+    if buf[:2] == b"P6":
+        return decode_ppm(buf)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    raise ValueError(f"unrecognized image magic {buf[:2]!r}")
+
+
+def pixel_features(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 -> FEATURE_DIM real statistics (float64 math,
+    float32 output): per-channel mean/std/min/max, luminance mean/std,
+    mean |horizontal luminance gradient|, aspect ratio."""
+    f = px.astype(np.float64)
+    lum = f @ np.array([0.299, 0.587, 0.114])
+    grad = np.abs(np.diff(lum, axis=1)).mean() if px.shape[1] > 1 else 0.0
+    feats = np.concatenate(
+        [
+            f.mean(axis=(0, 1)),
+            f.std(axis=(0, 1)),
+            f.min(axis=(0, 1)),
+            f.max(axis=(0, 1)),
+            [lum.mean(), lum.std(), grad, px.shape[1] / px.shape[0]],
+        ]
+    )
+    return feats.astype(np.float32)
+
+
 class MediaFeatureStage:
     """Actor-pool stage: payload binary -> feature vector (list<float>).
 
@@ -51,9 +171,9 @@ class MediaFeatureStage:
             except ImportError as e:  # pragma: no cover - no PIL in container
                 raise NotImplementedError(
                     "real image decode requires PIL, which is not available "
-                    "in this environment; use decoder='fake'"
+                    "in this environment; use decoder='fake' or 'ppm'"
                 ) from e
-        elif decoder != "fake":
+        elif decoder not in ("fake", "ppm"):
             raise ValueError(f"unknown decoder {decoder!r}")
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
@@ -63,9 +183,15 @@ class MediaFeatureStage:
         return (raw.astype(np.float64) / 65535.0).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [
-            self._fake_features(p) for p in batch["payload"].to_pylist()
-        ]
+        if self.decoder == "ppm":
+            feats = [
+                pixel_features(decode_image(p))
+                for p in batch["payload"].to_pylist()
+            ]
+        else:
+            feats = [
+                self._fake_features(p) for p in batch["payload"].to_pylist()
+            ]
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -145,6 +271,18 @@ def sample_video_frames(media_ds, n_frames: int = 4, concurrency=(1, 4)):
         batch_size=16,  # video payloads are the widest rows
         concurrency=concurrency,
     )
+
+
+def synth_image_pixels(media_id: int, w: int = 8, h: int = 6) -> np.ndarray:
+    """Deterministic SQL-reproducible test image: pixel(r, c, ch) =
+    (3r + 5c + 7*media_id + 11*ch) mod 256.  Channel means are closed-form
+    sums DuckDB can compute, so a driver oracle can verify the REAL decode
+    path end-to-end (the engine must parse actual PPM/BMP bytes to
+    reproduce them)."""
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((3 * r + 5 * c + 7 * int(media_id) + 11 * ch) % 256).astype(np.uint8)
 
 
 def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
