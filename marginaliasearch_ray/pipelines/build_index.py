@@ -6,9 +6,10 @@ SURVEY.md §3.1 / §4 resumability):
   journal  corpus -> tokenize/extract/hash (actor pool) -> partitioned
            Parquet journal (IndexJournal analog, denormalized with the
            docdb decoration columns)
-  stats    partial per-batch term counts -> groupby(term_id).sum ->
-           global document-frequency table (word-lexicon analog) + hot
-           term set for shuffle salting
+  stats    partial per-batch term counts (stateless tasks) -> bucket
+           groupby + vectorized bincount merge -> global document-
+           frequency table (word-lexicon analog) + hot term set for
+           shuffle salting
   forward  journal projection -> per-part sort by combined id -> Parquet
            (ForwardIndexConverter analog, SURVEY.md §2.1 S9)
   reverse  per-batch run encoding (combiner; raw postings never shuffle)
@@ -36,7 +37,7 @@ import pyarrow.compute as pc
 
 from ..stages.docids import DomainRegistry, build_domain_registry
 from ..stages.reverse import EncodeBatchRuns, MergeWorker, term_bucket
-from ..stages.tokenize import TfDictStage, TokenizeStage
+from ..stages.tokenize import TokenizeStage
 from ..state import manifest as mf
 
 
@@ -96,6 +97,48 @@ def _journal_columns(kind: str) -> list[str]:
             "data_hash",
         ]
     raise ValueError(kind)
+
+
+# Per-worker cached TfDictStage: the stats pass runs as STATELESS tasks
+# (elastic over every free CPU — an actor pool measured ~1.8x slower here
+# because ramp-up and batch shipping dominate the short phase), while the
+# murmur hash cache still persists across tasks via the worker process.
+_TFDICT_STAGE = None
+
+
+def _tfdict_partial(batch: pa.Table, *, stats_buckets: int) -> pa.Table:
+    global _TFDICT_STAGE
+    if _TFDICT_STAGE is None:
+        from ..stages.tokenize import TfDictStage
+
+        _TFDICT_STAGE = TfDictStage()
+    out = _TFDICT_STAGE(batch)
+    sb = term_bucket(
+        out["term_id"].to_numpy(zero_copy_only=False), stats_buckets
+    )
+    return out.append_column("sbucket", pa.array(sb, pa.int32()))
+
+
+def _merge_df_group(group: pa.Table, *, num_buckets: int) -> pa.Table:
+    """One stats bucket of per-batch df partials -> final per-term rows
+    (vectorized bincount sum — Ray's per-key Sum aggregate measured ~3x
+    slower on vocabulary-sized keys)."""
+    tid = group["term_id"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(tid, return_inverse=True)
+    df = np.bincount(
+        inv, weights=group["cnt"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    bdf = np.bincount(
+        inv, weights=group["body"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "term_id": pa.array(uniq, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "body_df": pa.array(bdf, pa.int64()),
+            "bucket": pa.array(term_bucket(uniq, num_buckets), pa.int32()),
+        }
+    )
 
 
 def _premerge_runs(group: pa.Table) -> pa.Table:
@@ -209,29 +252,28 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     # premerge_salted).
     if not mf.is_committed(out_dir, "stats"):
         t_phase = time.time()
-        from ray.data.aggregate import Sum
+        import functools
 
         n_corpus_docs = corpus_ds.count()
 
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            b = term_bucket(
-                batch["term_id"].to_numpy(zero_copy_only=False), cfg.num_buckets
-            )
-            return batch.append_column("bucket", pa.array(b, pa.int32()))
-
+        # merge granularity finer than the posting buckets so the df merge
+        # parallelizes beyond num_buckets tasks at cluster scale (each
+        # group stays vocabulary/stats_buckets-sized)
+        stats_buckets = cfg.num_buckets * 8
         df_ds = (
             corpus_ds.map_batches(
-                TfDictStage,
-                batch_size=cfg.tokenize_batch_size,
+                _tfdict_partial,
+                fn_kwargs={"stats_buckets": stats_buckets},
+                batch_size=cfg.tokenize_batch_size * 16,
                 batch_format="pyarrow",
-                concurrency=pool,
             )
-            .groupby("term_id")
-            .aggregate(
-                Sum("cnt", alias_name="df"),
-                Sum("body", alias_name="body_df"),
+            .groupby("sbucket")
+            .map_groups(
+                functools.partial(
+                    _merge_df_group, num_buckets=cfg.num_buckets
+                ),
+                batch_format="pyarrow",
             )
-            .map_batches(add_bucket, batch_format="pyarrow")
             .materialize()  # vocabulary-sized; reused for write + hot scan
         )
         df_ds.write_parquet(os.path.join(out_dir, "stats"))
