@@ -3,7 +3,8 @@
 Phases (each immutable + manifest-committed, skipped on restart —
 SURVEY.md §3.1 / §4 resumability):
 
-  journal  corpus -> tokenize/extract/hash (actor pool) -> partitioned
+  journal  corpus -> tokenize/extract/hash (stateless tasks, per-worker
+           cached stage state) -> partitioned
            Parquet journal (IndexJournal analog, denormalized with the
            docdb decoration columns)
   stats    partial per-batch term counts (stateless tasks) -> bucket
@@ -48,6 +49,10 @@ class BuildConfig:
     num_salts: int = 4
     hot_df_threshold: int = 5000  # salt terms with df above this
     tokenize_batch_size: int = 256
+    # Parallelism hint for the corpus repartition (tokenize fan-out);
+    # defaults to ncpu-2.  Tokenize itself runs as stateless tasks with
+    # per-worker cached stage state — a reserved actor pool measured
+    # ~20% slower (ramp-up + read/write starvation on a mixed pipeline).
     tokenize_concurrency: int | None = None
     # Salted pre-merge: REQUIRED at the scale where one hot term's postings
     # exceed a merge task's memory (1e12 docs: 'the' alone is ~TBs) — the
@@ -117,6 +122,26 @@ def _tfdict_partial(batch: pa.Table, *, stats_buckets: int) -> pa.Table:
         out["term_id"].to_numpy(zero_copy_only=False), stats_buckets
     )
     return out.append_column("sbucket", pa.array(sb, pa.int32()))
+
+
+# Per-worker cached TokenizeStage (same rationale as _tfdict_partial):
+# the journal pass runs as stateless tasks so read/tokenize/write share
+# every CPU elastically; the stage state (registry, tf dict, hash+token
+# caches) is constructed once per worker process and reused across tasks.
+_TOKENIZE_CACHE: dict = {}
+
+
+def _tokenize_task(batch: pa.Table, *, reg_ref, tfdict_dir, doc_count) -> pa.Table:
+    key = (
+        reg_ref.hex() if hasattr(reg_ref, "hex") else id(reg_ref),
+        tfdict_dir,
+    )
+    st = _TOKENIZE_CACHE.get(key)
+    if st is None:
+        _TOKENIZE_CACHE.clear()  # one live stage per worker
+        st = TokenizeStage(reg_ref, tfdict_dir, doc_count)
+        _TOKENIZE_CACHE[key] = st
+    return st(batch)
 
 
 def _merge_df_group(group: pa.Table, *, num_buckets: int) -> pa.Table:
@@ -226,20 +251,15 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     cfg = cfg or BuildConfig()
     os.makedirs(out_dir, exist_ok=True)
 
-    # Pool sizing: fixed-size pools ramp up immediately (autoscaling pools
-    # start at 1 actor and waste seconds scaling), but a pool must never
-    # reserve every CPU or the interleaved read/sort/write task stages
-    # deadlock.  The tokenize pipeline has ONE pool -> ncpu-2 is safe; the
-    # reverse pipeline runs two merge pools concurrently -> ncpu//3 each.
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    # never let the tokenize pool reserve every CPU (ncpu<=3 would starve
-    # the read/write tasks into a crawl)
-    pool = cfg.tokenize_concurrency or max(1, min(ncpu - 1, max(2, ncpu - 2)))
+    max_pool = cfg.tokenize_concurrency or max(2, ncpu - 2)
 
-    max_pool = pool if isinstance(pool, int) else pool[1]
-
+    # keep an un-repartitioned handle: tiny aggregations over one column
+    # (the domain registry) read it with projection pushdown instead of
+    # paying the full-corpus repartition
+    corpus_raw = corpus_ds
     # single-file corpora arrive as a handful of blocks; split so the
-    # tokenize pools actually fan out (repartition without shuffle)
+    # tokenize tasks actually fan out (repartition without shuffle)
     corpus_ds = corpus_ds.repartition(max_pool * 2)
 
     # ---- phase: stats (corpus term-frequency dict) ----------------------
@@ -298,18 +318,17 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     # ---- phase: journal -------------------------------------------------
     if not mf.is_committed(out_dir, "journal"):
         t_phase = time.time()
-        registry = build_domain_registry(corpus_ds, cfg.num_parts)
+        registry = build_domain_registry(corpus_raw, cfg.num_parts)
         reg_ref = ray.put(registry)
         journal = corpus_ds.map_batches(
-            TokenizeStage,
-            fn_constructor_args=(
-                reg_ref,
-                os.path.join(out_dir, "stats"),
-                mf.read_manifest(out_dir, "stats")["doc_count"],
-            ),
+            _tokenize_task,
+            fn_kwargs={
+                "reg_ref": reg_ref,
+                "tfdict_dir": os.path.join(out_dir, "stats"),
+                "doc_count": mf.read_manifest(out_dir, "stats")["doc_count"],
+            },
             batch_size=cfg.tokenize_batch_size,
             batch_format="pyarrow",
-            concurrency=pool,
         )
         journal.write_parquet(
             os.path.join(out_dir, "journal"), partition_cols=["part"]
