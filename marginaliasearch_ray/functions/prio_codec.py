@@ -266,6 +266,125 @@ def encode_prio_doc_ids_fast(doc_ids: np.ndarray) -> bytes:
     return words.byteswap().tobytes()
 
 
+def encode_prio_doc_ids_multi(
+    ids: np.ndarray, bounds: np.ndarray
+) -> list[bytes]:
+    """Encode MANY terms' posting lists in one vectorized pass.
+
+    ``ids`` is the concatenation of every term's sorted, de-duplicated
+    combined ids; ``bounds`` (len T+1) marks the term boundaries.  Output
+    is byte-identical to ``encode_prio_doc_ids`` applied per slice — the
+    field streams of all terms are packed into one 64-bit-word scatter
+    (each term starting on a fresh word), then sliced per term.  This
+    removes the per-term Python call the merge stage otherwise pays for
+    vocabularies of short posting lists."""
+    ids = np.asarray(ids, dtype=np.int64)
+    bounds = np.asarray(bounds, dtype=np.int64)
+    T = len(bounds) - 1
+    N = len(ids)
+    if T == 0:
+        return []
+    if np.any(np.diff(bounds) <= 0):
+        raise ValueError("Empty range")  # reference: IllegalStateException
+    run_len = np.diff(bounds)
+    elem_term = np.repeat(np.arange(T, dtype=np.int64), run_len)
+    starts = np.zeros(N, dtype=bool)
+    starts[bounds[:-1]] = True
+
+    rank = ((ids >> 57) & 0x3F).astype(np.int64)
+    dom = ((ids >> 26) & 0x7FFF_FFFF).astype(np.int64)
+    ordn = (ids & 0x03FF_FFFF).astype(np.int64)
+    pr = np.empty(N, dtype=np.int64)
+    pd_ = np.empty(N, dtype=np.int64)
+    po = np.empty(N, dtype=np.int64)
+    pr[0] = pd_[0] = po[0] = 0
+    pr[1:], pd_[1:], po[1:] = rank[:-1], dom[:-1], ordn[:-1]
+
+    # per-id field matrix: run starts use 5 header fields, others up to
+    # 5 opcode+payload fields (same layout as encode_prio_doc_ids_fast)
+    V = np.zeros((N, 6), dtype=np.int64)
+    W = np.zeros((N, 6), dtype=np.int64)
+    V[starts, 0] = 3
+    W[starts, 0] = 2
+    V[bounds[:-1], 1] = run_len
+    W[starts, 1] = 30
+    V[starts, 2] = rank[starts]
+    W[starts, 2] = 7
+    V[starts, 3] = dom[starts]
+    W[starts, 3] = 31
+    V[starts, 4] = ordn[starts]
+    W[starts, 4] = 26
+
+    ns = ~starts
+    if ns.any():
+        case_a = ns & (rank != pr)
+        case_b = ns & (rank == pr) & (dom != pd_)
+        case_c = ns & (rank == pr) & (dom == pd_)
+        V[ns, 0] = np.where(case_a, 0b10, np.where(case_b, 0b01, 0b00))[ns]
+        W[ns, 0] = 2
+        rd = np.where(case_a, rank - pr, 1)
+        bl = _bit_length(rd)
+        V[case_a, 1] = rd[case_a]
+        W[case_a, 1] = (2 * bl - 1)[case_a]
+        V[case_a, 2] = dom[case_a]
+        W[case_a, 2] = 31
+        V[case_a, 3] = ordn[case_a]
+        W[case_a, 3] = 26
+        dd = np.where(case_b, dom - pd_, 1)
+        od1 = np.where(case_b, 1 + ordn, 1)
+        bl_dd = _bit_length(dd)
+        bl_od = _bit_length(od1)
+        V[case_b, 1] = bl_dd[case_b]
+        W[case_b, 1] = (2 * _bit_length(bl_dd) - 1)[case_b]
+        V[case_b, 2] = dd[case_b]
+        W[case_b, 2] = bl_dd[case_b]
+        V[case_b, 3] = bl_od[case_b]
+        W[case_b, 3] = (2 * _bit_length(bl_od) - 1)[case_b]
+        V[case_b, 4] = od1[case_b]
+        W[case_b, 4] = bl_od[case_b]
+        odd = np.where(case_c, ordn - po, 1)
+        bl_c = _bit_length(odd)
+        V[case_c, 1] = odd[case_c]
+        W[case_c, 1] = (2 * bl_c - 1)[case_c]
+
+    flat_v = V.reshape(-1)
+    flat_w = W.reshape(-1)
+    used = flat_w > 0
+    fv = flat_v[used].astype(np.uint64)
+    fw = flat_w[used].astype(np.int64)
+    fterm = np.repeat(elem_term, 6)[used]
+
+    # per-term bit totals -> word-aligned per-term offsets
+    tbits = np.bincount(fterm, weights=fw, minlength=T).astype(np.int64)
+    twords = (tbits + 63) // 64
+    word_off = np.concatenate([[0], np.cumsum(twords)])
+    term_bit_base = np.concatenate([[0], np.cumsum(tbits)])[:-1]
+    ends = np.cumsum(fw)
+    gstart = (ends - fw) - term_bit_base[fterm] + word_off[:-1][fterm] * 64
+
+    words = np.zeros(int(word_off[-1]), dtype=np.uint64)
+    wi = gstart // 64
+    bit_in = gstart % 64
+    fits = bit_in + fw <= 64
+    shift = (64 - bit_in - fw).astype(np.int64)
+    np.bitwise_or.at(words, wi[fits], fv[fits] << shift[fits].astype(np.uint64))
+    sp = ~fits
+    if sp.any():
+        left_bits = 64 - bit_in[sp]
+        right_bits = fw[sp] - left_bits
+        np.bitwise_or.at(words, wi[sp], fv[sp] >> right_bits.astype(np.uint64))
+        mask = (np.uint64(1) << right_bits.astype(np.uint64)) - np.uint64(1)
+        np.bitwise_or.at(
+            words,
+            wi[sp] + 1,
+            (fv[sp] & mask) << (np.uint64(64) - right_bits.astype(np.uint64)),
+        )
+    wb = words.byteswap()
+    return [
+        wb[word_off[k] : word_off[k + 1]].tobytes() for k in range(T)
+    ]
+
+
 def decode_prio_doc_ids(buf: bytes) -> np.ndarray:
     """Mirror of PrioIndexEntrySource.java:58-112."""
     r = BitReader(buf)

@@ -113,3 +113,49 @@ def test_fuzz_roundtrip():
         ids = [enc(*t) for t in tuples]
         out = decode_prio_doc_ids(encode_prio_doc_ids(np.array(ids)))
         assert out.tolist() == ids
+
+
+def test_multi_encoder_byte_identity():
+    """encode_prio_doc_ids_multi packs many terms in one scatter pass and
+    must match the per-term encoder byte for byte."""
+    from marginaliasearch_ray.functions.prio_codec import (
+        encode_prio_doc_ids_multi,
+    )
+
+    rng = random.Random(29)
+    for trial in range(20):
+        runs = []
+        for _ in range(rng.randrange(1, 30)):
+            n = rng.randrange(1, 40)
+            tuples = sorted(
+                {
+                    (
+                        rng.randrange(0, 8),
+                        rng.randrange(0, 200),
+                        rng.randrange(0, 5000),
+                    )
+                    for _ in range(n)
+                }
+            )
+            runs.append(np.array([enc(*t) for t in tuples], dtype=np.int64))
+        flat = np.concatenate(runs)
+        bounds = np.concatenate([[0], np.cumsum([len(r) for r in runs])])
+        multi = encode_prio_doc_ids_multi(flat, bounds)
+        assert len(multi) == len(runs)
+        for blob, ids in zip(multi, runs):
+            assert blob == encode_prio_doc_ids(ids), trial
+            assert decode_prio_doc_ids(blob).tolist() == ids.tolist()
+
+
+def test_multi_encoder_empty_run_rejected():
+    from marginaliasearch_ray.functions.prio_codec import (
+        encode_prio_doc_ids_multi,
+    )
+
+    assert encode_prio_doc_ids_multi(np.array([], dtype=np.int64), np.array([0])) == []
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_prio_doc_ids_multi(
+            np.array([enc(0, 1, 2)], dtype=np.int64), np.array([0, 1, 1])
+        )
