@@ -536,3 +536,37 @@ def test_multiplicative_priority_normalize(index_dir, oracle):
     # lower-is-better: ascending order end-to-end
     scores = mult_t["score_r"].to_pylist()
     assert scores == sorted(scores)
+
+
+def test_parallel_parts_identical_postings(
+    ray_session, corpus_table, index_dir, tmp_path_factory
+):
+    """cfg.parallel_parts=2 (concurrent per-part reverse builds from
+    driver threads) must produce byte-identical posting segments to the
+    sequential path and commit every per-part manifest."""
+    import ray.data
+    import pyarrow.dataset as pads
+
+    from marginaliasearch_ray.state import manifest as mf
+
+    out = str(tmp_path_factory.mktemp("index_pp"))
+    cfg = BuildConfig(num_parts=NUM_PARTS, num_buckets=8, num_salts=2,
+                      hot_df_threshold=20, premerge_salted=True,
+                      parallel_parts=2)
+    build_index(ray.data.from_arrow(corpus_table), out, cfg)
+
+    for p in range(NUM_PARTS):
+        assert mf.is_committed(out, f"reverse_part_{p}")
+        a = (
+            pads.dataset(os.path.join(index_dir, "postings", f"part={p}"))
+            .to_table()
+            .sort_by("term_id")
+        )
+        b = (
+            pads.dataset(os.path.join(out, "postings", f"part={p}"))
+            .to_table()
+            .sort_by("term_id")
+        )
+        assert a.column("term_id").equals(b.column("term_id"))
+        assert a.column("df").equals(b.column("df"))
+        assert a.column("docs").to_pylist() == b.column("docs").to_pylist()
