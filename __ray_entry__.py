@@ -281,9 +281,80 @@ def _prio_posting_list(sf_dir: str, term: str):
 def _search(sf_dir: str, query: str, k: int = 10, **kw):
     idx = _index_for(sf_dir)
     t = idx.search(query, k=k, **kw)
+    cols = ["doc_id", "score_r"]
     if kw.get("decorate"):
-        return t.select(["doc_id", "score_r", "repo", "path", "data_hash"])
-    return t.select(["doc_id", "score_r"])
+        cols = ["doc_id", "score_r", "repo", "path", "data_hash"]
+    if kw.get("positions_mask"):
+        cols.append("positions_mask")
+    return t.select(cols)
+
+
+_HEADING_HANDLES: dict[str, Any] = {}
+
+
+def _heading_index_for(sf_dir: str):
+    """Side index over a deterministic comment-line corpus derived from
+    customer keys (the main sf corpus is single-line, so comment spans —
+    the code corpus's heading analog — can never occur there).  Per id:
+    a '# alpha beta' comment line when id%3==0, a body with alpha
+    (id%2==0), beta (id%5!=0) and id%7 'pad' fillers."""
+    handle = _HEADING_HANDLES.get(sf_dir)
+    if handle is not None:
+        return handle
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    ids = (
+        _pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+        )["c_custkey"]
+        .to_pylist()
+    )
+    ids = sorted(ids)[:400]
+    contents = []
+    for i in ids:
+        lines = []
+        if i % 3 == 0:
+            lines.append("# alpha beta")
+        body = (
+            (["alpha"] if i % 2 == 0 else [])
+            + (["beta"] if i % 5 != 0 else [])
+            + ["pad"] * (i % 7)
+        )
+        lines.append(" ".join(body))
+        contents.append("\n".join(lines))
+    corpus = pa.table(
+        {
+            "repo": pa.array(["headsrc"] * len(ids), pa.string()),
+            "path": pa.array([f"docs/{i}.txt" for i in ids], pa.string()),
+            "commit": pa.array(["0"] * len(ids), pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "ordinal": pa.array(ids, pa.int64()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+    tag = _hl.sha256(
+        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@heading".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/msray_index_cache", tag)
+    build_index(
+        ray.data.from_arrow(corpus),
+        out,
+        BuildConfig(num_parts=2, num_buckets=8, hot_df_threshold=1000),
+    )
+    handle = IndexSearch(out, use_actors=False)
+    _HEADING_HANDLES[sf_dir] = handle
+    return handle
+
+
+def _bm25_heading(sf_dir: str):
+    idx = _heading_index_for(sf_dir)
+    return idx.search("alpha beta", k=20, heading_bonus_weight=0.25).select(
+        ["doc_id", "score_r"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -357,6 +428,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         normalize_score=True,
         multiplicative_priority=True,
     )
+    # GUI positions bitmask: bit floor(sqrt(pos)) per full-group
+    # intersection (calculatePositionsMask)
+    q["bm25_positions_mask"] = lambda sf: _search(
+        sf, "customer merge", positions_mask=True
+    )
+    # all-keywords-in-a-heading bonus (getProximitiyFac:394-400; heading
+    # analog = comment spans).  The sf documents are single-line (no
+    # comment lines can exist), so this query builds a small side index
+    # over a corpus synthesized deterministically from customer keys —
+    # comment line '# alpha beta' on id%3==0 docs — and the oracle
+    # recomputes BM25 + bonus closed-form from the same id arithmetic.
+    q["bm25_heading"] = _bm25_heading
+    # paired control: identical search with the bonus off — the score
+    # delta (exactly 2w on comment docs) is what the hashes pin down
+    q["bm25_heading_off"] = lambda sf: _heading_index_for(sf).search(
+        "alpha beta", k=20
+    ).select(["doc_id", "score_r"])
     # per-language journal partition filter (pruned read of lang= dirs)
     q["bm25_lang"] = lambda sf: _search(sf, "customer lang:en")
     # ParamMatchingQueryFilter meta limits (year> / rank< / q<)
@@ -746,6 +834,9 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_priority_org",
     "bm25_priority_norm",
     "bm25_normalized",
+    "bm25_positions_mask",
+    "bm25_heading",
+    "bm25_heading_off",
     # build internals touched round 3 (lineage rollup, prio encode, stats fold)
     "journal_sizes",
     "forward_docmeta",
@@ -864,6 +955,7 @@ def _bm25_sql(
     proximity_all_weight: float = 0.0,
     verbatim_tag_weight: float = 0.0,
     multiplicative_priority: bool = False,
+    positions_mask: bool = False,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -1233,14 +1325,29 @@ contrib AS (
             " AS score_r"
         )
     direction = "ASC" if normalize else "DESC"
+    mask_col = ""
+    if positions_mask:
+        # calculatePositionsMask (IndexResultRankingService.java:262-278):
+        # bit floor(sqrt(s)) per full-group intersection start, first 64;
+        # sum of DISTINCT powers == the bit-OR.  Corpus positions < 4096,
+        # so Java's 1L<<bit wrap never engages here.
+        starts64 = _starts_sql(terms)
+        mask_col = (
+            f",\n         coalesce(list_sum(list_distinct(list_transform("
+            f"({starts64})[1:64],"
+            f" s -> (1::BIGINT << CAST(floor(sqrt(s)) AS INT))))), 0)"
+            f" AS positions_mask"
+        )
     scored = f"""{scored}
 scored AS (
   SELECT c.doc_id, any_value(c.source) AS src,
-         {score_sel}{deco_cols}
+         {score_sel}{deco_cols}{mask_col}
   FROM contrib ct JOIN cand c ON c.doc_id = ct.doc_id
   GROUP BY c.doc_id
 )"""
     deco_sel = ", repo, path, data_hash" if decorate else ""
+    if positions_mask:
+        deco_sel += ", positions_mask"
     if domain_cap is not None:
         return f"""{scored}
 SELECT doc_id, score_r{deco_sel} FROM (
@@ -1441,6 +1548,80 @@ def oracle_sql() -> dict[str, str]:
             normalize=True,
             multiplicative_priority=True,
         ),
+        "bm25_positions_mask": _bm25_sql(
+            ["customer", "merge"], positions_mask=True
+        ),
+        # closed-form replica of the constructed heading corpus (see
+        # _heading_index_for): tf/df/dl/bonus all derive from id
+        # arithmetic, so the oracle needs no text reconstruction
+        "bm25_heading": f"""
+            WITH ks AS (
+              SELECT c_custkey AS id FROM customer
+              ORDER BY c_custkey LIMIT 400
+            ),
+            s AS (
+              SELECT id,
+                CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS com,
+                (CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS tfa,
+                (CASE WHEN id % 5 <> 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS tfb,
+                2 * (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 5 <> 0 THEN 1 ELSE 0 END)
+                  + id % 7 AS dl
+              FROM ks
+            ),
+            agg AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(CASE WHEN tfa > 0 THEN 1 ELSE 0 END)::DOUBLE AS dfa,
+                     sum(CASE WHEN tfb > 0 THEN 1 ELSE 0 END)::DOUBLE AS dfb
+              FROM s
+            )
+            SELECT id AS doc_id,
+              round(({sql_bm25_term_expr('s.tfa', 'agg.dfa', 'agg.n', 's.dl')})
+                  + ({sql_bm25_term_expr('s.tfb', 'agg.dfb', 'agg.n', 's.dl')})
+                  + CASE WHEN s.com = 1 THEN 0.25 * 2 ELSE 0.0 END,
+                6) AS score_r
+            FROM s, agg
+            WHERE s.tfa > 0 AND s.tfb > 0
+            ORDER BY score_r DESC, doc_id
+            LIMIT 20
+        """,
+        "bm25_heading_off": f"""
+            WITH ks AS (
+              SELECT c_custkey AS id FROM customer
+              ORDER BY c_custkey LIMIT 400
+            ),
+            s AS (
+              SELECT id,
+                CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS com,
+                (CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS tfa,
+                (CASE WHEN id % 5 <> 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END) AS tfb,
+                2 * (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 5 <> 0 THEN 1 ELSE 0 END)
+                  + id % 7 AS dl
+              FROM ks
+            ),
+            agg AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(CASE WHEN tfa > 0 THEN 1 ELSE 0 END)::DOUBLE AS dfa,
+                     sum(CASE WHEN tfb > 0 THEN 1 ELSE 0 END)::DOUBLE AS dfb
+              FROM s
+            )
+            SELECT id AS doc_id,
+              round(({sql_bm25_term_expr('s.tfa', 'agg.dfa', 'agg.n', 's.dl')})
+                  + ({sql_bm25_term_expr('s.tfb', 'agg.dfb', 'agg.n', 's.dl')})
+                  + 0.0,
+                6) AS score_r
+            FROM s, agg
+            WHERE s.tfa > 0 AND s.tfb > 0
+            ORDER BY score_r DESC, doc_id
+            LIMIT 20
+        """,
         "bm25_lang": _bm25_sql(["customer"], lang="en"),
         "bm25_meta_year": _bm25_sql(
             ["customer"], meta_limits=[("year", ">", 2010)]

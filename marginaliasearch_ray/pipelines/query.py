@@ -648,6 +648,57 @@ class _Segment:
 
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._pos_decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._cspans: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+
+    def comment_spans(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Comment-span ('heading' analog) lookup structures, loaded
+        lazily on the first heading-scored query:
+
+        - ``keys``: sorted ``doc_row * _POS_SHIFT + boundary`` over every
+          doc's flattened [start, end) comment pairs — position p of doc
+          row r is inside a span iff ``searchsorted(keys, r*S + p,
+          'right') - off[r]`` is odd (interval-parity trick, batched as
+          ONE searchsorted for all (candidate, position) pairs);
+        - ``off``: per-doc-row offsets into keys;
+        - ``clen``: per-doc total comment tokens (the reference's
+          ``spans.heading.length()``)."""
+        if self._cspans is not None:
+            return self._cspans
+        import pyarrow.compute as pc
+
+        from ..stages.tokenize import SPAN_COMMENT
+
+        jr = pq.read_table(
+            os.path.join(self.out_dir, "journal", f"part={self.part}"),
+            columns=["combined_id", "span_codes", "spans"],
+        )
+        o = np.argsort(jr["combined_id"].to_numpy(zero_copy_only=False))
+        jr = jr.take(pa.array(o))  # aligned with fwd_ids order
+        n = len(jr)
+        codes_col = jr["span_codes"].combine_chunks()
+        codes_flat = np.frombuffer(
+            b"".join(codes_col.to_pylist()), dtype=np.uint8
+        )
+        outer = jr["spans"].combine_chunks()
+        inner = pc.list_flatten(outer)  # list<int32> per span tag
+        parents = pc.list_parent_indices(outer).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(codes_flat == SPAN_COMMENT)
+        inner_sel = inner.take(pa.array(sel))
+        vals = pc.list_flatten(inner_sel).to_numpy(zero_copy_only=False)
+        vals = vals.astype(np.int64)
+        cnts = pc.list_value_length(inner_sel).to_numpy(zero_copy_only=False)
+        per_doc = np.zeros(n, dtype=np.int64)
+        per_doc[parents[sel]] = cnts  # at most one comment sublist per doc
+        off = np.concatenate([[0], np.cumsum(per_doc)])
+        rows = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+        keys = rows * _POS_SHIFT + vals
+        # total comment tokens per doc: sum(end) - sum(start) over pairs
+        within = np.arange(len(vals)) - np.repeat(off[:-1], per_doc)
+        sign = np.where(within % 2 == 1, 1, -1)
+        clen = np.zeros(n, dtype=np.int64)
+        np.add.at(clen, rows, vals * sign)
+        self._cspans = (keys, off, clen)
+        return self._cspans
 
     def term_row(self, tid: int) -> int:
         i = int(np.searchsorted(self.term_ids, tid))
@@ -1233,6 +1284,39 @@ class SearcherLogic:
             )
             score += proximity_all_weight * fac
 
+        # all-keywords-in-a-heading bonus (getProximitiyFac:394-400): when
+        # the total observation count inside HEADING spans equals the
+        # keyword count and the heading field is short
+        # (spans.heading.length() < 64), add 1.0 * obs.  The code corpus's
+        # heading analog is the COMMENT span family ('c' tag, section
+        # comment lines).  Divergence: the reference also requires no
+        # verbatim HEADING match; the 2-tag verbatim model has no comment
+        # tag, so that suppression is vacuous here (documented).
+        heading_bonus_weight = plan.get("heading_bonus_weight", 0.0)
+        if heading_bonus_weight > 0 and len(include_ids) >= 1 and len(cand):
+            ckeys, coff, clen = seg.comment_spans()
+            rows_c = np.searchsorted(seg.fwd_ids, cand)
+            obs_c = np.zeros(len(cand), dtype=np.int64)
+            for t in include_ids:
+                docs_t = seg.postings(t)[0]
+                ix = np.searchsorted(docs_t, cand)
+                flat, offs = seg.positions_flat(t)
+                vals, lens = _gather_ragged(
+                    flat, offs, np.minimum(ix, max(len(offs) - 2, 0))
+                )
+                cidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+                # interval parity: position inside a [start, end) comment
+                # pair iff its rank among the doc's flattened boundaries
+                # is odd — ONE searchsorted for every (candidate, pos)
+                qk = rows_c[cidx] * _POS_SHIFT + vals
+                gi = np.searchsorted(ckeys, qk, side="right")
+                inside = ((gi - coff[rows_c[cidx]]) % 2) == 1
+                obs_c += np.bincount(cidx[inside], minlength=len(cand))
+            hit = (obs_c == len(include_ids)) & (clen[rows_c] < 64)
+            score += np.where(
+                hit, heading_bonus_weight * obs_c.astype(np.float64), 0.0
+            )
+
         # tag-weighted verbatim (VerbatimMatches full analog): per-tag
         # weight table + attenuation + head-boundary bonus + single-word
         # title rule + sqrt-scaled optional groups (the query's phrases)
@@ -1368,7 +1452,7 @@ class SearcherLogic:
         sort_score = score_r if plan.get("ascending") else -score_r
         top = np.lexsort((ordinals, sort_score))[: 2 * k + 8]
         fi = np.searchsorted(seg.fwd_ids, cand[top])
-        return {
+        out = {
             "combined_id": cand[top].tolist(),
             "score_r": score_r[top].tolist(),
             "repo": seg.dm_repo.take(pa.array(fi)).to_pylist(),
@@ -1376,6 +1460,52 @@ class SearcherLogic:
             "title": seg.dm_title.take(pa.array(fi)).to_pylist(),
             "data_hash": seg.dm_hash.take(pa.array(fi)).to_pylist(),
         }
+        if plan.get("positions_mask"):
+            out["positions_mask"] = self._positions_mask(
+                seg, cand[top], include_ids
+            ).tolist()
+        return out
+
+    @staticmethod
+    def _positions_mask(
+        seg: "_Segment", ids: np.ndarray, include_ids: list[int]
+    ) -> np.ndarray:
+        """GUI bitmask of the full query group's intersected positions
+        (calculatePositionsMask, IndexResultRankingService.java:262-278):
+        for each of the first 64 intersections, bit floor(sqrt(pos)) is
+        set; Java's ``1L << bit`` wraps at 64 (bit & 63) and the loop
+        stops after the first bit >= 64 — both replicated.  Computed for
+        the returned top candidates only."""
+        n = len(ids)
+        if n == 0 or not include_ids:
+            return np.zeros(n, dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # adjacency needs sorted ids
+        keys = _adjacency_keys(seg, ids[order], list(include_ids))
+        mask_sorted = np.zeros(n, dtype=np.uint64)
+        if len(keys):
+            cidx = keys // _POS_SHIFT
+            pos = keys - cidx * _POS_SHIFT
+            first = np.ones(len(keys), dtype=bool)
+            first[1:] = cidx[1:] != cidx[:-1]
+            starts = np.flatnonzero(first)
+            runs = np.diff(np.append(starts, len(keys)))
+            r = np.arange(len(keys)) - np.repeat(starts, runs)
+            bit = np.floor(np.sqrt(pos.astype(np.float64))).astype(np.int64)
+            over = bit >= 64
+            # positions ascend within a candidate, so 'over' is a suffix:
+            # include ranks < 64 that are not past the first over-bit
+            over_rank = np.where(over, r, np.iinfo(np.int64).max)
+            first_over = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(first_over, cidx, over_rank)
+            inc = (r < 64) & (r <= first_over[cidx])
+            np.bitwise_or.at(
+                mask_sorted,
+                cidx[inc],
+                np.uint64(1) << (bit[inc].astype(np.uint64) & np.uint64(63)),
+            )
+        out = np.zeros(n, dtype=np.uint64)
+        out[order] = mask_sorted
+        return out.view(np.int64)
 
 
 def _empty_partition_result() -> dict:
@@ -1386,6 +1516,7 @@ def _empty_partition_result() -> dict:
         "path": [],
         "title": [],
         "data_hash": [],
+        "positions_mask": [],
     }
 
 
@@ -1447,6 +1578,8 @@ class IndexSearch:
         first_position_weight: float = 0.0,
         proximity_weight: float = 0.0,
         proximity_all_weight: float = 0.0,
+        heading_bonus_weight: float = 0.0,
+        positions_mask: bool = False,
         verbatim_weight: float = 0.0,
         verbatim_tag_weight: float = 0.0,
         flags_weight: float = 0.0,
@@ -1501,6 +1634,8 @@ class IndexSearch:
             "first_position_weight": first_position_weight,
             "proximity_weight": proximity_weight,
             "proximity_all_weight": proximity_all_weight,
+            "heading_bonus_weight": heading_bonus_weight,
+            "positions_mask": positions_mask,
             "verbatim_weight": verbatim_weight,
             "verbatim_tag_weight": verbatim_tag_weight,
             "flags_weight": flags_weight,
@@ -1590,10 +1725,10 @@ class IndexSearch:
         scores = np.concatenate(
             [np.asarray(r["score_r"], dtype=np.float64) for r in results]
         )
-        deco = {
-            col: sum((r[col] for r in results), [])
-            for col in ("repo", "path", "title", "data_hash")
-        }
+        deco_cols = ["repo", "path", "title", "data_hash"]
+        if positions_mask:
+            deco_cols.append("positions_mask")
+        deco = {col: sum((r[col] for r in results), []) for col in deco_cols}
         ordinals = idcodec.get_ordinal(ids)
         order = np.lexsort((ordinals, scores if normalize_score else -scores))
 
@@ -1620,11 +1755,18 @@ class IndexSearch:
                 break
         keep = keep[offset:]
 
-        deco_out = (
-            {col: [deco[col][j] for j in keep] for col in deco} if decorate else None
-        )
+        out_cols: dict[str, list] = {}
+        if decorate:
+            for col in ("repo", "path", "title", "data_hash"):
+                out_cols[col] = [deco[col][j] for j in keep]
+        if positions_mask:
+            out_cols["positions_mask"] = [
+                int(deco["positions_mask"][j]) for j in keep
+            ]
         return _result_table(
-            [int(ids[j]) for j in keep], [float(scores[j]) for j in keep], deco_out
+            [int(ids[j]) for j in keep],
+            [float(scores[j]) for j in keep],
+            out_cols or None,
         )
 
     def shutdown(self):
@@ -1647,5 +1789,8 @@ def _result_table(
     }
     if deco is not None:
         for col in ("repo", "path", "title", "data_hash"):
-            cols[col] = pa.array(deco[col], pa.string())
+            if col in deco:
+                cols[col] = pa.array(deco[col], pa.string())
+        if "positions_mask" in deco:
+            cols["positions_mask"] = pa.array(deco["positions_mask"], pa.int64())
     return pa.table(cols)

@@ -570,3 +570,105 @@ def test_parallel_parts_identical_postings(
         assert a.column("term_id").equals(b.column("term_id"))
         assert a.column("df").equals(b.column("df"))
         assert a.column("docs").to_pylist() == b.column("docs").to_pylist()
+
+
+def _comment_spans_of(content):
+    from marginaliasearch_ray.stages.tokenize import (
+        SPAN_COMMENT,
+        tokenize_with_spans,
+    )
+
+    toks, codes, spans = tokenize_with_spans(content)
+    pairs = []
+    for code, flat in zip(codes, spans):
+        if code == SPAN_COMMENT:
+            pairs = [(flat[j], flat[j + 1]) for j in range(0, len(flat), 2)]
+    return toks, pairs
+
+
+def test_heading_bonus_matches_bruteforce(index_dir, oracle, corpus_table):
+    """getProximitiyFac:394-400 on the comment-span heading analog: the
+    score delta vs the no-bonus run is w * obs exactly when the total
+    comment-span observation count equals the keyword count and the
+    comment field is short (< 64 tokens)."""
+    idx = IndexSearch(index_dir, use_actors=False)
+    terms = ["license", "import"]
+    qstr = " ".join(terms)
+    w = 1.0
+    plain = idx.search(qstr, k=1000, decorate=True)
+    boosted = idx.search(qstr, k=1000, decorate=True, heading_bonus_weight=w)
+
+    def by_key(t):
+        return {
+            (r, p): s
+            for r, p, s in zip(
+                t["repo"].to_pylist(),
+                t["path"].to_pylist(),
+                t["score_r"].to_pylist(),
+            )
+        }
+
+    pl, bo = by_key(plain), by_key(boosted)
+    assert set(pl) == set(bo)
+    contents = {
+        (r, p): c
+        for r, p, c in zip(
+            corpus_table["repo"].to_pylist(),
+            corpus_table["path"].to_pylist(),
+            corpus_table["content"].to_pylist(),
+        )
+    }
+    n_hit = 0
+    for key, s0 in pl.items():
+        toks, pairs = _comment_spans_of(contents[key])
+        clen = sum(e - s for s, e in pairs)
+        obs = sum(
+            1
+            for i, t in enumerate(toks, start=1)
+            if t in terms and any(s <= i < e for s, e in pairs)
+        )
+        want = w * obs if (obs == len(terms) and clen < 64) else 0.0
+        n_hit += want > 0
+        assert abs((bo[key] - s0) - want) < 1e-4, (key, bo[key] - s0, want)
+    assert n_hit > 0  # the fixture corpus must actually exercise the bonus
+
+
+def test_positions_mask_matches_bruteforce(index_dir, oracle, corpus_table):
+    """calculatePositionsMask: bit floor(sqrt(p)) per full-group
+    adjacency start, first 64, vs a brute-force scan of the corpus."""
+    import math
+
+    idx = IndexSearch(index_dir, use_actors=False)
+    terms = ["rank_token", "import"]
+    t = idx.search(
+        " ".join(terms), k=1000, decorate=True, positions_mask=True
+    )
+    contents = {
+        (r, p): c
+        for r, p, c in zip(
+            corpus_table["repo"].to_pylist(),
+            corpus_table["path"].to_pylist(),
+            corpus_table["content"].to_pylist(),
+        )
+    }
+    n_nonzero = 0
+    for r, p, got in zip(
+        t["repo"].to_pylist(),
+        t["path"].to_pylist(),
+        t["positions_mask"].to_pylist(),
+    ):
+        toks = tokenize(contents[(r, p)])
+        starts = [
+            i
+            for i in range(1, len(toks) - len(terms) + 2)
+            if all(toks[i - 1 + j] == terms[j] for j in range(len(terms)))
+        ]
+        mask = 0
+        for s in starts[:64]:
+            bit = int(math.isqrt(s))
+            mask |= 1 << (bit & 63)
+            if bit >= 64:
+                break
+        assert got == mask, ((r, p), got, mask)
+        n_nonzero += mask != 0
+    assert n_nonzero > 0
