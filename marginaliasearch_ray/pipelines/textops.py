@@ -633,11 +633,19 @@ def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5, strict_exact: bool = 
     # docs, write this dataset to partitioned Parquet once instead of
     # materializing — same single-pass structure.)
     sets_ds = shingle_sets(corpus_ds).materialize()
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        g = batch["shingle"].to_numpy(zero_copy_only=False) % COARSE_GROUPS
+        return batch.append_column("gb", pa.array(g, pa.int32()))
+
+    import functools
+
     candidates = (
         sets_ds.map_batches(_explode_sets, batch_format="pyarrow")
-        .groupby("shingle")
-        .map_groups(
-            _pairs_of_group_strict if strict_exact else _pairs_of_group,
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("gb")  # coarse: every contained shingle bucket pairs
+        .map_groups(   # in ONE vectorized call (see COARSE_GROUPS note)
+            functools.partial(_shingle_pairs_multi, strict=strict_exact),
             batch_format="pyarrow",
         )
         .groupby(["doc_a", "doc_b"])
@@ -647,66 +655,119 @@ def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5, strict_exact: bool = 
     return _verify_pairs(candidates, sets_ds, threshold)
 
 
-def _pairs_of_group_impl(
-    group: pa.Table, label: str, strict: bool = False
+# Candidate generation groups by a COARSE hash of the bucket key (this
+# many groups per groupby) and emits every contained bucket's pairs in
+# one vectorized call — grouping by the raw bucket key instead would
+# dispatch a Python map_groups call per bucket (hundreds of thousands of
+# near-singleton buckets; measured ~2x the whole pipeline's cost at
+# bench scale).  Scale note: a coarse group holds (#rows / COARSE)
+# rows; raise COARSE proportionally on a large cluster.
+COARSE_GROUPS = 256
+
+
+def _pairs_of_buckets_impl(
+    key_cols: list[np.ndarray], docs: np.ndarray, label: str, strict: bool
 ) -> pa.Table:
+    """All-pairs (df-capped, hot buckets degrade to chains) for MANY
+    buckets at once.  ``key_cols`` identify each row's bucket; pairs are
+    emitted per bucket with one lexsort + a loop over DISTINCT bucket
+    sizes (equal-size buckets share one triu gather)."""
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
         }
     )
-    docs = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-    if len(docs) < 2:
+    if len(docs) == 0:
         return empty
-    if len(docs) > STOP_SHINGLE_DF:
+    order = np.lexsort((docs, *reversed(key_cols)))
+    d_s = docs[order]
+    k_s = [k[order] for k in key_cols]
+    keep = np.ones(len(d_s), dtype=bool)  # distinct (bucket, doc)
+    diff_key = np.zeros(len(d_s) - 1, dtype=bool)
+    for k in k_s:
+        diff_key |= k[1:] != k[:-1]
+    keep[1:] = diff_key | (d_s[1:] != d_s[:-1])
+    d_s = d_s[keep]
+    # bucket boundaries on the deduped rows
+    k_d = [k[keep] for k in k_s]
+    newb = np.ones(len(d_s), dtype=bool)
+    acc = np.zeros(max(len(d_s) - 1, 0), dtype=bool)
+    for k in k_d:
+        acc |= k[1:] != k[:-1]
+    newb[1:] = acc
+    starts = np.flatnonzero(newb)
+    sizes = np.diff(np.append(starts, len(d_s)))
+
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    hot = sizes > STOP_SHINGLE_DF
+    if hot.any():
         if strict:
             # oracle-checked runs fail LOUDLY instead of silently
             # diverging from the exact all-pairs oracle (the chain regime
             # is lossy; an exact-vs-chain mismatch must not surface as a
             # value diff)
             raise RuntimeError(
-                f"hot {label} with {len(docs)} docs exceeds"
+                f"hot {label} with {int(sizes[hot].max())} docs exceeds"
                 f" STOP_SHINGLE_DF={STOP_SHINGLE_DF}: the engine would"
                 " enter the lossy chain regime while the exact oracle"
                 " stays all-pairs; rerun with strict_exact=False to"
                 " accept the documented chain degrade"
             )
-        # stop rule: O(n) connectivity chain instead of O(n^2) pairs
-        print(
-            f"[near-dup] hot {label} with {len(docs)} docs"
-            f" (> {STOP_SHINGLE_DF}): emitting an O(n) chain of"
-            f" candidate pairs instead of all pairs"
-        )
-        return pa.table(
-            {
-                "doc_a": pa.array(docs[:-1], pa.int64()),
-                "doc_b": pa.array(docs[1:], pa.int64()),
-            }
-        )
-    ai, bi = np.triu_indices(len(docs), k=1)
+        for s0, sz in zip(starts[hot], sizes[hot]):
+            # stop rule: O(n) connectivity chain instead of O(n^2) pairs
+            print(
+                f"[near-dup] hot {label} with {sz} docs"
+                f" (> {STOP_SHINGLE_DF}): emitting an O(n) chain of"
+                f" candidate pairs instead of all pairs"
+            )
+            out_a.append(d_s[s0 : s0 + sz - 1])
+            out_b.append(d_s[s0 + 1 : s0 + sz])
+    ok = (~hot) & (sizes >= 2)
+    for sz in np.unique(sizes[ok]):
+        sel = starts[ok & (sizes == sz)]
+        mat = d_s[sel[:, None] + np.arange(sz)]
+        ai, bi = np.triu_indices(int(sz), k=1)
+        out_a.append(mat[:, ai].ravel())
+        out_b.append(mat[:, bi].ravel())
+    if not out_a:
+        return empty
     return pa.table(
         {
-            "doc_a": pa.array(docs[ai], pa.int64()),
-            "doc_b": pa.array(docs[bi], pa.int64()),
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
         }
     )
 
 
+def _shingle_pairs_multi(group: pa.Table, strict: bool = False) -> pa.Table:
+    return _pairs_of_buckets_impl(
+        [group["shingle"].to_numpy(zero_copy_only=False)],
+        group["doc_id"].to_numpy(zero_copy_only=False),
+        "shingle",
+        strict,
+    )
+
+
+def _band_pairs_multi(group: pa.Table, strict: bool = False) -> pa.Table:
+    return _pairs_of_buckets_impl(
+        [
+            group["band"].to_numpy(zero_copy_only=False),
+            group["bh"].to_numpy(zero_copy_only=False),
+        ],
+        group["doc_id"].to_numpy(zero_copy_only=False),
+        "LSH band bucket",
+        strict,
+    )
+
+
 def _pairs_of_group(group: pa.Table) -> pa.Table:
-    return _pairs_of_group_impl(group, "shingle")
-
-
-def _pairs_of_bucket(group: pa.Table) -> pa.Table:
-    return _pairs_of_group_impl(group, "LSH band bucket")
+    return _shingle_pairs_multi(group)
 
 
 def _pairs_of_group_strict(group: pa.Table) -> pa.Table:
-    return _pairs_of_group_impl(group, "shingle", strict=True)
-
-
-def _pairs_of_bucket_strict(group: pa.Table) -> pa.Table:
-    return _pairs_of_group_impl(group, "LSH band bucket", strict=True)
+    return _shingle_pairs_multi(group, strict=True)
 
 
 def near_dup_components(
@@ -873,19 +934,24 @@ def minhash_lsh_pairs(
         for r in range(rows_per_band):
             bh = bh * np.int64(1000003) + sig[:, :, r]
         band_id = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n)
+        flat_bh = bh.reshape(-1)
+        coarse = (flat_bh * np.int64(1000003) + band_id) % COARSE_GROUPS
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, LSH_BANDS), pa.int64()),
                 "band": pa.array(band_id, pa.int64()),
-                "bh": pa.array(bh.reshape(-1), pa.int64()),
+                "bh": pa.array(flat_bh, pa.int64()),
+                "gb": pa.array(coarse, pa.int32()),
             }
         )
 
+    import functools
+
     candidates = (
         sets_ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(
-            _pairs_of_bucket_strict if strict_exact else _pairs_of_bucket,
+        .groupby("gb")  # coarse: every contained (band, bh) bucket pairs
+        .map_groups(   # in ONE vectorized call (see COARSE_GROUPS note)
+            functools.partial(_band_pairs_multi, strict=strict_exact),
             batch_format="pyarrow",
         )
         .groupby(["doc_a", "doc_b"])
