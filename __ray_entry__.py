@@ -92,7 +92,7 @@ REFERENCE_QUERIES = [
 
 # bump whenever the on-disk index format changes so a stale /tmp cache
 # from an older code revision can never be read by newer code
-INDEX_FORMAT_VERSION = 9  # v9: Subjects flag gated on the tf-idf admission
+INDEX_FORMAT_VERSION = 10  # v10: block-max side columns on posting segments
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -103,8 +103,12 @@ def _index_dir_for(sf_dir: str) -> str:
 
 
 def _build_cfg() -> BuildConfig:
+    # posting_block 32 (vs the 128 default) so the sf0.001 corpus's
+    # per-part lists (~100 postings for a common term) still earn block-max
+    # entries and the pruned driver queries exercise real skipping
     return BuildConfig(
-        num_parts=4, num_buckets=16, num_salts=4, hot_df_threshold=300
+        num_parts=4, num_buckets=16, num_salts=4, hot_df_threshold=300,
+        posting_block=32,
     )
 
 
@@ -372,6 +376,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
     q["bm25_conj"] = lambda sf: _search(sf, "customer merge table")
+    # block-max pruned execution (exact): identical oracles to the
+    # unpruned twins — the driver hash-checks that pruning never changes
+    # a result (marginaliasearch_ray/stages/reverse.py add_block_stats)
+    q["bm25_pruned"] = lambda sf: _search(sf, "customer", pruned=True)
+    q["bm25_pruned_conj"] = lambda sf: _search(
+        sf, "customer merge table", pruned=True
+    )
     q["bm25_exclude"] = lambda sf: _search(sf, "scan filter -customer")
     q["bm25_phrase"] = lambda sf: _search(sf, '"fast table" scan')
     q["bm25_repo"] = lambda sf: _search(sf, "customer repo:src3")
@@ -797,6 +808,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # long-stable oracle queries ride at the tail.  Update this list whenever an
 # operator's implementation changes materially.
 _DRIVER_WINDOW_FIRST = [
+    # new round 3: block-max pruned execution
+    "bm25_pruned",
+    "bm25_pruned_conj",
     # rewritten round 2-3, never driver-checked (r02 capped at 50 keys)
     "artifact_terms",
     "token_counts",
@@ -1500,6 +1514,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
+        "bm25_pruned": _bm25_sql(["customer"]),
+        "bm25_pruned_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_exclude": _bm25_sql(["scan", "filter"], exclude=["customer"]),
         "bm25_phrase": _bm25_sql(
             ["fast", "table", "scan"], phrase=["fast", "table"]

@@ -82,6 +82,11 @@ class BuildConfig:
     # deadlock no longer reproduces).  Resume granularity is unchanged:
     # every part still commits its own manifest.
     parallel_parts: int = 1
+    # Block-max side index (add_block_stats): posting lists longer than
+    # this gain per-block (last doc, max tf, byte offset) entries so the
+    # query side can decode only candidate-bearing blocks and
+    # early-terminate plain top-k scans (block-max WAND).  0 disables.
+    posting_block: int = 128
     extra_journal: dict = field(default_factory=dict)
 
 
@@ -515,6 +520,15 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
                 merged = runs.groupby(["part", "bucket"]).map_groups(
                     _premerge_runs, batch_format="pyarrow"
                 )
+            if cfg.posting_block:
+                import functools as _ft
+
+                from ..stages.reverse import add_block_stats
+
+                merged = merged.map_batches(
+                    _ft.partial(add_block_stats, block=cfg.posting_block),
+                    batch_format="pyarrow",
+                )
             seg_dir = os.path.join(out_dir, "postings", f"part={p}")
             merged.drop_columns(["part"]).write_parquet(seg_dir)
             seg_tbl = pads.dataset(seg_dir).to_table(columns=["df"])
@@ -562,6 +576,15 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
             merged_all = runs_all.groupby(["part", "bucket"]).map_groups(
                 _premerge_runs, batch_format="pyarrow"
             )
+            if cfg.posting_block:
+                import functools as _ft
+
+                from ..stages.reverse import add_block_stats
+
+                merged_all = merged_all.map_batches(
+                    _ft.partial(add_block_stats, block=cfg.posting_block),
+                    batch_format="pyarrow",
+                )
             merged_all.write_parquet(
                 os.path.join(out_dir, "postings"), partition_cols=["part"]
             )

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions import bm25, idcodec
-from ..functions.codecs import decode_counts, decode_doc_ids
+from ..functions.codecs import decode_counts, decode_doc_ids, decode_varints
 from ..functions.wordpattern import tokenize
 from ..functions.murmur import hash_nearly_ascii
 from ..stages.reverse import flat_positions_by_counts
@@ -592,13 +592,18 @@ class _Segment:
     term so downstream verification is batched, never per-candidate."""
 
     def __init__(self, out_dir: str, part: int):
+        import pyarrow.dataset as pads
+
         self.part = part
         self.out_dir = out_dir
         self._lang_ids: dict[str, np.ndarray] = {}
-        post = pq.read_table(
-            os.path.join(out_dir, "postings", f"part={part}"),
-            columns=["term_id", "df", "docs", "tfs", "metas", "positions", "pos_cnts"],
-        )
+        post_dir = os.path.join(out_dir, "postings", f"part={part}")
+        cols = ["term_id", "df", "docs", "tfs", "metas", "positions", "pos_cnts"]
+        schema_names = set(pads.dataset(post_dir).schema.names)
+        self.has_blocks = "blk_last" in schema_names
+        if self.has_blocks:
+            cols += ["blk_last", "blk_maxtf", "blk_boff", "blk_tf_boff"]
+        post = pq.read_table(post_dir, columns=cols)
         order = np.argsort(post["term_id"].to_numpy(zero_copy_only=False))
         post = post.take(pa.array(order))
         self.term_ids = post["term_id"].to_numpy(zero_copy_only=False)
@@ -607,6 +612,24 @@ class _Segment:
         self.tfs_blobs = post["tfs"].combine_chunks()
         self.pos_blobs = post["positions"].combine_chunks()
         self.pos_cnts = post["pos_cnts"].combine_chunks()
+        if self.has_blocks:
+            # block-max side index (add_block_stats): flat values + ragged
+            # offsets, numpy-sliced per term at query time
+            def _flat(name):
+                col = post[name].combine_chunks()
+                return (
+                    np.asarray(col.offsets).astype(np.int64),
+                    np.asarray(col.values),
+                )
+
+            self.blk_offs, self.blk_last_vals = _flat("blk_last")
+            _, self.blk_maxtf_vals = _flat("blk_maxtf")
+            _, self.blk_boff_vals = _flat("blk_boff")
+            _, self.blk_tf_boff_vals = _flat("blk_tf_boff")
+        # pruned-decode metrics (blocks skipped vs decoded) — lineage /
+        # test observability
+        self.blocks_decoded = 0
+        self.blocks_skipped = 0
 
         fwd = pq.read_table(
             os.path.join(out_dir, "forward", f"part={part}"),
@@ -722,6 +745,70 @@ class _Segment:
         if len(self._decoded) < 4096:
             self._decoded[tid] = out
         return out
+
+    def block_meta(self, tid: int):
+        """(term row, blk_last, blk_maxtf) of the term's block-max side
+        index, or None when the term has no blocks (df <= block size, or
+        pre-v10 index)."""
+        if not self.has_blocks:
+            return None
+        r = self.term_row(tid)
+        if r < 0:
+            return None
+        s, e = int(self.blk_offs[r]), int(self.blk_offs[r + 1])
+        if e == s:
+            return None
+        return r, self.blk_last_vals[s:e], self.blk_maxtf_vals[s:e]
+
+    def _decode_blocks(
+        self, r: int, s: int, bl: np.ndarray, b: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Decode blocks ``b`` (sorted unique indices) of term row ``r``
+        from the docs/tfs blobs — standalone, using blk_last of the
+        preceding block as the delta base (add_block_stats contract)."""
+        doc_blob = _blob(self.docs_blobs, r)
+        tf_blob = _blob(self.tfs_blobs, r)
+        boff = self.blk_boff_vals[s : s + len(bl)]
+        tboff = self.blk_tf_boff_vals[s : s + len(bl)]
+        runs = np.split(b, np.flatnonzero(np.diff(b) > 1) + 1)
+        docs_parts, tfs_parts = [], []
+        for run in runs:
+            b0, b1 = int(run[0]), int(run[-1])
+            dend = int(boff[b1 + 1]) if b1 + 1 < len(bl) else len(doc_blob)
+            tend = int(tboff[b1 + 1]) if b1 + 1 < len(bl) else len(tf_blob)
+            deltas = decode_varints(doc_blob[int(boff[b0]) : dend]).astype(
+                np.int64
+            )
+            base = int(bl[b0 - 1]) if b0 > 0 else -1
+            docs_parts.append(base + np.cumsum(deltas))
+            tfs_parts.append(
+                decode_varints(tf_blob[int(tboff[b0]) : tend]).astype(np.int64)
+            )
+        return np.concatenate(docs_parts), np.concatenate(tfs_parts)
+
+    def postings_subset(
+        self, tid: int, cand: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, tfs) restricted to the blocks that can contain ids in
+        ``cand`` (sorted) — a superset of ``postings(tid) ∩ cand``, sorted.
+        Decodes ONLY those blocks via the block-max side index; rare terms
+        (no blocks) fall back to the full cached decode.  Exactness: any
+        retain/membership/tf-gather over candidates drawn from ``cand`` is
+        identical to using the full list."""
+        cached = self._decoded.get(tid)
+        if cached is not None:
+            return cached
+        meta = self.block_meta(tid)
+        if meta is None:
+            return self.postings(tid)
+        r, bl, _ = meta
+        b = np.unique(np.searchsorted(bl, cand))
+        b = b[b < len(bl)]
+        self.blocks_decoded += len(b)
+        self.blocks_skipped += len(bl) - len(b)
+        if len(b) == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        return self._decode_blocks(r, int(self.blk_offs[r]), bl, b)
 
     def positions_flat(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
         """A term's positions as (flat int64 array, ragged offsets) —
@@ -971,6 +1058,26 @@ class SearcherLogic:
         if not include_ids and not group_ids and tree is None:
             return _empty_partition_result()
 
+        # pruned execution (plan["pruned"], block-max side index): non-
+        # driver posting lists decode ONLY the blocks that can contain the
+        # current candidates — a superset of list ∩ cand, so every retain/
+        # reject/membership/tf-gather below is EXACT (postings_subset
+        # contract).  Off by default; identical results either way.
+        pruned = bool(plan.get("pruned")) and seg.has_blocks
+
+        def _pl(t: int, against: np.ndarray) -> np.ndarray:
+            if pruned and len(against):
+                return seg.postings_subset(t, against)[0]
+            return seg.postings(t)[0]
+
+        # block-max early termination (Ding & Suel BMW, adapted): a plain
+        # single-term top-k scan visits blocks in upper-bound order and
+        # stops when no unvisited block can beat the running k-th score
+        if pruned and self._plan_is_plain(plan):
+            res = self._pruned_single_topk(plan, global_df, total_docs, deadline)
+            if res is not None:
+                return res
+
         # rarest-first execution ordering (CombinedIndexReader.createQueries
         # :94-130 heuristic) — cheapest posting list drives the intersection
         rest_groups = group_ids
@@ -980,7 +1087,7 @@ class SearcherLogic:
             for t in ordered[1:]:
                 if len(cand) == 0:
                     break
-                cand = _retain(cand, seg.postings(t)[0])
+                cand = _retain(cand, _pl(t, cand))
             if tree is not None and len(cand):
                 cand = _retain(cand, _tree_docs(seg, tree))
         elif tree is not None:
@@ -996,62 +1103,9 @@ class SearcherLogic:
                 break
             mask = np.zeros(len(cand), dtype=bool)
             for t in g:
-                mask |= _membership(cand, seg.postings(t)[0])
+                mask |= _membership(cand, _pl(t, cand))
             cand = cand[mask]
-        for t in exclude_ids:
-            if len(cand) == 0:
-                break
-            cand = _reject(cand, seg.postings(t)[0])
-        for t in plan.get("advice_ids", []):
-            # required but unscored (searchTermsAdvice semantics)
-            if len(cand) == 0:
-                break
-            cand = _retain(cand, seg.postings(t)[0])
-        if domain_range is not None:
-            lo, hi = domain_range
-            cand = cand[(cand >= lo) & (cand < hi)]
-        lang = plan.get("lang")
-        if lang is not None and len(cand):
-            cand = _retain(cand, seg.lang_ids(lang))
-        if (size_gt is not None or size_lt is not None) and len(cand):
-            # metadata param filter (ParamMatchingQueryFilter analog,
-            # CombinedIndexReader.java:349-450) as a forward-index predicate
-            sz = seg.doc_sizes(cand)
-            mask = np.ones(len(cand), dtype=bool)
-            if size_gt is not None:
-                mask &= sz > size_gt
-            if size_lt is not None:
-                mask &= sz < size_lt
-            cand = cand[mask]
-        meta_limits = plan.get("meta_limits") or []
-        if meta_limits and len(cand):
-            # year> / rank< / q< limits on the packed document meta
-            # (ParamMatchingQueryFilter.validateParameters' year/rank/
-            # quality branches)
-            from ..functions.metadata import (
-                PUBDATE_ENCODING_OFFSET,
-                decode_quality,
-                decode_rank,
-                decode_year_byte,
-            )
-
-            fi = np.searchsorted(seg.fwd_ids, cand)
-            metas = seg.fwd_meta[fi]
-            fields = {
-                "year": PUBDATE_ENCODING_OFFSET + decode_year_byte(metas),
-                "rank": decode_rank(metas),
-                "quality": decode_quality(metas),
-            }
-            mask = np.ones(len(cand), dtype=bool)
-            for fname, op, val in meta_limits:
-                v = fields[fname]
-                if op == ">":
-                    mask &= v > val
-                elif op == "<":
-                    mask &= v < val
-                else:
-                    mask &= v == val
-            cand = cand[mask]
+        cand = self._apply_filters(seg, cand, plan, _pl)
 
         # mandatory phrase constraints — batched SequenceOperations.
         # intersectSequences: one sorted-merge membership pass per phrase
@@ -1091,7 +1145,14 @@ class SearcherLogic:
         from ..stages.tokenize import HEAD_SPAN_TOKENS
 
         for t in include_ids:
-            docs, tfs = seg.postings(t)
+            # pruned: gather tf from candidate-bearing blocks only; the
+            # head-tf path needs the FULL list (positions offsets align
+            # with full posting indices)
+            docs, tfs = (
+                seg.postings_subset(t, cand)
+                if pruned and head_tf_weight == 0
+                else seg.postings(t)
+            )
             ix = np.searchsorted(docs, cand)
             tf = tfs[ix].astype(np.float64)
             if head_tf_weight > 0:
@@ -1114,7 +1175,9 @@ class SearcherLogic:
         for g in group_ids:
             gscore = np.zeros(len(cand), dtype=np.float64)
             for t in g:
-                docs, tfs = seg.postings(t)
+                docs, tfs = (
+                    seg.postings_subset(t, cand) if pruned else seg.postings(t)
+                )
                 if len(docs) == 0:
                     continue
                 present = _membership(cand, docs)
@@ -1376,7 +1439,9 @@ class SearcherLogic:
         multiplicative = plan.get("multiplicative_priority", False)
         prio_adj = np.zeros(len(cand), dtype=np.float64) if multiplicative else None
         for t in priority_ids:
-            docs, tfs = seg.postings(t)
+            docs, tfs = (
+                seg.postings_subset(t, cand) if pruned else seg.postings(t)
+            )
             if len(docs) == 0:
                 continue
             ix = np.searchsorted(docs, cand)
@@ -1445,10 +1510,17 @@ class SearcherLogic:
             if normalize:
                 score = normalize_score(score, np.maximum(0.0, -bonus))
 
+        return self._package(seg, cand, score, plan)
+
+    @staticmethod
+    def _package(seg: "_Segment", cand: np.ndarray, score: np.ndarray,
+                 plan: dict) -> dict:
+        """Round, pick the partition's (2k+8)-deep top (ResultPriorityQueue
+        2x-limit heap analog) and decorate — shared by the generic path and
+        the block-max early-exit path."""
+        k = plan["k"]
         score_r = np.round(score, 6)
         ordinals = idcodec.get_ordinal(cand)
-        # return 2k + headroom so driver-side dedup / domain caps survive
-        # (ResultPriorityQueue 2x-limit heap analog)
         sort_score = score_r if plan.get("ascending") else -score_r
         top = np.lexsort((ordinals, sort_score))[: 2 * k + 8]
         fi = np.searchsorted(seg.fwd_ids, cand[top])
@@ -1461,10 +1533,179 @@ class SearcherLogic:
             "data_hash": seg.dm_hash.take(pa.array(fi)).to_pylist(),
         }
         if plan.get("positions_mask"):
-            out["positions_mask"] = self._positions_mask(
-                seg, cand[top], include_ids
+            out["positions_mask"] = SearcherLogic._positions_mask(
+                seg, cand[top], plan["include_ids"]
             ).tolist()
         return out
+
+    @staticmethod
+    def _apply_filters(seg: "_Segment", cand: np.ndarray, plan: dict,
+                       plist) -> np.ndarray:
+        """Candidate filters shared by the generic path and the block-max
+        chunk loop: excludes, advice terms, domain range, language, size
+        and meta limits.  ``plist(t, cand)`` supplies a term's doc ids
+        (possibly block-pruned to the candidate set)."""
+        for t in plan["exclude_ids"]:
+            if len(cand) == 0:
+                break
+            cand = _reject(cand, plist(t, cand))
+        for t in plan.get("advice_ids", []):
+            # required but unscored (searchTermsAdvice semantics)
+            if len(cand) == 0:
+                break
+            cand = _retain(cand, plist(t, cand))
+        domain_range = plan.get("domain_range")
+        if domain_range is not None:
+            lo, hi = domain_range
+            cand = cand[(cand >= lo) & (cand < hi)]
+        lang = plan.get("lang")
+        if lang is not None and len(cand):
+            cand = _retain(cand, seg.lang_ids(lang))
+        size_gt, size_lt = plan.get("size_gt"), plan.get("size_lt")
+        if (size_gt is not None or size_lt is not None) and len(cand):
+            # metadata param filter (ParamMatchingQueryFilter analog,
+            # CombinedIndexReader.java:349-450) as a forward-index predicate
+            sz = seg.doc_sizes(cand)
+            mask = np.ones(len(cand), dtype=bool)
+            if size_gt is not None:
+                mask &= sz > size_gt
+            if size_lt is not None:
+                mask &= sz < size_lt
+            cand = cand[mask]
+        meta_limits = plan.get("meta_limits") or []
+        if meta_limits and len(cand):
+            # year> / rank< / q< limits on the packed document meta
+            # (ParamMatchingQueryFilter.validateParameters' year/rank/
+            # quality branches)
+            from ..functions.metadata import (
+                PUBDATE_ENCODING_OFFSET,
+                decode_quality,
+                decode_rank,
+                decode_year_byte,
+            )
+
+            fi = np.searchsorted(seg.fwd_ids, cand)
+            metas = seg.fwd_meta[fi]
+            fields = {
+                "year": PUBDATE_ENCODING_OFFSET + decode_year_byte(metas),
+                "rank": decode_rank(metas),
+                "quality": decode_quality(metas),
+            }
+            mask = np.ones(len(cand), dtype=bool)
+            for fname, op, val in meta_limits:
+                v = fields[fname]
+                if op == ">":
+                    mask &= v > val
+                elif op == "<":
+                    mask &= v < val
+                else:
+                    mask &= v == val
+            cand = cand[mask]
+        return cand
+
+    @staticmethod
+    def _plan_is_plain(plan: dict) -> bool:
+        """True when the score is EXACTLY one term's BM25 — the shape the
+        block-max upper bound covers.  Filters are allowed (they only
+        remove candidates); every other scoring component is not."""
+        return (
+            len(plan["include_ids"]) == 1
+            and not plan.get("group_ids")
+            and plan.get("tree") is None
+            and not plan["phrase_ids"]
+            and not plan.get("priority_ids")
+            and not plan.get("priority_domains")
+            and not plan.get("positions_mask")
+            and not plan.get("normalize_score")
+            and not plan.get("multiplicative_priority")
+            and all(
+                not plan.get(w)
+                for w in (
+                    "first_position_weight",
+                    "proximity_weight",
+                    "proximity_all_weight",
+                    "heading_bonus_weight",
+                    "verbatim_weight",
+                    "verbatim_tag_weight",
+                    "flags_weight",
+                    "head_tf_weight",
+                    "rank_bonus_weight",
+                    "document_bonus_weight",
+                )
+            )
+        )
+
+    def _pruned_single_topk(
+        self, plan: dict, global_df: dict[int, int], total_docs: int,
+        deadline: float,
+    ) -> dict | None:
+        """Block-max early termination for plain single-term top-k (the
+        BMW idea, Ding & Suel SIGIR'11, on the blk_maxtf side index):
+        visit blocks in upper-bound order (bound = BM25 at the block's max
+        tf and doc length 0 — score is monotone decreasing in length, so
+        this dominates every real score in the block), keep the running
+        (2k+8)-th best actual score, and stop once no unvisited block's
+        bound can reach it.  The 1e-6 margin keeps the skip safe under the
+        final round(score, 6): skipped candidates land strictly below the
+        k-th rounded score, so the result — including tie-breaks — is
+        IDENTICAL to the exhaustive path.  Returns None when the term has
+        no block index (rare term) — caller falls through to the generic
+        path."""
+        import time
+
+        seg = self.seg
+        t = plan["include_ids"][0]
+        meta = seg.block_meta(t)
+        if meta is None:
+            return None
+        r, bl, maxtf = meta
+        nb = len(bl)
+        ub = bm25.bm25_term_score(
+            total_docs,
+            global_df.get(t, 0),
+            maxtf.astype(np.float64),
+            np.zeros(nb, dtype=np.float64),
+        )
+        order = np.argsort(-ub, kind="stable")
+        K = 2 * plan["k"] + 8
+        CHUNK = 16
+        s_off = int(seg.blk_offs[r])
+        cands: list[np.ndarray] = []
+        scores: list[np.ndarray] = []
+        nsurv = 0
+        thr = -np.inf
+        for lo in range(0, nb, CHUNK):
+            chunk = order[lo : lo + CHUNK]
+            if float(ub[chunk[0]]) < thr - 1e-6:
+                seg.blocks_skipped += nb - lo
+                break
+            if time.monotonic() > deadline and cands:
+                break  # budget: partial-but-correctly-ranked, like phrases
+            b = np.sort(chunk)
+            seg.blocks_decoded += len(b)
+            docs_c, tfs_c = seg._decode_blocks(r, s_off, bl, b)
+            cand_c = self._apply_filters(
+                seg, docs_c, plan,
+                lambda tt, cc: seg.postings_subset(tt, cc)[0],
+            )
+            if len(cand_c) == 0:
+                continue
+            tf = tfs_c[np.searchsorted(docs_c, cand_c)].astype(np.float64)
+            sizes = seg.doc_sizes(cand_c).astype(np.float64)
+            cands.append(cand_c)
+            scores.append(
+                bm25.bm25_term_score(total_docs, global_df.get(t, 0), tf, sizes)
+            )
+            nsurv += len(cand_c)
+            if nsurv >= K:
+                allsc = np.concatenate(scores)
+                thr = float(np.partition(allsc, len(allsc) - K)[len(allsc) - K])
+        if not cands:
+            return _empty_partition_result()
+        cand = np.concatenate(cands)
+        score = np.concatenate(scores)
+        o = np.argsort(cand, kind="stable")
+        return self._package(seg, cand[o], score[o], plan)
 
     @staticmethod
     def _positions_mask(
@@ -1595,6 +1836,7 @@ class IndexSearch:
         expand_wordnum: bool = False,
         expand_ngram_all: bool = False,
         budget_s: float = float("inf"),
+        pruned: bool = False,
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -1647,6 +1889,9 @@ class IndexSearch:
             "temporal_bias": temporal_bias,
             "ascending": normalize_score,  # normalize => lower is better
             "budget_s": budget_s,
+            # block-max pruned execution (exact; requires a v10+ index
+            # with blk_* side columns — silently exhaustive otherwise)
+            "pruned": pruned,
             # partitions return enough headroom for pagination
             # (IndexClient.executeQueries sort + sublist, :162-173)
             "k": k + offset,

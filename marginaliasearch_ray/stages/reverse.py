@@ -30,6 +30,9 @@ from ..functions.codecs import decode_varints
 
 GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
+# Postings per block for the block-max side index (see add_block_stats).
+POSTING_BLOCK = 128
+
 
 def term_bucket(term_ids: np.ndarray, num_buckets: int) -> np.ndarray:
     """Cheap avalanche mix of the (already murmur-derived) term id."""
@@ -229,6 +232,116 @@ def split_positions_by_counts(blob, cnts: np.ndarray) -> list[np.ndarray]:
     abs_pos, offsets = flat_positions_by_counts(blob, cnts)
     return np.split(abs_pos, offsets[1:-1])
 
+
+
+def _binary_buffers(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(joined bytes, per-cell byte offsets) of a binary array — zero-copy
+    views of the Arrow buffers, no per-cell Python bytes objects."""
+    n = len(col)
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    return data, off - off[0]
+
+
+def add_block_stats(batch: pa.Table, block: int = POSTING_BLOCK) -> pa.Table:
+    """Append per-term BLOCK-MAX side columns to merged posting rows — the
+    block-max WAND auxiliary index (Ding & Suel, "Faster Top-k Document
+    Retrieval Using Block-Max Indexes", SIGIR'11), adapted to the
+    delta+varint posting blobs:
+
+      blk_last    list<int64>  last doc id of each ``block``-posting block
+      blk_maxtf   list<int32>  max term frequency within the block
+      blk_boff    list<int64>  byte offset of the block's first doc delta
+                               inside the ``docs`` blob
+      blk_tf_boff list<int64>  same for the ``tfs`` blob
+
+    Terms with df <= ``block`` get empty lists (no overhead for the rare
+    tail).  The posting blobs themselves are UNCHANGED — byte-identical to
+    the non-block build — because a block can be decoded standalone: its
+    first delta is relative to the previous block's ``blk_last`` (or -1
+    for block 0, matching encode_doc_ids' prev=-1 convention), so the
+    query side can decode ONLY the blocks that may contain candidates and
+    skip the rest (query.py _Segment.postings_subset), or early-terminate
+    a top-k scan when a block's BM25 upper bound (from blk_maxtf) falls
+    below the running threshold.
+
+    Runs as a stateless map_batches stage after the final merge; cost is
+    one extra vectorized decode pass over the finished segments.
+    """
+    n = batch.num_rows
+    empty = pa.array([[]] * n, pa.list_(pa.int64()))
+    if n == 0 or block <= 0:
+        return (
+            batch.append_column("blk_last", empty)
+            .append_column(
+                "blk_maxtf", pa.array([[]] * n, pa.list_(pa.int32()))
+            )
+            .append_column("blk_boff", empty)
+            .append_column("blk_tf_boff", empty)
+        )
+    dfs = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    docs_data, docs_cell_off = _binary_buffers(batch["docs"].combine_chunks())
+    tfs_data, tfs_cell_off = _binary_buffers(batch["tfs"].combine_chunks())
+
+    # decode every stream in one pass; value i's byte start = byte_pos[i]
+    docs_vals = decode_varints(docs_data).astype(np.int64)
+    tfs_vals = decode_varints(tfs_data).astype(np.int64)
+    from ..functions.codecs import _varint_widths
+
+    dw = _varint_widths(docs_vals.astype(np.uint64))
+    tw = _varint_widths(tfs_vals.astype(np.uint64))
+    docs_byte_pos = np.cumsum(dw) - dw
+    tfs_byte_pos = np.cumsum(tw) - tw
+
+    nvals = dfs + 1  # [count+1 header, payload...]
+    val_start = np.cumsum(nvals) - nvals
+    hdr = np.zeros(len(docs_vals), dtype=bool)
+    hdr[val_start] = True
+    deltas = docs_vals[~hdr]
+    tf_payload = tfs_vals[~hdr]
+    pay_start = np.cumsum(dfs) - dfs
+    g = np.cumsum(deltas)
+    base = np.repeat(g[pay_start] - deltas[pay_start], dfs)
+    docs_flat = g - base - 1  # absolute doc ids, all terms concatenated
+
+    # blocks over EVERY term (so reduceat segments partition the payload
+    # exactly); only terms with df > block emit their blocks
+    nb_all = (dfs + block - 1) // block
+    tob = np.repeat(np.arange(n), nb_all)  # term of block
+    starts_b = np.cumsum(nb_all) - nb_all
+    bix = np.arange(len(tob)) - np.repeat(starts_b, nb_all)  # block# in term
+    s_post = bix * block  # first posting index (within term)
+    e_post = np.minimum(s_post + block, dfs[tob]) - 1  # last posting index
+
+    blk_last_all = docs_flat[pay_start[tob] + e_post]
+    blk_maxtf_all = np.maximum.reduceat(tf_payload, pay_start[tob] + s_post)
+    # byte offset of delta s within the term's blob (value index of delta
+    # s is val_start + 1 + s; subtract the term's blob start byte)
+    v_idx = val_start[tob] + 1 + s_post
+    blk_boff_all = docs_byte_pos[v_idx] - docs_cell_off[tob]
+    blk_tf_boff_all = tfs_byte_pos[v_idx] - tfs_cell_off[tob]
+
+    eligible = dfs > block
+    keep = eligible[tob]
+    nb_emit = np.where(eligible, nb_all, 0)
+    offs = pa.array(
+        np.concatenate([[0], np.cumsum(nb_emit)]).astype(np.int32)
+    )
+
+    def _list(vals: np.ndarray, typ) -> pa.ListArray:
+        return pa.ListArray.from_arrays(offs, pa.array(vals[keep], typ))
+
+    return (
+        batch.append_column("blk_last", _list(blk_last_all, pa.int64()))
+        .append_column(
+            "blk_maxtf", _list(blk_maxtf_all.astype(np.int32), pa.int32())
+        )
+        .append_column("blk_boff", _list(blk_boff_all, pa.int64()))
+        .append_column("blk_tf_boff", _list(blk_tf_boff_all, pa.int64()))
+    )
 
 
 # Max runs of one term a single merge step consumes; beyond it the term's

@@ -33,9 +33,11 @@ def index_dir(ray_session, corpus_table, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("index"))
     # exercise the full scale path: salted pre-merge + final merge as a
     # stateful actor pool
+    # posting_block=8: the 72-doc corpus still earns block-max entries, so
+    # every parity test below also validates the blocked segment format
     cfg = BuildConfig(num_parts=NUM_PARTS, num_buckets=8, num_salts=2,
                       hot_df_threshold=20, premerge_salted=True,
-                      merge_concurrency=2)
+                      merge_concurrency=2, posting_block=8)
     build_index(ray.data.from_arrow(corpus_table), out, cfg)
     return out
 
