@@ -159,6 +159,21 @@ def run_bench() -> dict:
     nh = timed("query_hot_phrase", run_hot)
     extras["hot_queries_per_s"] = round(nh / timings["query_hot_phrase"], 1)
 
+    # 3b') block-max pruned execution (exact; add_block_stats side index).
+    # Neutral at this corpus size — queries are fan-out-bound — recorded
+    # as a regression canary; the 960k-doc measurement (1.37x, 90% blocks
+    # skipped) lives in BASELINE.md.
+    def run_pruned():
+        n = 0
+        for _ in range(5):
+            for q in qset:
+                idx.search(q, k=10, pruned=True)
+                n += 1
+        return n
+
+    np_ = timed("query_set_pruned", run_pruned)
+    extras["pruned_queries_per_s"] = round(np_ / timings["query_set_pruned"], 1)
+
     # 3c) per-query latency percentiles (PerfTestMain.java:44-67,150-199
     # protocol: warmup pass, then a timed run, percentiles over
     # individual query latencies)
