@@ -383,6 +383,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_pruned_conj"] = lambda sf: _search(
         sf, "customer merge table", pruned=True
     )
+    # pure-OR top-k under pruning (MaxScore + block-max candidate
+    # discovery) and its unpruned control — same SQL oracle for both
+    q["bm25_or_flat"] = lambda sf: _search(sf, "customer | merge | sort")
+    q["bm25_pruned_or"] = lambda sf: _search(
+        sf, "customer | merge | sort", pruned=True
+    )
     q["bm25_exclude"] = lambda sf: _search(sf, "scan filter -customer")
     q["bm25_phrase"] = lambda sf: _search(sf, '"fast table" scan')
     q["bm25_repo"] = lambda sf: _search(sf, "customer repo:src3")
@@ -811,6 +817,8 @@ _DRIVER_WINDOW_FIRST = [
     # new round 3: block-max pruned execution
     "bm25_pruned",
     "bm25_pruned_conj",
+    "bm25_or_flat",
+    "bm25_pruned_or",
     # rewritten round 2-3, never driver-checked (r02 capped at 50 keys)
     "artifact_terms",
     "token_counts",
@@ -1516,6 +1524,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),
         "bm25_pruned_conj": _bm25_sql(["customer", "merge", "table"]),
+        "bm25_or_flat": _bm25_nested_sql("customer | merge | sort"),
+        "bm25_pruned_or": _bm25_nested_sql("customer | merge | sort"),
         "bm25_exclude": _bm25_sql(["scan", "filter"], exclude=["customer"]),
         "bm25_phrase": _bm25_sql(
             ["fast", "table", "scan"], phrase=["fast", "table"]

@@ -1071,10 +1071,11 @@ class SearcherLogic:
             return seg.postings(t)[0]
 
         # block-max early termination (Ding & Suel BMW, adapted): a plain
-        # single-term top-k scan visits blocks in upper-bound order and
-        # stops when no unvisited block can beat the running k-th score
-        if pruned and self._plan_is_plain(plan):
-            res = self._pruned_single_topk(plan, global_df, total_docs, deadline)
+        # conjunctive top-k scan visits driver-term blocks in upper-bound
+        # order and stops when no unvisited block can beat the running
+        # k-th score (N=1: the single-term scan; N>1: block-max AND)
+        if pruned and self._plan_is_plain_conj(plan):
+            res = self._pruned_conj_topk(plan, global_df, total_docs, deadline)
             if res is not None:
                 return res
 
@@ -1093,10 +1094,21 @@ class SearcherLogic:
         elif tree is not None:
             cand = _tree_docs(seg, tree)
         else:
-            # seed from the first OR-group: union of member lists (J3 any-of)
-            cand = np.unique(
-                np.concatenate([seg.postings(t)[0] for t in group_ids[0]])
-            )
+            # seed from the first OR-group: union of member lists (J3
+            # any-of).  Pure-OR top-k under pruning seeds from MaxScore +
+            # block-max discovery instead — a provable superset of every
+            # doc that can reach the K-th boundary; the group-score loop
+            # below then scores the seed EXACTLY (postings_subset), so the
+            # result is identical to the exhaustive union seed.
+            cand = None
+            if pruned and self._plan_is_pure_or(plan):
+                cand = self._pruned_or_candidates(
+                    plan, global_df, total_docs, deadline
+                )
+            if cand is None:
+                cand = np.unique(
+                    np.concatenate([seg.postings(t)[0] for t in group_ids[0]])
+                )
             rest_groups = group_ids[1:]
         for g in rest_groups:
             if len(cand) == 0:
@@ -1604,16 +1616,14 @@ class SearcherLogic:
         return cand
 
     @staticmethod
-    def _plan_is_plain(plan: dict) -> bool:
-        """True when the score is EXACTLY one term's BM25 — the shape the
-        block-max upper bound covers.  Filters are allowed (they only
-        remove candidates); every other scoring component is not."""
+    def _plan_scoring_is_bm25_only(plan: dict) -> bool:
+        """True when the final score is EXACTLY the BM25 sum/max over the
+        query terms — the quantity the block-max side index upper-bounds.
+        Filters are allowed (they only remove candidates); every other
+        scoring component adds positive mass the bound doesn't cover, and
+        normalize flips to ascending order where upper bounds are useless."""
         return (
-            len(plan["include_ids"]) == 1
-            and not plan.get("group_ids")
-            and plan.get("tree") is None
-            and not plan["phrase_ids"]
-            and not plan.get("priority_ids")
+            not plan.get("priority_ids")
             and not plan.get("priority_domains")
             and not plan.get("positions_mask")
             and not plan.get("normalize_score")
@@ -1635,32 +1645,100 @@ class SearcherLogic:
             )
         )
 
-    def _pruned_single_topk(
+    @staticmethod
+    def _plan_is_plain_conj(plan: dict) -> bool:
+        """Plain conjunctive top-k: score = Σ include-term BM25, nothing
+        else — the shape `_pruned_conj_topk` covers (N=1 is the original
+        single-term BMW scan)."""
+        return (
+            len(plan["include_ids"]) >= 1
+            and not plan.get("group_ids")
+            and plan.get("tree") is None
+            and not plan["phrase_ids"]
+            and SearcherLogic._plan_scoring_is_bm25_only(plan)
+        )
+
+    @staticmethod
+    def _plan_is_pure_or(plan: dict) -> bool:
+        """Pure disjunctive top-k: score = max over ONE OR-group's present
+        members' BM25 — the shape `_pruned_or_candidates` covers."""
+        return (
+            not plan["include_ids"]
+            and len(plan.get("group_ids") or []) == 1
+            and plan.get("tree") is None
+            and not plan["phrase_ids"]
+            and SearcherLogic._plan_scoring_is_bm25_only(plan)
+        )
+
+    def _term_global_ub(self, t: int, global_df: dict[int, int],
+                        total_docs: int) -> float | None:
+        """A term's global BM25 upper bound: score at the term's max tf
+        and doc length 0 (BM25 is monotone decreasing in length).  Max tf
+        comes from the block side index when present, else from the full
+        (cached, cheap — the term is rare) decode.  None = term absent."""
+        seg = self.seg
+        meta = seg.block_meta(t)
+        if meta is not None:
+            mt = float(meta[2].max())
+        else:
+            _, tfs = seg.postings(t)
+            if len(tfs) == 0:
+                return None
+            mt = float(tfs.max())
+        return float(
+            bm25.bm25_term_score(
+                total_docs,
+                global_df.get(t, 0),
+                np.array([mt], dtype=np.float64),
+                np.zeros(1, dtype=np.float64),
+            )[0]
+        )
+
+    def _pruned_conj_topk(
         self, plan: dict, global_df: dict[int, int], total_docs: int,
         deadline: float,
     ) -> dict | None:
-        """Block-max early termination for plain single-term top-k (the
-        BMW idea, Ding & Suel SIGIR'11, on the blk_maxtf side index):
-        visit blocks in upper-bound order (bound = BM25 at the block's max
-        tf and doc length 0 — score is monotone decreasing in length, so
-        this dominates every real score in the block), keep the running
-        (2k+8)-th best actual score, and stop once no unvisited block's
-        bound can reach it.  The 1e-6 margin keeps the skip safe under the
-        final round(score, 6): skipped candidates land strictly below the
-        k-th rounded score, so the result — including tie-breaks — is
-        IDENTICAL to the exhaustive path.  Returns None when the term has
-        no block index (rare term) — caller falls through to the generic
-        path."""
+        """Block-max early termination for plain conjunctive top-k (the
+        BMW idea, Ding & Suel SIGIR'11, on the blk_maxtf side index).
+        N=1 is the single-term scan: visit blocks in upper-bound order
+        (bound = BM25 at the block's max tf and doc length 0 — score is
+        monotone decreasing in length, so this dominates every real score
+        in the block), keep the running (2k+8)-th best actual score, and
+        stop once no unvisited block's bound can reach it.  N>1 is
+        block-max AND: the rarest term drives the scan; a driver block's
+        bound adds every other term's global upper bound, survivors are
+        the exact intersection (postings_subset retains), and their sum-
+        BM25 scores are exact.  The 1e-6 margin keeps the skip safe under
+        the final round(score, 6): skipped candidates land strictly below
+        the k-th rounded score, so the result — including tie-breaks — is
+        IDENTICAL to the exhaustive path.  Returns None when the driver
+        has no block index (rare term) — caller falls through to the
+        generic path."""
         import time
 
         seg = self.seg
-        t = plan["include_ids"][0]
+        include = plan["include_ids"]
+        di = min(
+            range(len(include)), key=lambda i: global_df.get(include[i], 0)
+        )
+        t = include[di]
+        others = include[:di] + include[di + 1 :]
         meta = seg.block_meta(t)
         if meta is None:
             return None
+        # Σ other-term global bounds (loose but valid; a per-driver-block
+        # aligned max over the other term's overlapping blocks would be
+        # tighter — monotone two-pointer sweep, future work).  An absent
+        # other term empties the conjunction outright.
+        other_ub = 0.0
+        for ot in others:
+            u = self._term_global_ub(ot, global_df, total_docs)
+            if u is None:
+                return _empty_partition_result()
+            other_ub += u
         r, bl, maxtf = meta
         nb = len(bl)
-        ub = bm25.bm25_term_score(
+        ub = other_ub + bm25.bm25_term_score(
             total_docs,
             global_df.get(t, 0),
             maxtf.astype(np.float64),
@@ -1670,6 +1748,7 @@ class SearcherLogic:
         K = 2 * plan["k"] + 8
         CHUNK = 16
         s_off = int(seg.blk_offs[r])
+        _subset = lambda tt, cc: seg.postings_subset(tt, cc)[0]  # noqa: E731
         cands: list[np.ndarray] = []
         scores: list[np.ndarray] = []
         nsurv = 0
@@ -1684,18 +1763,25 @@ class SearcherLogic:
             b = np.sort(chunk)
             seg.blocks_decoded += len(b)
             docs_c, tfs_c = seg._decode_blocks(r, s_off, bl, b)
-            cand_c = self._apply_filters(
-                seg, docs_c, plan,
-                lambda tt, cc: seg.postings_subset(tt, cc)[0],
-            )
+            cand_c = docs_c
+            for ot in others:  # exact intersection, pruned decode
+                if len(cand_c) == 0:
+                    break
+                cand_c = _retain(cand_c, seg.postings_subset(ot, cand_c)[0])
+            cand_c = self._apply_filters(seg, cand_c, plan, _subset)
             if len(cand_c) == 0:
                 continue
             tf = tfs_c[np.searchsorted(docs_c, cand_c)].astype(np.float64)
             sizes = seg.doc_sizes(cand_c).astype(np.float64)
+            sc = bm25.bm25_term_score(total_docs, global_df.get(t, 0), tf, sizes)
+            for ot in others:
+                docs_o, tfs_o = seg.postings_subset(ot, cand_c)
+                tf_o = tfs_o[np.searchsorted(docs_o, cand_c)].astype(np.float64)
+                sc += bm25.bm25_term_score(
+                    total_docs, global_df.get(ot, 0), tf_o, sizes
+                )
             cands.append(cand_c)
-            scores.append(
-                bm25.bm25_term_score(total_docs, global_df.get(t, 0), tf, sizes)
-            )
+            scores.append(sc)
             nsurv += len(cand_c)
             if nsurv >= K:
                 allsc = np.concatenate(scores)
@@ -1706,6 +1792,91 @@ class SearcherLogic:
         score = np.concatenate(scores)
         o = np.argsort(cand, kind="stable")
         return self._package(seg, cand[o], score[o], plan)
+
+    def _pruned_or_candidates(
+        self, plan: dict, global_df: dict[int, int], total_docs: int,
+        deadline: float,
+    ) -> np.ndarray | None:
+        """MaxScore + block-max candidate discovery for a pure OR-group
+        top-k (Turtle & Flood '95 term ordering; Ding & Suel SIGIR'11
+        block bounds): process members in descending global-upper-bound
+        order, decode only blocks whose bound can still reach the running
+        (2k+8)-th best PER-DOC max of the exact contributions seen so
+        far, and stop at the first member whose global bound can't.
+        Returns a sorted doc-id superset of every document whose true
+        group score can reach the partition's K-th boundary (margin 1e-6
+        under the final rounding); the caller scores that set EXACTLY via
+        the generic group loop, so results are identical to the
+        exhaustive path.  A never-decoded doc's contributions were each
+        below the threshold at skip time ≤ the final K-th score, and max
+        over them stays below it.  The threshold uses only post-filter
+        docs (a filtered-out high scorer must not suppress real
+        candidates).  None = no member has a block index (all rare) —
+        caller falls through to the full-union seed."""
+        import time
+
+        seg = self.seg
+        g = plan["group_ids"][0]
+        K = 2 * plan["k"] + 8
+        infos: list[tuple[float, int]] = []
+        any_blocks = False
+        for t in g:
+            u = self._term_global_ub(t, global_df, total_docs)
+            if u is None:
+                continue
+            if seg.block_meta(t) is not None:
+                any_blocks = True
+            infos.append((u, t))
+        if not any_blocks:
+            return None
+        infos.sort(key=lambda x: -x[0])
+        _subset = lambda tt, cc: seg.postings_subset(tt, cc)[0]  # noqa: E731
+        acc_d: list[np.ndarray] = []
+        acc_s: list[np.ndarray] = []
+        thr = -np.inf
+        for i, (u, t) in enumerate(infos):
+            if u < thr - 1e-6:
+                # every remaining member is also below (sorted): their
+                # contributions can only raise already-discovered docs
+                for _, rt in infos[i:]:
+                    m = seg.block_meta(rt)
+                    if m is not None:
+                        seg.blocks_skipped += len(m[1])
+                break
+            if time.monotonic() > deadline and acc_d:
+                break  # budget: partial-but-correctly-ranked
+            meta = seg.block_meta(t)
+            if meta is None:
+                docs_c, tfs_c = seg.postings(t)
+            else:
+                r, bl, maxtf = meta
+                bub = bm25.bm25_term_score(
+                    total_docs,
+                    global_df.get(t, 0),
+                    maxtf.astype(np.float64),
+                    np.zeros(len(bl), dtype=np.float64),
+                )
+                b = np.flatnonzero(bub >= thr - 1e-6)
+                seg.blocks_decoded += len(b)
+                seg.blocks_skipped += len(bl) - len(b)
+                if len(b) == 0:
+                    continue
+                docs_c, tfs_c = seg._decode_blocks(
+                    r, int(seg.blk_offs[r]), bl, b
+                )
+            cand_c = self._apply_filters(seg, docs_c, plan, _subset)
+            if len(cand_c) == 0:
+                continue
+            tf = tfs_c[np.searchsorted(docs_c, cand_c)].astype(np.float64)
+            sizes = seg.doc_sizes(cand_c).astype(np.float64)
+            acc_d.append(cand_c)
+            acc_s.append(
+                bm25.bm25_term_score(total_docs, global_df.get(t, 0), tf, sizes)
+            )
+            thr = _kth_group_max(acc_d, acc_s, K)
+        if not acc_d:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(acc_d))
 
     @staticmethod
     def _positions_mask(
@@ -1747,6 +1918,25 @@ class SearcherLogic:
         out = np.zeros(n, dtype=np.uint64)
         out[order] = mask_sorted
         return out.view(np.int64)
+
+
+def _kth_group_max(
+    acc_d: list[np.ndarray], acc_s: list[np.ndarray], K: int
+) -> float:
+    """K-th largest PER-DOC max over accumulated (docs, scores) pairs —
+    the exact MaxScore threshold.  Collapsing duplicates matters: the
+    K-th of the raw concatenation OVERestimates (a doc seen in two lists
+    counts twice), which would skip blocks unsafely."""
+    d = np.concatenate(acc_d)
+    s = np.concatenate(acc_s)
+    o = np.lexsort((-s, d))
+    d, s = d[o], s[o]
+    first = np.ones(len(d), dtype=bool)
+    first[1:] = d[1:] != d[:-1]
+    m = s[first]  # max per doc: first row of each (doc, -score) group
+    if len(m) < K:
+        return -np.inf
+    return float(np.partition(m, len(m) - K)[len(m) - K])
 
 
 def _empty_partition_result() -> dict:

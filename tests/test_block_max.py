@@ -120,6 +120,15 @@ QUERIES = [
     ('"license import"', {}),
     ("import year>2000", {}),
     ("the rank<255", {}),
+    # pure-OR top-k: MaxScore + block-max candidate discovery
+    ("the | license", {}),
+    ("license | copyright | import", {}),
+    ("the | license size>30", {}),
+    ("the | license -copyright", {}),
+    # multi-term conjunction: block-max AND (driver = rarest term)
+    ("the license", {}),
+    ("the import copyright", {}),
+    ("the license size>30", {}),
 ]
 
 
@@ -147,6 +156,67 @@ def test_pruned_actually_skips(block_index):
     skipped = sum(s.blocks_skipped for s in segs)
     assert decoded > 0
     assert skipped > 0, (decoded, skipped)
+
+
+def test_pruned_or_skips(block_index):
+    """Pure-OR discovery must skip blocks of the lower-bound member once
+    the threshold fills from the higher-bound one."""
+    idx = IndexSearch(block_index, use_actors=False)
+    segs = [s.seg for s in idx.searchers]
+    for s in segs:
+        s.blocks_decoded = s.blocks_skipped = 0
+        s._decoded.clear()  # defeat the full-decode cache between tests
+    idx.search("the | license | import", k=3, pruned=True)
+    decoded = sum(s.blocks_decoded for s in segs)
+    skipped = sum(s.blocks_skipped for s in segs)
+    assert decoded > 0
+    assert skipped > 0, (decoded, skipped)
+
+
+def test_pruned_conj_skips(block_index):
+    """Block-max AND must early-terminate: with a hot driver and a small
+    k, low-bound driver blocks stay undecoded."""
+    idx = IndexSearch(block_index, use_actors=False)
+    segs = [s.seg for s in idx.searchers]
+    for s in segs:
+        s.blocks_decoded = s.blocks_skipped = 0
+        s._decoded.clear()
+    idx.search("the license", k=3, pruned=True)
+    decoded = sum(s.blocks_decoded for s in segs)
+    skipped = sum(s.blocks_skipped for s in segs)
+    assert decoded > 0
+    assert skipped > 0, (decoded, skipped)
+
+
+def test_pruned_fuzz(block_index):
+    """Randomized conjunction / disjunction / exclusion mixes over the
+    fixture vocabulary: pruned and exhaustive must stay byte-identical
+    for every shape and k."""
+    vocab = [
+        "the", "license", "import", "copyright", "a", "return", "def",
+        "parse_tree", "for", "data",
+    ]
+    rng = np.random.default_rng(11)
+    idx = IndexSearch(block_index, use_actors=False)
+    nonvacuous = 0
+    for _ in range(40):
+        n = int(rng.integers(1, 4))
+        terms = list(rng.choice(vocab, size=n, replace=False))
+        shape = int(rng.integers(0, 3))
+        if shape == 0:
+            q = " ".join(terms)  # conjunction
+        elif shape == 1:
+            q = " | ".join(terms)  # pure OR
+        else:
+            q = " ".join(terms)
+            ex = rng.choice([v for v in vocab if v not in terms])
+            q += f" -{ex}"
+        k = int(rng.integers(1, 15))
+        a = idx.search(q, k=k)
+        b = idx.search(q, k=k, pruned=True)
+        assert a.equals(b), f"pruned diverged for {q!r} k={k}"
+        nonvacuous += len(a) > 0
+    assert nonvacuous >= 20
 
 
 def test_pruned_on_blockless_index(ray_session, tmp_path_factory):
