@@ -361,6 +361,88 @@ def _bm25_heading(sf_dir: str):
     )
 
 
+# delta-segment chain (pipelines.delta): the MAIN index is the base
+# segment; a delta re-ingests every doc with doc_id % 31 == 7 with
+# ' deltafresh deltafresh customer' appended to its text.  Searching
+# [base, delta] must score exactly like one index rebuilt over the
+# corpus-with-replacement — which is what the oracle computes (the same
+# _bm25_sql, with the documents view shadowed by a replacement CTE).
+
+_DELTA_HANDLES: dict[str, IndexSearch] = {}
+DELTA_MOD, DELTA_RESIDUE = 31, 7
+DELTA_SUFFIX = " deltafresh deltafresh customer"
+
+
+def _delta_chain_for(sf_dir: str) -> IndexSearch:
+    handle = _DELTA_HANDLES.get(sf_dir)
+    if handle is not None:
+        return handle
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.delta import build_delta_index
+
+    _index_for(sf_dir)  # ensure the base segment exists
+    base = _index_dir_for(sf_dir)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@delta".encode()
+    ).hexdigest()[:12]
+    ddir = os.path.join("/tmp/msray_index_cache", tag)
+
+    def _updated_docs(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ords = batch["ordinal"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array((ords % DELTA_MOD) == DELTA_RESIDUE))
+        import pyarrow.compute as pc
+
+        content = pc.binary_join_element_wise(
+            batch["content"],
+            pa.array([DELTA_SUFFIX] * len(batch), pa.string()),
+            "",
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("content"), "content", content
+        )
+
+    delta_corpus = documents_corpus_dataset(sf_dir).map_batches(
+        _updated_docs, batch_format="pyarrow"
+    )
+    build_delta_index(delta_corpus, [base], ddir, _build_cfg())
+    try:
+        handle = IndexSearch([base, ddir], use_actors=True)
+        handle.search("customer", k=1)  # smoke the actors
+    except Exception:
+        handle = IndexSearch([base, ddir], use_actors=False)
+    _DELTA_HANDLES[sf_dir] = handle
+    return handle
+
+
+def _delta_search(sf_dir: str, query: str, k: int = 10, **kw):
+    t = _delta_chain_for(sf_dir).search(query, k=k, **kw)
+    return t.select(["doc_id", "score_r"])
+
+
+def _delta_docs_cte() -> str:
+    """CTE shadowing the documents view with the delta's replacements."""
+    return (
+        "SELECT doc_id, source, lang, CASE WHEN doc_id % "
+        f"{DELTA_MOD} = {DELTA_RESIDUE} THEN text || '{DELTA_SUFFIX}' "
+        # main.: the CTE shadows the view, so the inner read must be
+        # schema-qualified (DuckDB circular-CTE rule)
+        "ELSE text END AS text FROM main.documents"
+    )
+
+
+def _delta_sql(terms: list[str], **kw) -> str:
+    sql = _bm25_sql(terms, **kw)
+    return sql.replace(
+        "WITH tok AS",
+        f"WITH documents AS ({_delta_docs_cte()}),\ntok AS",
+        1,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
 
@@ -372,6 +454,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["prio_posting_customer"] = lambda sf: _prio_posting_list(sf, "customer")
     q["prio_posting_dup"] = lambda sf: _prio_posting_list(sf, "dup")
     q["span_stats"] = _span_stats
+
+    # delta-segment chain (incremental ingest + tombstone suppression):
+    # base + delta must hash-match the corpus-with-replacement oracle
+    q["bm25_delta_chain"] = lambda sf: _delta_search(sf, "customer merge")
+    # matches ONLY the delta's rewritten docs (stale postings tombstoned)
+    q["bm25_delta_fresh"] = lambda sf: _delta_search(sf, "deltafresh scan")
+    # exclusion against a delta-only term: updated docs drop out of a
+    # base-term result via the chain's merged view
+    q["bm25_delta_exclude"] = lambda sf: _delta_search(sf, "scan -deltafresh")
 
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
@@ -1520,6 +1611,9 @@ def oracle_sql() -> dict[str, str]:
                    ELSE least(len({_tok()}), 16) END::BIGINT AS head_len
             FROM documents
         """,
+        "bm25_delta_chain": _delta_sql(["customer", "merge"]),
+        "bm25_delta_fresh": _delta_sql(["deltafresh", "scan"]),
+        "bm25_delta_exclude": _delta_sql(["scan"], exclude=["deltafresh"]),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

@@ -282,9 +282,26 @@ def read_journal(out_dir: str, kind: str):
     ).map_batches(_cast_part, batch_format="pyarrow")
 
 
-def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict:
+def build_index(
+    corpus_ds,
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+    registry: "DomainRegistry | None" = None,
+    tfdict_dir: str | None = None,
+    tfdict_doc_count: int | None = None,
+) -> dict:
     """Run all phases (resuming past committed ones).  Returns the root
-    manifest dict."""
+    manifest dict.
+
+    ``registry`` presets the domain registry instead of deriving it from
+    the corpus (delta builds extend the base segment's registry so ids
+    stay stable).  ``tfdict_dir``/``tfdict_doc_count`` point keyword
+    extraction at an EXTERNAL published term-frequency dict (the
+    reference's TermFrequencyDict is likewise a static artifact loaded
+    per process, DocumentKeywordExtractor.java:45 — not regenerated per
+    ingest).  ``corpus_ds`` may be None only when the journal and stats
+    phases are already committed (compaction re-runs the derived phases
+    over a pre-merged journal)."""
     import ray
 
     cfg = cfg or BuildConfig()
@@ -293,13 +310,20 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     max_pool = cfg.tokenize_concurrency or max(2, ncpu - 2)
 
-    # keep an un-repartitioned handle: tiny aggregations over one column
-    # (the domain registry) read it with projection pushdown instead of
-    # paying the full-corpus repartition
-    corpus_raw = corpus_ds
-    # single-file corpora arrive as a handful of blocks; split so the
-    # tokenize tasks actually fan out (repartition without shuffle)
-    corpus_ds = corpus_ds.repartition(max_pool * 2)
+    if corpus_ds is None:
+        if not (mf.is_committed(out_dir, "journal") and mf.is_committed(out_dir, "stats")):
+            raise ValueError(
+                "corpus_ds=None requires committed journal + stats phases"
+            )
+        corpus_raw = None
+    else:
+        # keep an un-repartitioned handle: tiny aggregations over one column
+        # (the domain registry) read it with projection pushdown instead of
+        # paying the full-corpus repartition
+        corpus_raw = corpus_ds
+        # single-file corpora arrive as a handful of blocks; split so the
+        # tokenize tasks actually fan out (repartition without shuffle)
+        corpus_ds = corpus_ds.repartition(max_pool * 2)
 
     # ---- phase: stats (corpus term-frequency dict) ----------------------
     # Built BEFORE the journal: the reference's TermFrequencyDict is an
@@ -357,14 +381,19 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
     # ---- phase: journal -------------------------------------------------
     if not mf.is_committed(out_dir, "journal"):
         t_phase = time.time()
-        registry = build_domain_registry(corpus_raw, cfg.num_parts)
+        if registry is None:
+            registry = build_domain_registry(corpus_raw, cfg.num_parts)
         reg_ref = ray.put(registry)
         journal = corpus_ds.map_batches(
             _tokenize_task,
             fn_kwargs={
                 "reg_ref": reg_ref,
-                "tfdict_dir": os.path.join(out_dir, "stats"),
-                "doc_count": mf.read_manifest(out_dir, "stats")["doc_count"],
+                "tfdict_dir": tfdict_dir or os.path.join(out_dir, "stats"),
+                "doc_count": (
+                    tfdict_doc_count
+                    if tfdict_doc_count is not None
+                    else mf.read_manifest(out_dir, "stats")["doc_count"]
+                ),
             },
             batch_size=cfg.tokenize_batch_size,
             batch_format="pyarrow",
@@ -389,7 +418,11 @@ def build_index(corpus_ds, out_dir: str, cfg: BuildConfig | None = None) -> dict
         reg_table = pa.table(
             {
                 "repo": pa.array(registry.repos, pa.string()),
-                "domain_id": pa.array(range(len(registry.repos)), pa.int64()),
+                # lookup, not range(): extended delta registries keep the
+                # base segment's ids, which aren't sorted-order positions
+                "domain_id": pa.array(
+                    [registry.lookup(r)[0] for r in registry.repos], pa.int64()
+                ),
                 "rank": pa.array(
                     [registry.lookup(r)[1] for r in registry.repos], pa.int64()
                 ),

@@ -1,0 +1,382 @@
+"""Incremental (delta) index segments + compaction.
+
+Reference analog: the live-capture side maintains a SMALL SECONDARY
+index over freshly crawled documents next to the immutable main index
+(code/processes/live-crawling-process/ — SURVEY.md §2.9 notes it), and
+the main index itself is only ever replaced wholesale via the versioned
+index switch (StatefulIndex.java:46-96).  This module re-expresses that
+as Lucene-style segment composition, the idiomatic shape for a
+100 TB-scale engine where full rebuilds per ingest are unaffordable:
+
+- ``build_delta_index``: index NEW/UPDATED documents as a self-contained
+  segment (same on-disk format as the base — every phase of
+  ``build_index`` reused) whose registry EXTENDS the base registry
+  (ids stay stable, like the reference's insertion-stable DB registry)
+  and whose keyword extraction loads the base's published
+  term-frequency dict (the reference's TermFrequencyDict is a static
+  artifact loaded per process, DocumentKeywordExtractor.java:45 — not
+  regenerated per ingest).  Updated documents (same repo+path => same
+  combined id) produce TOMBSTONES against each prior segment plus
+  per-term document-frequency corrections, so multi-segment BM25 is
+  value-identical to a full rebuild over the corpus-with-replacement.
+- ``IndexSearch([base, delta, ...])`` (pipelines.query) searches the
+  chain: prior segments suppress tombstoned postings, df/doc-count
+  combine across segments.
+- ``compact_segments``: fold a chain back into one segment by merging
+  journals (minus tombstoned rows) and re-running the derived phases —
+  the periodic background merge that restores block-max pruning on the
+  previously-tombstoned bases.
+
+Scale notes: a delta is assumed SMALL relative to its priors (the
+live-crawl contract); its id set is broadcast once via ``ray.put`` and
+every prior-segment scan (tombstone detection over ``forward``,
+df corrections over ``journal``) streams distributed with per-batch
+partials — nothing materializes a prior segment on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..stages.docids import DomainRegistry
+from ..state import manifest as mf
+from .build_index import BuildConfig, _cast_part, build_index
+
+
+def load_registry(index_dir: str) -> DomainRegistry:
+    """Rebuild the DomainRegistry from a segment's registry.parquet."""
+    root = mf.read_manifest(index_dir, "root")
+    t = pq.read_table(os.path.join(index_dir, "registry.parquet"))
+    mapping = {
+        r["repo"]: (int(r["domain_id"]), int(r["rank"]), int(r["part"]))
+        for r in t.to_pylist()
+    }
+    return DomainRegistry.from_mapping(mapping, int(root["num_parts"]))
+
+
+def tombstone_dir(delta_dir: str, prior_idx: int) -> str:
+    return os.path.join(delta_dir, "tombstones", f"prior={prior_idx}")
+
+
+def correction_dir(delta_dir: str, prior_idx: int) -> str:
+    return os.path.join(delta_dir, "df_correction", f"prior={prior_idx}")
+
+
+# per-worker cache of the broadcast tombstone-id array (ray.get is
+# zero-copy from plasma, but the sort check + searchsorted setup is
+# worth keeping warm across tasks)
+_TOMB_CACHE: dict = {}
+
+
+def _tomb_ids(ref) -> np.ndarray:
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    ids = _TOMB_CACHE.get(key)
+    if ids is None:
+        import ray
+
+        _TOMB_CACHE.clear()
+        ids = ray.get(ref) if hasattr(ref, "hex") else ref
+        _TOMB_CACHE[key] = ids
+    return ids
+
+
+def _membership(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    if len(sorted_set) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    ix = np.searchsorted(sorted_set, ids)
+    safe = np.minimum(ix, len(sorted_set) - 1)
+    return sorted_set[safe] == ids
+
+
+def _tomb_filter_batch(batch: pa.Table, *, ids_ref) -> pa.Table:
+    """Keep only rows whose combined_id IS in the broadcast delta id set
+    (tombstone detection over a prior segment's forward index)."""
+    tomb = _tomb_ids(ids_ref)
+    cid = batch["combined_id"].to_numpy(zero_copy_only=False)
+    mask = _membership(cid, tomb)
+    return batch.filter(pa.array(mask))
+
+
+def _corr_partial(batch: pa.Table, *, ids_ref) -> pa.Table:
+    """Per-batch df-correction partial over a prior segment's journal:
+    for rows being tombstoned, count per (part, term) how many stale
+    documents contain the term (df) and how many carry a flagged posting
+    (prio df, same low-byte predicate as stages.prio.explode_flagged)."""
+    tomb = _tomb_ids(ids_ref)
+    cid = batch["combined_id"].to_numpy(zero_copy_only=False)
+    mask = _membership(cid, tomb)
+    if not mask.any():
+        return pa.table(
+            {
+                "part": pa.array([], pa.int32()),
+                "term_id": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "prio_cnt": pa.array([], pa.int64()),
+            }
+        )
+    sel = batch.filter(pa.array(mask))
+    parts = pc.cast(sel["part"], pa.int32()).to_numpy(zero_copy_only=False)
+    tids_col = sel["term_ids"].combine_chunks()
+    flat_tid = pc.list_flatten(tids_col).to_numpy(zero_copy_only=False)
+    flat_meta = pc.list_flatten(sel["term_meta"].combine_chunks()).to_numpy(
+        zero_copy_only=False
+    )
+    lens = pc.list_value_length(tids_col).to_numpy(zero_copy_only=False)
+    flat_part = np.repeat(parts, lens)
+    flagged = (flat_meta & 0xFF) != 0
+    out = {"part": [], "term_id": [], "cnt": [], "prio_cnt": []}
+    for p in np.unique(flat_part):
+        m = flat_part == p
+        uniq, inv = np.unique(flat_tid[m], return_inverse=True)
+        cnt = np.bincount(inv)
+        pcnt = np.bincount(inv, weights=flagged[m].astype(np.int64)).astype(
+            np.int64
+        )
+        out["part"].extend([int(p)] * len(uniq))
+        out["term_id"].extend(uniq.tolist())
+        out["cnt"].extend(cnt.tolist())
+        out["prio_cnt"].extend(pcnt.tolist())
+    return pa.table(
+        {
+            "part": pa.array(out["part"], pa.int32()),
+            "term_id": pa.array(out["term_id"], pa.int64()),
+            "cnt": pa.array(out["cnt"], pa.int64()),
+            "prio_cnt": pa.array(out["prio_cnt"], pa.int64()),
+        }
+    )
+
+
+def _merge_corr_group(group: pa.Table) -> pa.Table:
+    """One part's correction partials -> final per-term correction rows."""
+    tid = group["term_id"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(tid, return_inverse=True)
+    cnt = np.bincount(
+        inv, weights=group["cnt"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    pcnt = np.bincount(
+        inv, weights=group["prio_cnt"].to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    part = group["part"].to_numpy(zero_copy_only=False)[0]
+    return pa.table(
+        {
+            "part": pa.array([int(part)] * len(uniq), pa.int32()),
+            "term_id": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "prio_cnt": pa.array(pcnt, pa.int64()),
+        }
+    )
+
+
+def build_delta_index(
+    delta_corpus_ds,
+    prior_dirs: list[str],
+    delta_dir: str,
+    cfg: BuildConfig | None = None,
+) -> dict:
+    """Build a delta segment over NEW or UPDATED documents.
+
+    The delta reuses every phase of ``build_index`` (same on-disk
+    format, so the query side needs no special casing) with two
+    overrides: the registry extends the LAST prior segment's registry
+    (ids stable, new repos appended), and keyword extraction loads the
+    FIRST prior's published term-frequency dict.  After the build, each
+    prior segment is scanned (distributed, projection-pushdown reads)
+    for ids the delta replaces; those become per-prior tombstone tables
+    plus per-term df corrections so multi-segment scoring equals a full
+    rebuild over the corpus-with-replacement.
+    """
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or BuildConfig()
+    prior_dirs = [os.path.abspath(d) for d in prior_dirs]
+    base_dir = prior_dirs[0]
+    last_dir = prior_dirs[-1]
+
+    if not mf.is_committed(delta_dir, "root"):
+        reg = load_registry(last_dir)
+        repos = delta_corpus_ds.select_columns(["repo"]).unique("repo")
+        reg = reg.extended(list(repos))
+        base_stats = mf.read_manifest(base_dir, "stats")
+        build_index(
+            delta_corpus_ds,
+            delta_dir,
+            cfg,
+            registry=reg,
+            tfdict_dir=os.path.join(base_dir, "stats"),
+            tfdict_doc_count=int(base_stats["doc_count"]),
+        )
+
+    if not mf.is_committed(delta_dir, "delta"):
+        t0 = time.time()
+        # the delta's own id set: small by the live-ingest contract —
+        # collected once, broadcast to every prior-segment scan task
+        delta_ids = np.sort(
+            pq.read_table(
+                os.path.join(delta_dir, "forward"), columns=["combined_id"]
+            )["combined_id"].to_numpy(zero_copy_only=False)
+        )
+        ids_ref = ray.put(delta_ids)
+        n_tomb: dict[str, int] = {}
+        for j, prior in enumerate(prior_dirs):
+            tomb_ds = (
+                rd.read_parquet(
+                    os.path.join(prior, "forward"),
+                    columns=["part", "combined_id"],
+                )
+                .map_batches(_cast_part, batch_format="pyarrow")
+                .map_batches(
+                    _tomb_filter_batch,
+                    fn_kwargs={"ids_ref": ids_ref},
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            cnt = tomb_ds.count()
+            n_tomb[prior] = int(cnt)
+            if cnt:
+                tomb_ds.write_parquet(
+                    tombstone_dir(delta_dir, j), partition_cols=["part"]
+                )
+                corr = (
+                    rd.read_parquet(
+                        os.path.join(prior, "journal"),
+                        columns=["part", "combined_id", "term_ids", "term_meta"],
+                    )
+                    .map_batches(_cast_part, batch_format="pyarrow")
+                    .map_batches(
+                        _corr_partial,
+                        fn_kwargs={"ids_ref": ids_ref},
+                        batch_format="pyarrow",
+                    )
+                    .groupby("part")
+                    .map_groups(_merge_corr_group, batch_format="pyarrow")
+                )
+                corr.write_parquet(
+                    correction_dir(delta_dir, j), partition_cols=["part"]
+                )
+        mf.commit_manifest(
+            delta_dir,
+            "delta",
+            {
+                "prior_dirs": prior_dirs,
+                "tombstones": n_tomb,
+                "n_docs": mf.read_manifest(delta_dir, "root")["n_docs"],
+                "seconds": round(time.time() - t0, 3),
+            },
+        )
+    return mf.read_manifest(delta_dir, "delta")
+
+
+def _strip_tomb(batch: pa.Table, *, ids_ref) -> pa.Table:
+    tomb = _tomb_ids(ids_ref)
+    cid = batch["combined_id"].to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array(~_membership(cid, tomb)))
+
+
+def compact_segments(
+    segment_dirs: list[str], out_dir: str, cfg: BuildConfig | None = None
+) -> dict:
+    """Fold a segment chain into ONE fresh segment.
+
+    The merged journal = every segment's journal minus the rows
+    tombstoned by later segments (streamed, distributed); the derived
+    phases (forward/reverse/prio) then rebuild from it via the standard
+    ``build_index`` machinery (journal + stats pre-committed).  The
+    published term-frequency dict (stats) carries over from the FIRST
+    segment — the reference regenerates its TermFrequencyDict in a
+    separate offline batch (TermFrequencyExporter), never inline with an
+    ingest.  Compaction restores block-max pruning on previously-
+    tombstoned bases and resets the suppression chain.
+    """
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or BuildConfig()
+    segment_dirs = [os.path.abspath(d) for d in segment_dirs]
+    os.makedirs(out_dir, exist_ok=True)
+
+    # gather, per segment, the union of tombstoned ids laid down by later
+    # segments (id arrays are delta-sized: small)
+    tomb_for: dict[str, list[np.ndarray]] = {d: [] for d in segment_dirs}
+    for k, dk in enumerate(segment_dirs):
+        if not mf.is_committed(dk, "delta"):
+            continue
+        dman = mf.read_manifest(dk, "delta")
+        for j, prior in enumerate(dman.get("prior_dirs", [])):
+            td = tombstone_dir(dk, j)
+            if prior in tomb_for and os.path.isdir(td):
+                tomb_for[prior].append(
+                    pq.read_table(td, columns=["combined_id"])[
+                        "combined_id"
+                    ].to_numpy(zero_copy_only=False)
+                )
+
+    if not mf.is_committed(out_dir, "journal"):
+        t0 = time.time()
+        merged = None
+        for d in segment_dirs:
+            seg = rd.read_parquet(os.path.join(d, "journal")).map_batches(
+                _cast_part, batch_format="pyarrow"
+            )
+            tombs = tomb_for[d]
+            if tombs:
+                ids_ref = ray.put(np.unique(np.concatenate(tombs)))
+                seg = seg.map_batches(
+                    _strip_tomb,
+                    fn_kwargs={"ids_ref": ids_ref},
+                    batch_format="pyarrow",
+                )
+            merged = seg if merged is None else merged.union(seg)
+        merged.write_parquet(
+            os.path.join(out_dir, "journal"), partition_cols=["part"]
+        )
+        rd.read_parquet(
+            os.path.join(out_dir, "journal"),
+            columns=["part", "lang", "combined_id"],
+        ).map_batches(_cast_part, batch_format="pyarrow").write_parquet(
+            os.path.join(out_dir, "lang_index"), partition_cols=["part", "lang"]
+        )
+        import shutil
+
+        # registry: the LAST segment's is the superset (append-only chain)
+        shutil.copyfile(
+            os.path.join(segment_dirs[-1], "registry.parquet"),
+            os.path.join(out_dir, "registry.parquet"),
+        )
+        import pyarrow.dataset as pads
+
+        n_docs = pads.dataset(os.path.join(out_dir, "journal")).count_rows()
+        mf.commit_manifest(
+            out_dir,
+            "journal",
+            {
+                "n_docs": n_docs,
+                "num_parts": mf.read_manifest(segment_dirs[0], "root")[
+                    "num_parts"
+                ],
+                "compacted_from": segment_dirs,
+                "seconds": round(time.time() - t0, 3),
+                "files": mf.list_phase_files(out_dir, "journal"),
+            },
+        )
+
+    if not mf.is_committed(out_dir, "stats"):
+        import shutil
+
+        src = os.path.join(segment_dirs[0], "stats")
+        dst = os.path.join(out_dir, "stats")
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet"):
+                shutil.copyfile(os.path.join(src, fn), os.path.join(dst, fn))
+        base_stats = mf.read_manifest(segment_dirs[0], "stats")
+        mf.commit_manifest(out_dir, "stats", base_stats)
+
+    return build_index(None, out_dir, cfg)

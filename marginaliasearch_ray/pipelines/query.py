@@ -589,18 +589,79 @@ class _Segment:
 
     Blob columns stay as Arrow arrays (zero-copy buffer slices at access
     time); positions decode to ONE flat int64 array + ragged offsets per
-    term so downstream verification is batched, never per-candidate."""
+    term so downstream verification is batched, never per-candidate.
 
-    def __init__(self, out_dir: str, part: int):
+    ``suppress`` lists later delta segments that tombstone documents of
+    THIS segment: tuples of (delta_dir, prior_idx) resolving to
+    ``<delta_dir>/tombstones/prior=<idx>/part=<p>`` id tables and the
+    matching df-correction tables (pipelines.delta).  Tombstoned ids are
+    filtered out of every postings/positions/prio decode and the stored
+    df/prio_df values are pre-corrected, so a suppressed segment scores
+    exactly like one rebuilt without those documents.  Block-max pruning
+    is disabled while suppressions are active (every decode goes through
+    the filtered full path); compaction restores it."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        part: int,
+        suppress: tuple[tuple[str, int], ...] = (),
+    ):
         import pyarrow.dataset as pads
 
         self.part = part
         self.out_dir = out_dir
         self._lang_ids: dict[str, np.ndarray] = {}
+        self.tomb: np.ndarray | None = None
+        # raw-length keep masks per term id (postings() populates; the
+        # positions decode reuses them so ragged positions stay aligned
+        # with the filtered posting list)
+        self._tomb_mask: dict[int, np.ndarray] = {}
+        corr_t: list[np.ndarray] = []
+        corr_df: list[np.ndarray] = []
+        corr_pr: list[np.ndarray] = []
+        tomb_parts: list[np.ndarray] = []
+        for delta_dir, j in suppress:
+            td = os.path.join(
+                delta_dir, "tombstones", f"prior={j}", f"part={part}"
+            )
+            if os.path.isdir(td):
+                tomb_parts.append(
+                    pq.read_table(td, columns=["combined_id"])[
+                        "combined_id"
+                    ].to_numpy(zero_copy_only=False)
+                )
+            cd = os.path.join(
+                delta_dir, "df_correction", f"prior={j}", f"part={part}"
+            )
+            if os.path.isdir(cd):
+                c = pq.read_table(cd, columns=["term_id", "cnt", "prio_cnt"])
+                corr_t.append(c["term_id"].to_numpy(zero_copy_only=False))
+                corr_df.append(c["cnt"].to_numpy(zero_copy_only=False))
+                corr_pr.append(c["prio_cnt"].to_numpy(zero_copy_only=False))
+        if tomb_parts:
+            self.tomb = np.unique(np.concatenate(tomb_parts))
+        if corr_t:
+            allt = np.concatenate(corr_t)
+            uniq, inv = np.unique(allt, return_inverse=True)
+            self._corr = (
+                uniq,
+                np.bincount(inv, weights=np.concatenate(corr_df)).astype(
+                    np.int64
+                ),
+                np.bincount(inv, weights=np.concatenate(corr_pr)).astype(
+                    np.int64
+                ),
+            )
+        else:
+            self._corr = None
         post_dir = os.path.join(out_dir, "postings", f"part={part}")
         cols = ["term_id", "df", "docs", "tfs", "metas", "positions", "pos_cnts"]
         schema_names = set(pads.dataset(post_dir).schema.names)
-        self.has_blocks = "blk_last" in schema_names
+        # block-max pruning is unavailable while suppressions are active:
+        # blk_maxtf upper bounds would count tombstoned postings and the
+        # block decode bypasses the tomb filter; compaction restores it
+        self.has_blocks = "blk_last" in schema_names and self.tomb is None
         if self.has_blocks:
             cols += ["blk_last", "blk_maxtf", "blk_boff", "blk_tf_boff"]
         post = pq.read_table(post_dir, columns=cols)
@@ -608,6 +669,15 @@ class _Segment:
         post = post.take(pa.array(order))
         self.term_ids = post["term_id"].to_numpy(zero_copy_only=False)
         self.df = post["df"].to_numpy(zero_copy_only=False)
+        if self._corr is not None:
+            # pre-correct stored dfs for tombstoned documents so BM25 over
+            # a suppressed segment equals a rebuild without those docs
+            ct, cdf, _cpr = self._corr
+            ix = np.searchsorted(self.term_ids, ct)
+            ok = (ix < len(self.term_ids))
+            ok[ok] = self.term_ids[ix[ok]] == ct[ok]
+            self.df = self.df.copy()
+            self.df[ix[ok]] -= cdf[ok]
         self.docs_blobs = post["docs"].combine_chunks()
         self.tfs_blobs = post["tfs"].combine_chunks()
         self.pos_blobs = post["positions"].combine_chunks()
@@ -650,6 +720,13 @@ class _Segment:
             pr = pr.take(pa.array(po))
             self.prio_term_ids = pr["term_id"].to_numpy(zero_copy_only=False)
             self.prio_df = pr["df"].to_numpy(zero_copy_only=False)
+            if self._corr is not None:
+                ct, _cdf, cpr = self._corr
+                ix = np.searchsorted(self.prio_term_ids, ct)
+                ok = (ix < len(self.prio_term_ids))
+                ok[ok] = self.prio_term_ids[ix[ok]] == ct[ok]
+                self.prio_df = self.prio_df.copy()
+                self.prio_df[ix[ok]] -= cpr[ok]
             self.prio_blobs = pr["docs"].combine_chunks()
         else:
             self.prio_term_ids = np.empty(0, dtype=np.int64)
@@ -742,6 +819,13 @@ class _Segment:
                 decode_doc_ids(_blob(self.docs_blobs, r)),
                 decode_counts(_blob(self.tfs_blobs, r)),
             )
+            if self.tomb is not None and len(out[0]):
+                keep = ~_membership(out[0], self.tomb)
+                if not keep.all():
+                    # keep the raw-length mask so positions_flat can
+                    # filter its ragged arrays into alignment
+                    self._tomb_mask[tid] = keep
+                    out = (out[0][keep], out[1][keep])
         if len(self._decoded) < 4096:
             self._decoded[tid] = out
         return out
@@ -825,6 +909,21 @@ class _Segment:
             out = flat_positions_by_counts(
                 _blob(self.pos_blobs, r), np.asarray(cnts, dtype=np.int64)
             )
+            if self.tomb is not None:
+                self.postings(tid)  # ensure the keep mask is populated
+                keep = self._tomb_mask.get(tid)
+                if keep is not None:
+                    flat, offs = out
+                    lens = offs[1:] - offs[:-1]
+                    klens = lens[keep]
+                    noffs = np.concatenate(
+                        [[0], np.cumsum(klens)]
+                    ).astype(np.int64)
+                    idx = np.repeat(offs[:-1][keep], klens) + (
+                        np.arange(noffs[-1], dtype=np.int64)
+                        - np.repeat(noffs[:-1], klens)
+                    )
+                    out = (flat[idx], noffs)
         if len(self._pos_decoded) < 256:
             self._pos_decoded[tid] = out
         return out
@@ -849,6 +948,8 @@ class _Segment:
                         "combined_id"
                     ].to_numpy(zero_copy_only=False)
                 )
+                if self.tomb is not None and len(cached):
+                    cached = _reject(cached, self.tomb)
             else:
                 cached = np.empty(0, dtype=np.int64)
             self._lang_ids[lang] = cached
@@ -864,6 +965,8 @@ class _Segment:
         i = int(np.searchsorted(self.prio_term_ids, tid))
         if i < len(self.prio_term_ids) and self.prio_term_ids[i] == tid:
             out = decode_prio_doc_ids(_blob(self.prio_blobs, i))
+            if self.tomb is not None and len(out):
+                out = _reject(out, self.tomb)
         else:
             out = np.empty(0, dtype=np.int64)
         if len(self._prio_decoded) < 1024:
@@ -1019,8 +1122,13 @@ def _tree_score(
 class SearcherLogic:
     """Pure search logic over a _Segment (testable without Ray)."""
 
-    def __init__(self, out_dir: str, part: int):
-        self.seg = _Segment(out_dir, part)
+    def __init__(
+        self,
+        out_dir: str,
+        part: int,
+        suppress: tuple[tuple[str, int], ...] = (),
+    ):
+        self.seg = _Segment(out_dir, part, suppress)
 
     def local_df(self, term_ids: list[int]) -> dict[int, int]:
         seg = self.seg
@@ -1963,31 +2071,63 @@ def _make_searcher_actor():
 
 class IndexSearch:
     """Driver-side handle: one searcher actor per partition; fan-out +
-    merge (IndexClient.executeQueries:85-176 analog)."""
+    merge (IndexClient.executeQueries:85-176 analog).
 
-    def __init__(self, out_dir: str, use_actors: bool = True):
+    ``out_dir`` may be a LIST of segment directories — a base index plus
+    delta segments built by ``pipelines.delta.build_delta_index`` (oldest
+    first).  Each prior segment's searchers load the tombstones + df
+    corrections laid against it by later deltas, so the chain scores
+    exactly like one index rebuilt over the corpus-with-replacement;
+    global df / total-doc-count sum across segments the same way they sum
+    across partitions."""
+
+    def __init__(self, out_dir, use_actors: bool = True):
         from ..state import manifest as mf
 
-        self.out_dir = out_dir
-        root = mf.read_manifest(out_dir, "root")
-        self.total_docs = root["n_docs"]
-        self.num_parts = root["num_parts"]
-        self.parts = [
-            p
-            for p in range(self.num_parts)
-            if os.path.isdir(os.path.join(out_dir, "postings", f"part={p}"))
-        ]
-        reg = pq.read_table(os.path.join(out_dir, "registry.parquet"))
+        dirs = (
+            [out_dir]
+            if isinstance(out_dir, str)
+            else [os.path.abspath(d) for d in out_dir]
+        )
+        self.out_dir = dirs[0]
+        self.segment_dirs = dirs
+        # which later deltas suppress each segment, and how many docs
+        # they tombstone (delta manifests record both)
+        suppress: dict[str, list[tuple[str, int]]] = {d: [] for d in dirs}
+        total, tombed = 0, 0
+        for d in dirs:
+            total += int(mf.read_manifest(d, "root")["n_docs"])
+        for dk in dirs[1:]:
+            if not mf.is_committed(dk, "delta"):
+                continue
+            dman = mf.read_manifest(dk, "delta")
+            for j, prior in enumerate(dman.get("prior_dirs", [])):
+                if prior in suppress:
+                    suppress[prior].append((dk, j))
+                    tombed += int(dman.get("tombstones", {}).get(prior, 0))
+        self.total_docs = total - tombed
+        self.num_parts = mf.read_manifest(dirs[0], "root")["num_parts"]
+        # the LAST segment's registry is the superset (append-only chain)
+        reg = pq.read_table(os.path.join(dirs[-1], "registry.parquet"))
         self._registry = {
             r["repo"]: (r["domain_id"], r["rank"], r["part"])
             for r in reg.to_pylist()
         }
+        seg_parts = [
+            (d, p, tuple(suppress[d]))
+            for d in dirs
+            for p in range(self.num_parts)
+            if os.path.isdir(os.path.join(d, "postings", f"part={p}"))
+        ]
+        self.parts = [p for _d, p, _s in seg_parts]
         self.use_actors = use_actors
         if use_actors:
             Actor = _make_searcher_actor()
-            self.searchers = [Actor.remote(out_dir, p) for p in self.parts]
+            self.searchers = [
+                Actor.remote(d, p, s) for d, p, s in seg_parts
+            ]
         else:
-            self.searchers = [SearcherLogic(out_dir, p) for p in self.parts]
+            self.searchers = [SearcherLogic(d, p, s) for d, p, s in seg_parts]
 
     def _call(self, method: str, *args):
         if self.use_actors:

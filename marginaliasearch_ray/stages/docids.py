@@ -43,6 +43,31 @@ class DomainRegistry:
             r: (i, repo_rank(r), i % num_parts) for i, r in enumerate(self.repos)
         }
 
+    @classmethod
+    def from_mapping(
+        cls, mapping: dict[str, tuple[int, int, int]], num_parts: int
+    ) -> "DomainRegistry":
+        """Registry with a PRESET repo -> (domain_id, rank, part) mapping —
+        delta builds extend the base segment's registry so every repo keeps
+        its base domain id (the reference's registry is likewise insertion-
+        stable: DB autoincrement ids, DomainLoaderService)."""
+        reg = cls.__new__(cls)
+        reg.num_parts = num_parts
+        reg._map = dict(mapping)
+        reg.repos = sorted(reg._map)
+        return reg
+
+    def extended(self, new_repos, num_parts: int | None = None) -> "DomainRegistry":
+        """Copy with unseen repos appended after the current max domain id
+        (sorted for determinism); existing repos keep their ids."""
+        num_parts = num_parts or self.num_parts
+        mapping = dict(self._map)
+        nxt = 1 + max((v[0] for v in mapping.values()), default=-1)
+        for r in sorted(set(new_repos) - set(mapping)):
+            mapping[r] = (nxt, repo_rank(r), nxt % num_parts)
+            nxt += 1
+        return DomainRegistry.from_mapping(mapping, num_parts)
+
     def lookup(self, repo: str) -> tuple[int, int, int]:
         return self._map[repo]
 

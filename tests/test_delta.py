@@ -1,0 +1,195 @@
+"""Delta segments + compaction: a base index plus a delta built over
+updated/new documents must score EXACTLY like one index rebuilt over the
+corpus-with-replacement (pipelines.delta docstring contract; reference
+analog: the live-capture secondary index next to the immutable main
+index, SURVEY.md §2.9).
+
+Fixture geometry: corpus v1 (6 repos x 12 files) -> base segment; 15 of
+those docs get new content + one brand-new repo (4 files) -> delta
+segment; the merged corpus (v1 with replacements + new repo) -> the
+reference full rebuild.  With no new repos the registries coincide, so
+chain-vs-rebuild parity is exact down to combined ids and scores."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from marginaliasearch_ray.pipelines.build_index import BuildConfig, build_index
+from marginaliasearch_ray.pipelines.delta import (
+    build_delta_index,
+    compact_segments,
+    load_registry,
+)
+from marginaliasearch_ray.pipelines.query import IndexSearch, _Segment
+from marginaliasearch_ray.sources.corpus import synthesize_corpus
+from marginaliasearch_ray.state import manifest as mf
+
+CFG = dict(num_parts=3, num_buckets=8, hot_df_threshold=20, posting_block=8)
+
+UPDATED = 15  # docs whose content changes between v1 and the delta
+
+QUERIES = [
+    dict(query="return value"),
+    dict(query="return -unsafe"),
+    dict(query='"static void"'),
+    dict(query="parse", flags_weight=1.0),
+    dict(query="table lang:py"),
+    dict(query="return value", normalize_score=True, document_bonus_weight=1.0),
+    dict(query="buffer size", verbatim_weight=1.0, proximity_weight=1.0),
+]
+
+
+def _mutate(content: str, i: int) -> str:
+    # drop the doc's unique-token lines, add fresh tokens -> dfs change
+    lines = [l for l in content.splitlines() if "uniq_" not in l]
+    lines.append(f"freshly updated delta_token_{i} return")
+    return "\n".join(lines)
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    v1 = synthesize_corpus(n_repos=6, files_per_repo=12, seed=11)
+    cols = {c: v1[c].to_pylist() for c in v1.column_names}
+    n = len(cols["repo"])
+    upd = list(range(0, n, max(1, n // UPDATED)))[:UPDATED]
+    delta = {c: [cols[c][i] for i in upd] for c in cols}
+    delta["content"] = [_mutate(c, i) for i, c in enumerate(delta["content"])]
+    merged = {c: list(cols[c]) for c in cols}
+    for j, i in enumerate(upd):
+        merged["content"][i] = delta["content"][j]
+    return (
+        v1,
+        pa.table({c: pa.array(delta[c], v1.schema.field(c).type) for c in cols}),
+        pa.table({c: pa.array(merged[c], v1.schema.field(c).type) for c in cols}),
+    )
+
+
+@pytest.fixture(scope="module")
+def chain(ray_session, corpora, tmp_path_factory):
+    import ray.data
+
+    v1, delta, merged = corpora
+    base = str(tmp_path_factory.mktemp("seg_base"))
+    ddir = str(tmp_path_factory.mktemp("seg_delta"))
+    ref = str(tmp_path_factory.mktemp("seg_ref"))
+    cfg = BuildConfig(**CFG)
+    build_index(ray.data.from_arrow(v1), base, cfg)
+    build_delta_index(ray.data.from_arrow(delta), [base], ddir, cfg)
+    build_index(ray.data.from_arrow(merged), ref, cfg)
+    return base, ddir, ref
+
+
+def _rows(tbl) -> list[tuple]:
+    return list(
+        zip(
+            tbl["combined_id"].to_pylist(),
+            [round(s, 9) for s in tbl["score_r"].to_pylist()],
+        )
+    )
+
+
+def test_tombstones_recorded(chain):
+    base, ddir, _ = chain
+    dman = mf.read_manifest(ddir, "delta")
+    assert dman["tombstones"][os.path.abspath(base)] == UPDATED
+
+
+def test_chain_matches_full_rebuild(chain):
+    base, ddir, ref = chain
+    s_chain = IndexSearch([base, ddir], use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    assert s_chain.total_docs == s_ref.total_docs
+    for q in QUERIES:
+        got = _rows(s_chain.search(k=20, **q))
+        want = _rows(s_ref.search(k=20, **q))
+        assert got == want, q
+
+
+def test_updated_doc_content_wins(chain):
+    base, ddir, _ = chain
+    s = IndexSearch([base, ddir], use_actors=False)
+    # a token that exists only in the delta's rewritten content
+    got = s.search("delta_token_0", k=5, decorate=True)
+    assert got.num_rows == 1
+    # and a token dropped by the rewrite scores identically to the full
+    # rebuild (the stale posting is tombstoned; a dup-pool copy of the
+    # content may legitimately still match)
+    _base, _d, ref = chain
+    s_ref = IndexSearch(ref, use_actors=False)
+    assert _rows(s.search("uniq_0_0_token", k=5)) == _rows(
+        s_ref.search("uniq_0_0_token", k=5)
+    )
+
+
+def test_suppressed_segment_state(chain):
+    base, ddir, _ = chain
+    seg = _Segment(base, 0, suppress=((ddir, 0),))
+    assert seg.tomb is not None and len(seg.tomb) > 0
+    assert not seg.has_blocks  # block-max disabled under suppression
+    plain = _Segment(base, 0)
+    assert plain.has_blocks  # ... but only under suppression
+
+
+def test_new_repo_in_delta(ray_session, corpora, tmp_path_factory):
+    """Delta adding a NEW repo: ids diverge from a fresh rebuild (append-
+    only registry vs resorted), so parity is checked on decorated
+    (repo, path, score) rows."""
+    import ray.data
+
+    v1, delta, merged = corpora
+    extra = synthesize_corpus(n_repos=7, files_per_repo=4, seed=23)
+    mask = [r == "org0000/repo0006" for r in extra["repo"].to_pylist()]
+    extra = extra.filter(pa.array(mask))
+    assert extra.num_rows == 4
+    delta2 = pa.concat_tables([delta, extra])
+    merged2 = pa.concat_tables([merged, extra])
+
+    base = str(tmp_path_factory.mktemp("nseg_base"))
+    ddir = str(tmp_path_factory.mktemp("nseg_delta"))
+    ref = str(tmp_path_factory.mktemp("nseg_ref"))
+    cfg = BuildConfig(**CFG)
+    build_index(ray.data.from_arrow(v1), base, cfg)
+    build_delta_index(ray.data.from_arrow(delta2), [base], ddir, cfg)
+    build_index(ray.data.from_arrow(merged2), ref, cfg)
+
+    reg = load_registry(ddir)
+    base_reg = load_registry(base)
+    for r in base_reg.repos:  # ids stable for every pre-existing repo
+        assert reg.lookup(r) == base_reg.lookup(r)
+
+    s_chain = IndexSearch([base, ddir], use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    assert s_chain.total_docs == s_ref.total_docs
+    # document_bonus is excluded: its synthetic topology byte derives from
+    # the domain id, and ids for NEW repos are assignment-order-dependent
+    # (append-only chain vs resorted rebuild -- reference autoincrement
+    # ids have the same property), so that one bonus legitimately differs
+    for q in (q for q in QUERIES if not q.get("document_bonus_weight")):
+        got = s_chain.search(k=20, decorate=True, **q)
+        want = s_ref.search(k=20, decorate=True, **q)
+        key = lambda t: sorted(
+            zip(
+                t["repo"].to_pylist(),
+                t["path"].to_pylist(),
+                [round(s, 9) for s in t["score_r"].to_pylist()],
+            )
+        )
+        assert key(got) == key(want), q
+
+
+def test_compaction(chain, tmp_path_factory):
+    base, ddir, ref = chain
+    out = str(tmp_path_factory.mktemp("seg_compact"))
+    compact_segments([base, ddir], out, BuildConfig(**CFG))
+    s_c = IndexSearch(out, use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    assert s_c.total_docs == s_ref.total_docs
+    for q in QUERIES:
+        assert _rows(s_c.search(k=20, **q)) == _rows(s_ref.search(k=20, **q)), q
+    # compaction restores block-max pruning on the folded segment
+    seg = _Segment(out, 0)
+    assert seg.has_blocks
+    pruned = s_c.search("return value", k=20, pruned=True)
+    assert _rows(pruned) == _rows(s_ref.search("return value", k=20))
