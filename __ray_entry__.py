@@ -373,29 +373,16 @@ DELTA_MOD, DELTA_RESIDUE = 31, 7
 DELTA_SUFFIX = " deltafresh deltafresh customer"
 
 
-def _delta_chain_for(sf_dir: str) -> IndexSearch:
-    handle = _DELTA_HANDLES.get(sf_dir)
-    if handle is not None:
-        return handle
+def _delta_corpus(sf_dir: str):
+    """The delta's re-ingest corpus: every doc_id % 31 == 7 document with
+    DELTA_SUFFIX appended to its text."""
     import pyarrow as pa
-    import ray.data
-
-    from marginaliasearch_ray.pipelines.delta import build_delta_index
-
-    _index_for(sf_dir)  # ensure the base segment exists
-    base = _index_dir_for(sf_dir)
-    tag = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@delta".encode()
-    ).hexdigest()[:12]
-    ddir = os.path.join("/tmp/msray_index_cache", tag)
 
     def _updated_docs(batch: pa.Table) -> pa.Table:
-        import numpy as np
+        import pyarrow.compute as pc
 
         ords = batch["ordinal"].to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array((ords % DELTA_MOD) == DELTA_RESIDUE))
-        import pyarrow.compute as pc
-
         content = pc.binary_join_element_wise(
             batch["content"],
             pa.array([DELTA_SUFFIX] * len(batch), pa.string()),
@@ -405,10 +392,24 @@ def _delta_chain_for(sf_dir: str) -> IndexSearch:
             batch.schema.get_field_index("content"), "content", content
         )
 
-    delta_corpus = documents_corpus_dataset(sf_dir).map_batches(
+    return documents_corpus_dataset(sf_dir).map_batches(
         _updated_docs, batch_format="pyarrow"
     )
-    build_delta_index(delta_corpus, [base], ddir, _build_cfg())
+
+
+def _delta_chain_for(sf_dir: str) -> IndexSearch:
+    handle = _DELTA_HANDLES.get(sf_dir)
+    if handle is not None:
+        return handle
+    from marginaliasearch_ray.pipelines.delta import build_delta_index
+
+    _index_for(sf_dir)  # ensure the base segment exists
+    base = _index_dir_for(sf_dir)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@delta".encode()
+    ).hexdigest()[:12]
+    ddir = os.path.join("/tmp/msray_index_cache", tag)
+    build_delta_index(_delta_corpus(sf_dir), [base], ddir, _build_cfg())
     try:
         handle = IndexSearch([base, ddir], use_actors=True)
         handle.search("customer", k=1)  # smoke the actors
@@ -421,6 +422,26 @@ def _delta_chain_for(sf_dir: str) -> IndexSearch:
 def _delta_search(sf_dir: str, query: str, k: int = 10, **kw):
     t = _delta_chain_for(sf_dir).search(query, k=k, **kw)
     return t.select(["doc_id", "score_r"])
+
+
+def _compacted_for(sf_dir: str) -> IndexSearch:
+    """Chain [base, delta] folded back into ONE segment via
+    compact_segments — same oracle as the chain (the fold must be a
+    no-op for scoring) and block-max pruning restored."""
+    handle = _DELTA_HANDLES.get(sf_dir + "@compacted")
+    if handle is not None:
+        return handle
+    from marginaliasearch_ray.pipelines.delta import compact_segments
+
+    chain = _delta_chain_for(sf_dir)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@compact".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/msray_index_cache", tag)
+    compact_segments(chain.segment_dirs, out, _build_cfg())
+    handle = IndexSearch(out, use_actors=False)
+    _DELTA_HANDLES[sf_dir + "@compacted"] = handle
+    return handle
 
 
 def _delta_docs_cte() -> str:
@@ -463,6 +484,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # exclusion against a delta-only term: updated docs drop out of a
     # base-term result via the chain's merged view
     q["bm25_delta_exclude"] = lambda sf: _delta_search(sf, "scan -deltafresh")
+    # chain folded into ONE segment (compact_segments): same oracle as
+    # the chain query, block-max restored — proven by pruned execution
+    q["bm25_delta_compacted"] = lambda sf: _compacted_for(sf).search(
+        "customer merge", k=10, pruned=True
+    ).select(["doc_id", "score_r"])
 
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
@@ -1614,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_delta_chain": _delta_sql(["customer", "merge"]),
         "bm25_delta_fresh": _delta_sql(["deltafresh", "scan"]),
         "bm25_delta_exclude": _delta_sql(["scan"], exclude=["deltafresh"]),
+        "bm25_delta_compacted": _delta_sql(["customer", "merge"]),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

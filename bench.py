@@ -84,6 +84,42 @@ def run_bench() -> dict:
             ),
         )
 
+    # 1b) incremental ingest: delta segment (~1/31 of the corpus, updated
+    # content) against the freshly built base — the cost must track the
+    # DELTA size, not the corpus size (pipelines.delta), and chain
+    # queries (base + tombstone suppression + delta) must stay serving-
+    # speed.  This is the live-ingest path a 100 TB deployment runs
+    # between compactions.
+    if not SYNTH_ONLY:
+        from marginaliasearch_ray.pipelines.delta import build_delta_index
+
+        ddir = "/tmp/msray_bench_delta"
+        shutil.rmtree(ddir, ignore_errors=True)
+        dman = timed(
+            "delta_ingest",
+            lambda: build_delta_index(
+                e._delta_corpus(SF_DIR), [sf_index], ddir, e._build_cfg()
+            ),
+        )
+        extras["delta_docs"] = int(dman["n_docs"])
+        extras["delta_ingest_docs_per_s"] = round(
+            int(dman["n_docs"]) / timings["delta_ingest"], 1
+        )
+        chain = IndexSearch([sf_index, ddir], use_actors=True)
+        chain_qs = ["customer merge", "deltafresh scan", "scan -deltafresh"]
+
+        def run_chain():
+            n = 0
+            for _ in range(5):
+                for q in chain_qs:
+                    chain.search(q, k=10)
+                    n += 1
+            return n
+
+        nc = timed("query_chain", run_chain)
+        extras["chain_queries_per_s"] = round(nc / timings["query_chain"], 1)
+        chain.shutdown()
+
     # 2) index build over the deterministic synthetic source-code corpus
     synth_path = _synth_corpus_path()
     synth_out = "/tmp/msray_bench_index"

@@ -222,9 +222,26 @@ def build_delta_index(
                 os.path.join(delta_dir, "forward"), columns=["combined_id"]
             )["combined_id"].to_numpy(zero_copy_only=False)
         )
-        ids_ref = ray.put(delta_ids)
         n_tomb: dict[str, int] = {}
         for j, prior in enumerate(prior_dirs):
+            # ids ALREADY tombstoned against this prior by the deltas
+            # between it and us (chain prefix property: prior_dirs[k]'s
+            # own prior list is prior_dirs[:k], so its tombstones against
+            # `prior` live at index j) — re-tombstoning them would
+            # double-subtract the df corrections
+            already = [
+                pq.read_table(
+                    tombstone_dir(prior_dirs[k], j), columns=["combined_id"]
+                )["combined_id"].to_numpy(zero_copy_only=False)
+                for k in range(j + 1, len(prior_dirs))
+                if os.path.isdir(tombstone_dir(prior_dirs[k], j))
+            ]
+            eff_ids = (
+                np.setdiff1d(delta_ids, np.concatenate(already))
+                if already
+                else delta_ids
+            )
+            ids_ref = ray.put(eff_ids)
             tomb_ds = (
                 rd.read_parquet(
                     os.path.join(prior, "forward"),

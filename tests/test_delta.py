@@ -179,6 +179,60 @@ def test_new_repo_in_delta(ray_session, corpora, tmp_path_factory):
         assert key(got) == key(want), q
 
 
+def test_two_delta_chain(ray_session, corpora, chain, tmp_path_factory):
+    """A second delta over [base, delta1], re-updating docs that delta1
+    already replaced PLUS untouched base docs: tombstones against each
+    prior must stay disjoint (no df double-subtraction) and the 3-segment
+    chain must still exactly match a full rebuild."""
+    import ray.data
+
+    v1, delta, merged = corpora
+    base, d1, _ = chain
+    cols = {c: merged[c].to_pylist() for c in merged.column_names}
+    n = len(cols["repo"])
+    # rows 0 and 4 were updated by delta1; 1..3 come straight from base
+    upd2 = [0, 1, 2, 3, 4]
+    delta2 = {c: [cols[c][i] for i in upd2] for c in cols}
+    delta2["content"] = [
+        c + f"\nsecond wave delta2_token_{i}" for i, c in enumerate(delta2["content"])
+    ]
+    merged2 = {c: list(cols[c]) for c in cols}
+    for j, i in enumerate(upd2):
+        merged2["content"][i] = delta2["content"][j]
+    t_delta2 = pa.table(
+        {c: pa.array(delta2[c], merged.schema.field(c).type) for c in cols}
+    )
+    t_merged2 = pa.table(
+        {c: pa.array(merged2[c], merged.schema.field(c).type) for c in cols}
+    )
+
+    d2 = str(tmp_path_factory.mktemp("seg_delta2"))
+    ref2 = str(tmp_path_factory.mktemp("seg_ref2"))
+    cfg = BuildConfig(**CFG)
+    build_delta_index(ray.data.from_arrow(t_delta2), [base, d1], d2, cfg)
+    build_index(ray.data.from_arrow(t_merged2), ref2, cfg)
+
+    dman = mf.read_manifest(d2, "delta")
+    # delta1 already tombstoned rows 0 and 4 in base; delta2 must only
+    # tombstone the 3 untouched base rows there, and rows 0+4 in delta1
+    assert dman["tombstones"][os.path.abspath(base)] == 3
+    assert dman["tombstones"][os.path.abspath(d1)] == 2
+
+    s_chain = IndexSearch([base, d1, d2], use_actors=False)
+    s_ref = IndexSearch(ref2, use_actors=False)
+    assert s_chain.total_docs == s_ref.total_docs
+    for q in QUERIES + [dict(query="delta2_token_0"), dict(query="delta_token_0")]:
+        got = _rows(s_chain.search(k=20, **q))
+        want = _rows(s_ref.search(k=20, **q))
+        assert got == want, q
+
+    out = str(tmp_path_factory.mktemp("seg_compact3"))
+    compact_segments([base, d1, d2], out, cfg)
+    s_c = IndexSearch(out, use_actors=False)
+    for q in QUERIES:
+        assert _rows(s_c.search(k=20, **q)) == _rows(s_ref.search(k=20, **q)), q
+
+
 def test_compaction(chain, tmp_path_factory):
     base, ddir, ref = chain
     out = str(tmp_path_factory.mktemp("seg_compact"))
