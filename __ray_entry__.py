@@ -931,6 +931,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # long-stable oracle queries ride at the tail.  Update this list whenever an
 # operator's implementation changes materially.
 _DRIVER_WINDOW_FIRST = [
+    # newest (round 3): delta segments / incremental ingest
+    "bm25_delta_chain",
+    "bm25_delta_fresh",
+    "bm25_delta_exclude",
+    "bm25_delta_compacted",
     # new round 3: block-max pruned execution
     "bm25_pruned",
     "bm25_pruned_conj",
@@ -950,15 +955,16 @@ _DRIVER_WINDOW_FIRST = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "ann_topk_per_label",
-    "media_features",
     "media_features_real",
     "media_frame_sample",
     "events_tumbling_1h",
-    "events_sliding_1h_15m",
     "events_sessions",
     # round-3 work: expansion rework, flags family, ranking adjustment
+    # (paired controls bm25_expanded_off / bm25_heading_off and the
+    # media_features fake / events_sliding / doc_bonus_recent variants
+    # ride at the tail — their machinery is covered by in-window
+    # siblings, and each was green in an earlier driver window)
     "bm25_expanded",
-    "bm25_expanded_off",
     "bm25_segmented",
     "bm25_plural",
     "bm25_category",
@@ -975,7 +981,6 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_normalized",
     "bm25_positions_mask",
     "bm25_heading",
-    "bm25_heading_off",
     # build internals touched round 3 (lineage rollup, prio encode, stats fold)
     "journal_sizes",
     "forward_docmeta",
@@ -990,7 +995,6 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_verbatim_tags_opt",
     "bm25_prox_all",
     "bm25_doc_bonus",
-    "bm25_doc_bonus_recent",
     "bm25_proximity",
     "bm25_verbatim",
     "bm25_first_position",

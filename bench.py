@@ -106,6 +106,7 @@ def run_bench() -> dict:
             int(dman["n_docs"]) / timings["delta_ingest"], 1
         )
         chain = IndexSearch([sf_index, ddir], use_actors=True)
+        chain.search("customer", k=1)  # warm the 2x-parts actor pool
         chain_qs = ["customer merge", "deltafresh scan", "scan -deltafresh"]
 
         def run_chain():

@@ -204,6 +204,18 @@ def build_delta_index(
         repos = delta_corpus_ds.select_columns(["repo"]).unique("repo")
         reg = reg.extended(list(repos))
         base_stats = mf.read_manifest(base_dir, "stats")
+        # inherit the base's stats phase instead of recomputing it: the
+        # delta tokenizes against the base's PUBLISHED tf dict anyway,
+        # and the base's hot-term set (corpus-df skew) is the right
+        # merge-balancing signal for the delta's reverse build — a
+        # delta-local df scan would both waste a full corpus pass and
+        # mis-rank hotness
+        if not mf.is_committed(delta_dir, "stats"):
+            mf.commit_manifest(
+                delta_dir,
+                "stats",
+                {**base_stats, "inherited_from": base_dir},
+            )
         build_index(
             delta_corpus_ds,
             delta_dir,
@@ -242,10 +254,20 @@ def build_delta_index(
                 else delta_ids
             )
             ids_ref = ray.put(eff_ids)
+            # id-set predicate pushed into the parquet scans: row groups
+            # whose combined_id stats exclude the whole delta never load,
+            # and late materialization skips the heavy journal columns
+            # for non-matching rows.  Combined ids are domain-major, so a
+            # real ingest (fresh docs of a few domains) clusters into few
+            # row groups — the scan cost tracks the TOUCHED id ranges,
+            # not the corpus.  The in-task membership checks stay as the
+            # exactness guarantee.
+            id_filter = pc.field("combined_id").isin(pa.array(eff_ids))
             tomb_ds = (
                 rd.read_parquet(
                     os.path.join(prior, "forward"),
                     columns=["part", "combined_id"],
+                    filter=id_filter,
                 )
                 .map_batches(_cast_part, batch_format="pyarrow")
                 .map_batches(
@@ -265,6 +287,7 @@ def build_delta_index(
                     rd.read_parquet(
                         os.path.join(prior, "journal"),
                         columns=["part", "combined_id", "term_ids", "term_meta"],
+                        filter=id_filter,
                     )
                     .map_batches(_cast_part, batch_format="pyarrow")
                     .map_batches(
