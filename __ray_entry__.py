@@ -703,6 +703,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["winnow_fingerprints"] = lambda sf: textops.winnow_fingerprints(
         documents_corpus_dataset(sf)
     )
+    # PII-ish pattern counts (emails/urls/ipv4) — vectorized RE2 kernels
+    q["pii_counts"] = lambda sf: textops.pii_counts(
+        documents_corpus_dataset(sf)
+    )
+    # training-shard export sink: dedup -> shard -> partitioned parquet;
+    # returns the per-shard manifest read back from the written files
+    q["export_shards"] = lambda sf: textops.export_shards(
+        documents_corpus_dataset(sf), "/tmp/msray_export_shards", 16
+    )
 
     # ArtifactKeywords over a corpus that actually contains mail-like
     # tokens: contact lines derived deterministically from customer keys
@@ -941,6 +950,9 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_pruned_conj",
     "bm25_or_flat",
     "bm25_pruned_or",
+    # new round 3: training-data ops (PII features, shard-export sink)
+    "pii_counts",
+    "export_shards",
     # rewritten round 2-3, never driver-checked (r02 capped at 50 keys)
     "artifact_terms",
     "token_counts",
@@ -948,7 +960,6 @@ _DRIVER_WINDOW_FIRST = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "near_dup_components",
-    "ann_cosine_top10",
     "embedding_top_pairs",
     "embedding_near_dup",
     "embedding_near_dup_bucketed",
@@ -965,7 +976,6 @@ _DRIVER_WINDOW_FIRST = [
     # ride at the tail — their machinery is covered by in-window
     # siblings, and each was green in an earlier driver window)
     "bm25_expanded",
-    "bm25_segmented",
     "bm25_plural",
     "bm25_category",
     "bm25_wordnum",
@@ -1905,6 +1915,27 @@ def oracle_sql() -> dict[str, str]:
                        x -> x <> ''))::BIGINT AS ws_tokens,
                    len({_tok()})::BIGINT AS word_tokens
             FROM documents
+        """,
+        # the engine's RE2 patterns (textops.PII_PATTERNS) verbatim —
+        # pyarrow.compute and DuckDB share the RE2 engine
+        "pii_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{textops.PII_PATTERNS["emails"]}'))::BIGINT AS emails,
+                   len(regexp_extract_all(text, '{textops.PII_PATTERNS["urls"]}'))::BIGINT AS urls,
+                   len(regexp_extract_all(text, '{textops.PII_PATTERNS["ipv4s"]}'))::BIGINT AS ipv4s
+            FROM documents
+        """,
+        "export_shards": """
+            WITH d AS (
+              SELECT doc_id, text, row_number() OVER (
+                PARTITION BY sha256(text) ORDER BY doc_id
+              ) AS rn
+              FROM documents
+            )
+            SELECT (doc_id % 16)::BIGINT AS shard,
+                   count(*)::BIGINT AS n_docs,
+                   sum(strlen(text))::BIGINT AS n_bytes
+            FROM d WHERE rn = 1 GROUP BY 1
         """,
         # contact-line derivation mirrors queries()._artifact_terms exactly
         "artifact_terms": f"""

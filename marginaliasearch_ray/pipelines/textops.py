@@ -373,6 +373,144 @@ def token_counts(corpus_ds):
     )
 
 
+# PII-ish feature patterns (RE2 syntax — shared verbatim by the
+# pyarrow.compute kernel and the DuckDB oracle, both RE2-backed)
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[A-Za-z0-9./_%+#?&=-]+",
+    "ipv4s": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(corpus_ds):
+    """(doc_id, emails, urls, ipv4s) — per-document counts of PII-ish
+    patterns a training-data pipeline filters or redacts on.  Fully
+    vectorized: one ``pyarrow.compute.count_substring_regex`` kernel per
+    pattern over the Arrow string column (no Python row loop)."""
+    import pyarrow.compute as pc
+
+    def count(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": batch["ordinal"].cast(pa.int64())}
+        for name, pat in PII_PATTERNS.items():
+            cols[name] = pc.count_substring_regex(
+                batch["content"], pat
+            ).cast(pa.int64())
+        return pa.table(cols)
+
+    return corpus_ds.select_columns(["content", "ordinal"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+def export_shards(corpus_ds, out_dir: str, num_shards: int = 16):
+    """Dedup + deterministic sharded export — the OUTPUT stage of a
+    training-data pipeline: exact-dedup by sha256(content) (min doc_id
+    wins), assign ``shard = doc_id % num_shards``, write one parquet
+    directory per shard (resumable: a re-run skips/overwrites per shard,
+    never one giant file), and return the per-shard manifest
+    (shard, n_docs, n_bytes) read back from the written files.
+
+    Streaming end-to-end: the dedup is a hash-partitioned groupby on the
+    content hash, the winner row is chosen inside each group, and the
+    write is Ray Data's partitioned parquet sink."""
+    import shutil
+
+    from ray.data.aggregate import Min
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            for t in batch["content"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "data_hash": pa.array(hs, pa.string()),
+                "ordinal": batch["ordinal"].cast(pa.int64()),
+                "content": batch["content"],
+            }
+        )
+
+    def first_wins(group: pa.Table) -> pa.Table:
+        i = int(
+            np.argmin(group["ordinal"].to_numpy(zero_copy_only=False))
+        )
+        row = group.slice(i, 1)
+        doc_id = row["ordinal"].cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "shard": pc_mod(doc_id, num_shards),
+                "data_hash": row["data_hash"],
+                "n_bytes": pa.array(
+                    [len(row["content"][0].as_py().encode("utf-8"))],
+                    pa.int64(),
+                ),
+                "content": row["content"],
+            }
+        )
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (
+        corpus_ds.select_columns(["content", "ordinal"])
+        .map_batches(with_hash, batch_format="pyarrow")
+        .groupby("data_hash")
+        .map_groups(first_wins, batch_format="pyarrow")
+        .write_parquet(out_dir, partition_cols=["shard"])
+    )
+    import ray.data as rd
+
+    summary = (
+        rd.read_parquet(out_dir, columns=["shard", "n_bytes"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "shard": pc_cast_i64(b["shard"]),
+                    "n_bytes": b["n_bytes"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "shard": g["shard"].slice(0, 1),
+                    "n_docs": pa.array([len(g)], pa.int64()),
+                    "n_bytes": pa.array(
+                        [
+                            int(
+                                np.sum(
+                                    g["n_bytes"].to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                )
+                            )
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return summary
+
+
+def pc_mod(arr: pa.ChunkedArray | pa.Array, m: int) -> pa.Array:
+    vals = (
+        arr.to_numpy(zero_copy_only=False)
+        if not isinstance(arr, pa.ChunkedArray)
+        else arr.combine_chunks().to_numpy(zero_copy_only=False)
+    )
+    return pa.array(vals % m, pa.int64())
+
+
+def pc_cast_i64(arr) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.cast(arr, pa.int64())
+
+
 def artifact_terms(corpus_ds):
     """(doc_id, keyword) — one row per artifact keyword the document's
     token stream yields (ArtifactKeywords.java:20-44: mail-like tokens
