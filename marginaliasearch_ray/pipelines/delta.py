@@ -200,6 +200,12 @@ def build_delta_index(
     last_dir = prior_dirs[-1]
 
     if not mf.is_committed(delta_dir, "root"):
+        # materialize the delta corpus ONCE: it is delta-sized by the
+        # live-ingest contract, and the registry probe + journal phase
+        # would otherwise each re-execute the caller's (possibly
+        # corpus-sized, e.g. full-scan-and-filter) input pipeline —
+        # measured 2 extra full-corpus passes at 960k docs
+        delta_corpus_ds = delta_corpus_ds.materialize()
         reg = load_registry(last_dir)
         repos = delta_corpus_ds.select_columns(["repo"]).unique("repo")
         reg = reg.extended(list(repos))
