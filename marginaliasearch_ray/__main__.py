@@ -1,0 +1,149 @@
+"""CLI entrypoint — the `ray job submit` surface of the engine.
+
+On a real cluster each command is the job's driver script:
+
+    ray job submit --working-dir . -- python -m marginaliasearch_ray \
+        build --corpus s3://bucket/corpus/ --out s3://bucket/index_v1 \
+        --num-parts 512
+
+    ray job submit ... -- python -m marginaliasearch_ray \
+        delta --corpus .../fresh_docs/ --prior .../index_v1 \
+        --out .../delta_0001
+    ray job submit ... -- python -m marginaliasearch_ray \
+        compact --segment .../index_v1 --segment .../delta_0001 \
+        --out .../index_v2
+    ray job submit ... -- python -m marginaliasearch_ray \
+        query --index .../index_v1 --index .../delta_0001 "customer merge"
+
+Ray session ownership: this module OWNS a session (it is a job driver,
+like bench.py) — `ray.init(address=...)` connects to the cluster the
+job runs on (`auto` inside `ray job submit`, `local` standalone).  The
+library modules it calls never init Ray themselves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(args) -> bool:
+    """Init Ray if no session exists; returns True when WE own it (an
+    in-process caller with a live session keeps theirs untouched)."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+    if args.num_cpus is not None:
+        kwargs["num_cpus"] = args.num_cpus
+    ray.init(address=args.address, **kwargs)
+    return True
+
+
+def _build_cfg(args):
+    from .pipelines.build_index import BuildConfig
+
+    kw = {}
+    for f in ("num_parts", "num_buckets", "num_salts", "hot_df_threshold",
+              "posting_block"):
+        v = getattr(args, f, None)
+        if v is not None:
+            kw[f] = v
+    if getattr(args, "salted", False):
+        kw["premerge_salted"] = True
+    return BuildConfig(**kw)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="marginaliasearch_ray")
+    p.add_argument("--address", default=None,
+                   help="ray address (default: auto/local per env)")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def _common(sp):
+        sp.add_argument("--num-parts", type=int, default=None)
+        sp.add_argument("--num-buckets", type=int, default=None)
+        sp.add_argument("--num-salts", type=int, default=None)
+        sp.add_argument("--hot-df-threshold", type=int, default=None)
+        sp.add_argument("--posting-block", type=int, default=None)
+        sp.add_argument("--salted", action="store_true",
+                        help="salted pre-merge for hot terms")
+
+    b = sub.add_parser("build", help="full index build")
+    b.add_argument("--corpus", required=True,
+                   help="parquet path/dir of (repo,path,commit,lang,content)")
+    b.add_argument("--out", required=True)
+    _common(b)
+
+    d = sub.add_parser("delta", help="incremental delta segment")
+    d.add_argument("--corpus", required=True, help="new/updated docs parquet")
+    d.add_argument("--prior", action="append", required=True,
+                   help="prior segment dir (repeat, oldest first)")
+    d.add_argument("--out", required=True)
+    _common(d)
+
+    c = sub.add_parser("compact", help="fold a segment chain into one")
+    c.add_argument("--segment", action="append", required=True,
+                   help="segment dir (repeat, oldest first)")
+    c.add_argument("--out", required=True)
+    _common(c)
+
+    q = sub.add_parser("query", help="search a segment chain")
+    q.add_argument("--index", action="append", required=True,
+                   help="segment dir (repeat, oldest first)")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--decorate", action="store_true")
+    q.add_argument("--pruned", action="store_true")
+    q.add_argument("query")
+
+    args = p.parse_args(argv)
+    owns_ray = _init_ray(args)
+    import ray
+    import ray.data as rd
+
+    try:
+        if args.cmd == "build":
+            from .pipelines.build_index import build_index
+
+            root = build_index(
+                rd.read_parquet(args.corpus), args.out, _build_cfg(args)
+            )
+            print(json.dumps(root))
+        elif args.cmd == "delta":
+            from .pipelines.delta import build_delta_index
+
+            man = build_delta_index(
+                rd.read_parquet(args.corpus), args.prior, args.out,
+                _build_cfg(args),
+            )
+            print(json.dumps(man))
+        elif args.cmd == "compact":
+            from .pipelines.delta import compact_segments
+
+            root = compact_segments(args.segment, args.out, _build_cfg(args))
+            print(json.dumps(root))
+        elif args.cmd == "query":
+            from .pipelines.query import IndexSearch
+
+            s = IndexSearch(
+                args.index if len(args.index) > 1 else args.index[0],
+                use_actors=True,
+            )
+            t = s.search(
+                args.query, k=args.k, decorate=args.decorate,
+                pruned=args.pruned,
+            )
+            for row in t.to_pylist():
+                print(json.dumps(row))
+            s.shutdown()
+    finally:
+        if owns_ray:
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,69 @@
+"""The `ray job submit` surface: python -m marginaliasearch_ray
+build/delta/query/compact driven in-process (main() reuses the session's
+Ray and leaves it running)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from marginaliasearch_ray.__main__ import main
+from marginaliasearch_ray.sources.corpus import synthesize_corpus, write_corpus
+
+
+@pytest.fixture(scope="module")
+def cli_dirs(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    corpus = str(root / "corpus.parquet")
+    write_corpus(synthesize_corpus(4, 10, seed=3), corpus)
+    t = pq.read_table(corpus).slice(0, 6)
+    t = t.set_column(
+        t.schema.get_field_index("content"),
+        "content",
+        pc.binary_join_element_wise(
+            t["content"], pa.array([" clifresh"] * len(t)), ""
+        ),
+    )
+    delta = str(root / "delta.parquet")
+    pq.write_table(t, delta)
+    return root, corpus, delta
+
+
+def _run(args, capsys) -> list[str]:
+    assert main(args) == 0
+    return [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+
+
+def test_cli_roundtrip(cli_dirs, capsys):
+    import ray
+
+    root, corpus, delta = cli_dirs
+    common = ["--num-parts", "2", "--num-buckets", "4"]
+    out = _run(
+        ["build", "--corpus", corpus, "--out", str(root / "base"), *common],
+        capsys,
+    )
+    assert json.loads(out[-1])["n_docs"] == 40
+    out = _run(
+        ["delta", "--corpus", delta, "--prior", str(root / "base"),
+         "--out", str(root / "d1"), *common],
+        capsys,
+    )
+    assert sum(json.loads(out[-1])["tombstones"].values()) == 6
+    out = _run(
+        ["query", "--index", str(root / "base"), "--index", str(root / "d1"),
+         "-k", "3", "clifresh"],
+        capsys,
+    )
+    rows = [json.loads(l) for l in out]
+    assert len(rows) == 3 and all("score_r" in r for r in rows)
+    out = _run(
+        ["compact", "--segment", str(root / "base"),
+         "--segment", str(root / "d1"), "--out", str(root / "c"), *common],
+        capsys,
+    )
+    assert json.loads(out[-1])["n_docs"] == 40
+    # the CLI must not have torn down the session fixture's Ray
+    assert ray.is_initialized()
