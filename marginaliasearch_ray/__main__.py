@@ -91,9 +91,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", required=True)
     _common(c)
 
+    pub = sub.add_parser(
+        "publish", help="atomically flip the CURRENT serving chain pointer"
+    )
+    pub.add_argument("--segment", action="append", required=True,
+                     help="segment dir (repeat, oldest first)")
+    pub.add_argument("--chain", required=True, help="pointer file path")
+
     q = sub.add_parser("query", help="search a segment chain")
-    q.add_argument("--index", action="append", required=True,
+    q.add_argument("--index", action="append", default=None,
                    help="segment dir (repeat, oldest first)")
+    q.add_argument("--chain", default=None,
+                   help="pointer file published by `publish`")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--decorate", action="store_true")
     q.add_argument("--pruned", action="store_true")
@@ -125,13 +134,25 @@ def main(argv: list[str] | None = None) -> int:
 
             root = compact_segments(args.segment, args.out, _build_cfg(args))
             print(json.dumps(root))
+        elif args.cmd == "publish":
+            from .state import manifest as mf
+
+            print(json.dumps({
+                "chain": mf.publish_chain(args.segment, args.chain),
+                "segments": [str(s) for s in args.segment],
+            }))
         elif args.cmd == "query":
             from .pipelines.query import IndexSearch
 
-            s = IndexSearch(
-                args.index if len(args.index) > 1 else args.index[0],
-                use_actors=True,
-            )
+            if bool(args.index) == bool(args.chain):
+                p.error("query needs exactly one of --index/--chain")
+            if args.chain:
+                s = IndexSearch.from_chain(args.chain, use_actors=True)
+            else:
+                s = IndexSearch(
+                    args.index if len(args.index) > 1 else args.index[0],
+                    use_actors=True,
+                )
             t = s.search(
                 args.query, k=args.k, decorate=args.decorate,
                 pruned=args.pruned,

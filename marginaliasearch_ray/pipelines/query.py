@@ -2081,6 +2081,14 @@ class IndexSearch:
     global df / total-doc-count sum across segments the same way they sum
     across partitions."""
 
+    @classmethod
+    def from_chain(cls, chain_path: str, use_actors: bool = True):
+        """Open whatever segment chain the pointer file currently names
+        (state.manifest.publish_chain — the index-switch analog)."""
+        from ..state import manifest as mf
+
+        return cls(mf.read_chain(chain_path), use_actors=use_actors)
+
     def __init__(self, out_dir, use_actors: bool = True):
         from ..state import manifest as mf
 

@@ -46,6 +46,34 @@ def read_manifest(out_dir: str, phase: str) -> dict[str, Any]:
         return json.load(f)
 
 
+def publish_chain(segment_dirs: list[str], path: str) -> str:
+    """Atomically publish the CURRENT serving chain (base + deltas,
+    oldest first) — the versioned index-switch analog
+    (StatefulIndex.switchIndex, StatefulIndex.java:46-96): queries open
+    whatever the pointer names, an ingest/compaction builds alongside,
+    then one rename flips serving."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)), suffix=".tmp"
+    )
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {
+                "segments": [os.path.abspath(d) for d in segment_dirs],
+                "published_at": time.time(),
+            },
+            f,
+            indent=2,
+        )
+    os.replace(tmp, path)
+    return path
+
+
+def read_chain(path: str) -> list[str]:
+    with open(path) as f:
+        return list(json.load(f)["segments"])
+
+
 def list_phase_files(out_dir: str, phase: str) -> list[str]:
     base = os.path.join(out_dir, phase)
     out = []

@@ -65,5 +65,25 @@ def test_cli_roundtrip(cli_dirs, capsys):
         capsys,
     )
     assert json.loads(out[-1])["n_docs"] == 40
+    # index-switch analog: publish the chain pointer, query through it,
+    # then flip it to the compacted segment — same results both ways
+    chain = str(root / "CURRENT.json")
+    _run(["publish", "--segment", str(root / "base"),
+          "--segment", str(root / "d1"), "--chain", chain], capsys)
+    via_chain = [
+        json.loads(l)
+        for l in _run(["query", "--chain", chain, "-k", "3", "clifresh"], capsys)
+    ]
+    assert [r["combined_id"] for r in via_chain] == [
+        r["combined_id"] for r in rows
+    ]
+    _run(["publish", "--segment", str(root / "c"), "--chain", chain], capsys)
+    flipped = [
+        json.loads(l)
+        for l in _run(["query", "--chain", chain, "-k", "3", "clifresh"], capsys)
+    ]
+    assert [(r["combined_id"], r["score_r"]) for r in flipped] == [
+        (r["combined_id"], r["score_r"]) for r in rows
+    ]
     # the CLI must not have torn down the session fixture's Ray
     assert ray.is_initialized()
