@@ -91,6 +91,11 @@ class BuildConfig:
     # for cluster topologies where the phases' shuffles land on disjoint
     # resources; default off.
     parallel_phases: bool = False
+    # Per-lang document-processor plugin map ({lang: registered processor
+    # name} — stages.tokenize.DOC_PROCESSORS; SURVEY §2.10's
+    # AbstractDocumentProcessorPlugin seam).  Unmapped langs use the code
+    # processor, so the default build is byte-identical.
+    doc_processors: dict = field(default_factory=dict)
     # Block-max side index (add_block_stats): posting lists longer than
     # this gain per-block (last doc, max tf, byte offset) entries so the
     # query side can decode only candidate-bearing blocks and
@@ -154,15 +159,18 @@ def _tfdict_partial(batch: pa.Table, *, stats_buckets: int) -> pa.Table:
 _TOKENIZE_CACHE: dict = {}
 
 
-def _tokenize_task(batch: pa.Table, *, reg_ref, tfdict_dir, doc_count) -> pa.Table:
+def _tokenize_task(
+    batch: pa.Table, *, reg_ref, tfdict_dir, doc_count, doc_processors=None
+) -> pa.Table:
     key = (
         reg_ref.hex() if hasattr(reg_ref, "hex") else id(reg_ref),
         tfdict_dir,
+        tuple(sorted((doc_processors or {}).items())),
     )
     st = _TOKENIZE_CACHE.get(key)
     if st is None:
         _TOKENIZE_CACHE.clear()  # one live stage per worker
-        st = TokenizeStage(reg_ref, tfdict_dir, doc_count)
+        st = TokenizeStage(reg_ref, tfdict_dir, doc_count, doc_processors)
         _TOKENIZE_CACHE[key] = st
     return st(batch)
 
@@ -403,6 +411,7 @@ def build_index(
                     if tfdict_doc_count is not None
                     else mf.read_manifest(out_dir, "stats")["doc_count"]
                 ),
+                "doc_processors": cfg.doc_processors,
             },
             batch_size=cfg.tokenize_batch_size,
             batch_format="pyarrow",

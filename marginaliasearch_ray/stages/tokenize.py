@@ -90,6 +90,66 @@ def tokenize_with_spans(content: str) -> tuple[list[str], list[int], list[list[i
     return toks, codes, spans
 
 
+def plaintext_with_spans(
+    content: str,
+) -> tuple[list[str], list[int], list[list[int]]]:
+    """PlainText processor: one token stream, a head span, NO comment
+    detection (prose has no comment syntax — '#'/'//' prefixes are
+    content, not markup)."""
+    toks = tokenize(content)
+    codes: list[int] = []
+    spans: list[list[int]] = []
+    if toks:
+        codes.append(SPAN_HEAD)
+        spans.append([1, min(len(toks), HEAD_SPAN_TOKENS) + 1])
+    return toks, codes, spans
+
+
+def markdown_with_spans(
+    content: str,
+) -> tuple[list[str], list[int], list[list[int]]]:
+    """Markdown processor: ATX heading lines ('#'-prefixed) become the
+    heading-analog spans (the role comment lines play for code); other
+    comment-like prefixes ('//', '--', '*') are prose."""
+    toks: list[str] = []
+    pairs: list[int] = []
+    pos = 1
+    for line in content.split("\n"):
+        lt = tokenize(line)
+        if lt and line.lstrip().startswith("#"):
+            pairs.extend((pos, pos + len(lt)))
+        toks.extend(lt)
+        pos += len(lt)
+    codes: list[int] = []
+    spans: list[list[int]] = []
+    if pairs:
+        codes.append(SPAN_COMMENT)
+        spans.append(pairs[: 2 * 8192])
+    if toks:
+        codes.append(SPAN_HEAD)
+        spans.append([1, min(len(toks), HEAD_SPAN_TOKENS) + 1])
+    return toks, codes, spans
+
+
+# Document-processor plugin registry (AbstractDocumentProcessorPlugin with
+# Html/PlainText/Pdf implementations, code/processes/converting-process/
+# .../processor/plugin/*.java; SURVEY §2.10): a processor maps content ->
+# (tokens, span codes, spans).  The tokenize stage picks one per document
+# by ``lang`` via BuildConfig.doc_processors ({lang: processor_name});
+# unmapped langs use the code processor, so defaults are byte-identical
+# to the pre-registry engine.
+DOC_PROCESSORS: dict = {}
+
+
+def register_processor(name: str, fn) -> None:
+    DOC_PROCESSORS[name] = fn
+
+
+register_processor("code", tokenize_with_spans)
+register_processor("plaintext", plaintext_with_spans)
+register_processor("markdown", markdown_with_spans)
+
+
 class TfDictStage:
     """Corpus term-document-frequency partials — the regenerated
     TermFrequencyDict (TermFrequencyExporter.java:101-130: per-document
@@ -151,12 +211,19 @@ class TokenizeStage:
     is stored ungated."""
 
     def __init__(self, registry_ref, tfdict_dir: str | None = None,
-                 dict_doc_count: int = 0):
+                 dict_doc_count: int = 0,
+                 doc_processors: dict[str, str] | None = None):
         import ray
 
         self.registry = (
             ray.get(registry_ref) if hasattr(registry_ref, "hex") else registry_ref
         )
+        # per-lang document processors (SURVEY §2.10 plugin seam);
+        # unmapped langs fall back to the code processor
+        self.processors = {
+            lang: DOC_PROCESSORS[name]
+            for lang, name in (doc_processors or {}).items()
+        }
         self.cache = KeywordHashCache()
         self._key_tokens_cache: dict[str, frozenset] = {}
         self.dict_ids: np.ndarray | None = None
@@ -284,7 +351,8 @@ class TokenizeStage:
         spans_col: list[list[list[int]]] = []
         for i in range(n):
             content = contents[i]
-            toks_i, codes_i, spans_i = tokenize_with_spans(content)
+            proc = self.processors.get(langs[i], tokenize_with_spans)
+            toks_i, codes_i, spans_i = proc(content)
             tok_lists.append(toks_i)
             span_codes_col.append(bytes(codes_i))
             spans_col.append(spans_i)

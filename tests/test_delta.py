@@ -233,6 +233,44 @@ def test_two_delta_chain(ray_session, corpora, chain, tmp_path_factory):
         assert _rows(s_c.search(k=20, **q)) == _rows(s_ref.search(k=20, **q)), q
 
 
+def test_delta_resume(ray_session, corpora, chain, tmp_path_factory):
+    """North-rule resumability on the delta path: a crash after the
+    segment phases but before the tombstone pass resumes WITHOUT
+    rebuilding the segment, and regenerates identical tombstones."""
+    import shutil
+
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.delta import (
+        correction_dir,
+        tombstone_dir,
+    )
+
+    _v1, delta, _merged = corpora
+    base, _d1, _ref = chain
+    d2 = str(tmp_path_factory.mktemp("seg_delta_resume"))
+    cfg = BuildConfig(**CFG)
+    build_delta_index(ray.data.from_arrow(delta), [base], d2, cfg)
+    tomb0 = mf.read_manifest(d2, "delta")["tombstones"]
+
+    # crash simulation: the delta phase's outputs are lost
+    shutil.rmtree(tombstone_dir(d2, 0))
+    shutil.rmtree(correction_dir(d2, 0))
+    os.remove(mf.manifest_path(d2, "delta"))
+    seg = os.path.join(d2, "postings", "part=0")
+    mtime_before = max(
+        os.path.getmtime(os.path.join(seg, f)) for f in os.listdir(seg)
+    )
+
+    build_delta_index(ray.data.from_arrow(delta), [base], d2, cfg)
+    # segment phases resumed (untouched), tombstones regenerated equal
+    mtime_after = max(
+        os.path.getmtime(os.path.join(seg, f)) for f in os.listdir(seg)
+    )
+    assert mtime_after == mtime_before
+    assert mf.read_manifest(d2, "delta")["tombstones"] == tomb0
+
+
 def test_compaction(chain, tmp_path_factory):
     base, ddir, ref = chain
     out = str(tmp_path_factory.mktemp("seg_compact"))
