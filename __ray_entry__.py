@@ -490,6 +490,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer merge", k=10, pruned=True
     ).select(["doc_id", "score_r"])
 
+    # user-defined search-filter spec composed onto a query
+    # (SearchFilterSpec/SearchFilterParser analog): required + excluded +
+    # promoted terms and a repo set, all in one spec object
+    q["bm25_filter_spec"] = lambda sf: _search(
+        sf,
+        "scan",
+        filter_spec={
+            "require": ["filter"],
+            "exclude": ["customer"],
+            "promote": ["merge"],
+            "repos": ["src1", "src3"],
+        },
+    )
+
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
     q["bm25_conj"] = lambda sf: _search(sf, "customer merge table")
@@ -953,6 +967,7 @@ _DRIVER_WINDOW_FIRST = [
     # new round 3: training-data ops (PII features, shard-export sink)
     "pii_counts",
     "export_shards",
+    "bm25_filter_spec",
     # rewritten round 2-3, never driver-checked (r02 capped at 50 keys)
     "artifact_terms",
     "token_counts",
@@ -979,7 +994,6 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_plural",
     "bm25_category",
     "bm25_wordnum",
-    "bm25_ngram_all",
     "bm25_advice",
     "bm25_advice_site",
     "bm25_flags",
@@ -1087,6 +1101,7 @@ def _bm25_sql(
     exclude: list[str] | None = None,
     phrase: list[str] | None = None,
     source: str | None = None,
+    sources: list[str] | None = None,
     priority: list[str] | None = None,
     groups: list[list[str]] | None = None,
     size_gt: int | None = None,
@@ -1194,6 +1209,9 @@ def _bm25_sql(
         extra.append(f"contains(c.joined, '{needle}')")
     if source:
         extra.append(f"c.source = '{source}'")
+    if sources:
+        vals_in = ", ".join(f"'{s}'" for s in sources)
+        extra.append(f"c.source IN ({vals_in})")
     if lang is not None:
         extra.append(f"c.lang = '{lang}'")
     for t in advice or []:
@@ -1655,6 +1673,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_delta_fresh": _delta_sql(["deltafresh", "scan"]),
         "bm25_delta_exclude": _delta_sql(["scan"], exclude=["deltafresh"]),
         "bm25_delta_compacted": _delta_sql(["customer", "merge"]),
+        "bm25_filter_spec": _bm25_sql(
+            ["scan", "filter"],
+            exclude=["customer"],
+            priority=["merge"],
+            sources=["src1", "src3"],
+        ),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

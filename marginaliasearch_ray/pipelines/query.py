@@ -1678,6 +1678,14 @@ class SearcherLogic:
         if domain_range is not None:
             lo, hi = domain_range
             cand = cand[(cand >= lo) & (cand < hi)]
+        ranges = plan.get("domain_ranges")
+        if ranges is not None and len(cand):
+            # domain-SET retain (SearchFilterSpec domain lists): union of
+            # per-repo combined-id ranges
+            m = np.zeros(len(cand), dtype=bool)
+            for lo, hi in ranges:
+                m |= (cand >= lo) & (cand < hi)
+            cand = cand[m]
         lang = plan.get("lang")
         if lang is not None and len(cand):
             cand = _retain(cand, seg.lang_ids(lang))
@@ -2175,6 +2183,7 @@ class IndexSearch:
         expand_ngram_all: bool = False,
         budget_s: float = float("inf"),
         pruned: bool = False,
+        filter_spec: dict | None = None,
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -2234,6 +2243,37 @@ class IndexSearch:
             # (IndexClient.executeQueries sort + sublist, :162-173)
             "k": k + offset,
         }
+        if filter_spec:
+            # user-defined search-filter spec composed ONTO the query
+            # (SearchFilterSpec/SearchFilterParser analog,
+            # code/functions/search-query/.../searchfilter/): required
+            # terms join the conjunction (scored like query terms),
+            # excluded terms reject, promoted terms boost like ?terms,
+            # and a repo list restricts candidates to the union of those
+            # domains' combined-id ranges.
+            plan["include_ids"] = plan["include_ids"] + [
+                hash_nearly_ascii(t) for t in filter_spec.get("require", [])
+            ]
+            plan["exclude_ids"] = plan["exclude_ids"] + [
+                hash_nearly_ascii(t) for t in filter_spec.get("exclude", [])
+            ]
+            plan["priority_ids"] = plan["priority_ids"] + [
+                hash_nearly_ascii(t) for t in filter_spec.get("promote", [])
+            ]
+            repos = filter_spec.get("repos")
+            if repos is not None:
+                ranges = []
+                for r in repos:
+                    ent = self._registry.get(r)
+                    if ent is not None:
+                        dom, rank, _part = ent
+                        ranges.append(
+                            idcodec.domain_id_range(int(rank), int(dom))
+                        )
+                if not ranges:
+                    return _result_table([], [], None)
+                plan["domain_ranges"] = ranges
+
         if cq.priority_orgs:
             plan["priority_domains"] = sorted(
                 d
