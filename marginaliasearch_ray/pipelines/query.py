@@ -2077,6 +2077,35 @@ def _make_searcher_actor():
     return PartitionSearcher
 
 
+@dataclass
+class RankingParams:
+    """Bundled ranking parameters (RpcResultRankingParameters analog,
+    threaded like SearchContext.java:104,141): one object a caller
+    builds once and splats into any search —
+    ``idx.search(q, **params.kwargs())``."""
+
+    first_position_weight: float = 0.0
+    proximity_weight: float = 0.0
+    proximity_all_weight: float = 0.0
+    heading_bonus_weight: float = 0.0
+    verbatim_weight: float = 0.0
+    verbatim_tag_weight: float = 0.0
+    flags_weight: float = 0.0
+    head_tf_weight: float = 0.0
+    rank_bonus_weight: float = 0.0
+    document_bonus_weight: float = 0.0
+    normalize_score: bool = False
+    multiplicative_priority: bool = False
+    temporal_bias: str = "none"
+    budget_s: float = float("inf")
+    pruned: bool = False
+
+    def kwargs(self) -> dict:
+        from dataclasses import asdict
+
+        return asdict(self)
+
+
 class IndexSearch:
     """Driver-side handle: one searcher actor per partition; fan-out +
     merge (IndexClient.executeQueries:85-176 analog).
@@ -2136,22 +2165,46 @@ class IndexSearch:
             if os.path.isdir(os.path.join(d, "postings", f"part={p}"))
         ]
         self.parts = [p for _d, p, _s in seg_parts]
+        self._seg_parts = seg_parts
         self.use_actors = use_actors
         if use_actors:
-            Actor = _make_searcher_actor()
+            self._actor_cls = _make_searcher_actor()
             self.searchers = [
-                Actor.remote(d, p, s) for d, p, s in seg_parts
+                self._actor_cls.remote(d, p, s) for d, p, s in seg_parts
             ]
         else:
             self.searchers = [SearcherLogic(d, p, s) for d, p, s in seg_parts]
+
+    def _respawn_dead(self) -> int:
+        """Replace searcher actors that died (node loss / OOM kill) with
+        fresh ones over the same immutable segment files — serving keeps
+        answering after partial failure instead of erroring the query."""
+        import ray
+
+        replaced = 0
+        for i, s in enumerate(self.searchers):
+            try:
+                ray.get(s.local_df.remote([]), timeout=60)
+            except ray.exceptions.RayActorError:
+                self.searchers[i] = self._actor_cls.remote(
+                    *self._seg_parts[i]
+                )
+                replaced += 1
+        return replaced
 
     def _call(self, method: str, *args):
         if self.use_actors:
             import ray
 
-            return ray.get(
-                [getattr(s, method).remote(*args) for s in self.searchers]
-            )
+            try:
+                return ray.get(
+                    [getattr(s, method).remote(*args) for s in self.searchers]
+                )
+            except ray.exceptions.RayActorError:
+                self._respawn_dead()
+                return ray.get(
+                    [getattr(s, method).remote(*args) for s in self.searchers]
+                )
         return [getattr(s, method)(*args) for s in self.searchers]
 
     def search(

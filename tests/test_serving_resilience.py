@@ -1,0 +1,48 @@
+"""Serving resilience + ranking-params bundle: a killed searcher actor
+is respawned over the same immutable segment files and the query answers
+identically; RankingParams splats into search() like the reference's
+RpcResultRankingParameters message."""
+
+import pytest
+
+from marginaliasearch_ray.pipelines.build_index import BuildConfig, build_index
+from marginaliasearch_ray.pipelines.query import IndexSearch, RankingParams
+from marginaliasearch_ray.sources.corpus import synthesize_corpus
+
+
+@pytest.fixture(scope="module")
+def small_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("resil_idx"))
+    build_index(
+        ray.data.from_arrow(synthesize_corpus(4, 12, seed=9)),
+        out,
+        BuildConfig(num_parts=2, num_buckets=4),
+    )
+    return out
+
+
+def test_actor_death_respawn(small_index):
+    import ray
+
+    idx = IndexSearch(small_index, use_actors=True)
+    before = idx.search("license import", k=5)
+    assert before.num_rows > 0
+    ray.kill(idx.searchers[0])
+    after = idx.search("license import", k=5)
+    assert after.to_pylist() == before.to_pylist()
+    idx.shutdown()
+
+
+def test_ranking_params_bundle(small_index):
+    idx = IndexSearch(small_index, use_actors=False)
+    params = RankingParams(verbatim_weight=1.0, proximity_weight=0.5,
+                           flags_weight=1.0)
+    a = idx.search("license import", k=5, **params.kwargs())
+    b = idx.search("license import", k=5, verbatim_weight=1.0,
+                   proximity_weight=0.5, flags_weight=1.0)
+    assert a.to_pylist() == b.to_pylist()
+    # and the bundle genuinely changes scores vs the bare query
+    bare = idx.search("license import", k=5)
+    assert a["score_r"].to_pylist() != bare["score_r"].to_pylist()
