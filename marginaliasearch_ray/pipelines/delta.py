@@ -199,6 +199,22 @@ def build_delta_index(
     base_dir = prior_dirs[0]
     last_dir = prior_dirs[-1]
 
+    # chain-prefix validation: every prior that is itself a delta must
+    # have been built against exactly the priors before it in THIS list —
+    # the tombstone dirs below are resolved positionally, and a reordered
+    # or truncated chain would silently mis-aim them
+    for k, dk in enumerate(prior_dirs):
+        if mf.is_committed(dk, "delta"):
+            rec = [
+                os.path.abspath(d)
+                for d in mf.read_manifest(dk, "delta").get("prior_dirs", [])
+            ]
+            if rec != prior_dirs[:k]:
+                raise ValueError(
+                    f"prior_dirs is not a consistent chain: {dk} was built "
+                    f"against {rec}, but is listed after {prior_dirs[:k]}"
+                )
+
     if not mf.is_committed(delta_dir, "root"):
         # materialize the delta corpus ONCE: it is delta-sized by the
         # live-ingest contract, and the registry probe + journal phase

@@ -232,6 +232,11 @@ def test_two_delta_chain(ray_session, corpora, chain, tmp_path_factory):
     for q in QUERIES:
         assert _rows(s_c.search(k=20, **q)) == _rows(s_ref.search(k=20, **q)), q
 
+    # a reordered prior chain must fail LOUDLY (tombstone dirs resolve
+    # positionally), before any corpus read
+    with pytest.raises(ValueError, match="consistent chain"):
+        build_delta_index(None, [d1, base], str(tmp_path_factory.mktemp("x")))
+
 
 def test_delta_resume(ray_session, corpora, chain, tmp_path_factory):
     """North-rule resumability on the delta path: a crash after the
