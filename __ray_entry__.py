@@ -504,6 +504,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         },
     )
 
+    # total-hit counting (ResultPriorityQueue size analog): exhaustive
+    # candidate set post-filters, summed across partitions
+    q["bm25_match_count"] = lambda sf: _index_for(sf).search(
+        "customer merge -table", count_only=True
+    )
+
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
     q["bm25_conj"] = lambda sf: _search(sf, "customer merge table")
@@ -968,6 +974,7 @@ _DRIVER_WINDOW_FIRST = [
     "pii_counts",
     "export_shards",
     "bm25_filter_spec",
+    "bm25_match_count",
     # rewritten round 2-3, never driver-checked (r02 capped at 50 keys)
     "artifact_terms",
     "token_counts",
@@ -994,7 +1001,6 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_plural",
     "bm25_category",
     "bm25_wordnum",
-    "bm25_advice",
     "bm25_advice_site",
     "bm25_flags",
     "bm25_flags_tfidf",
@@ -1673,6 +1679,23 @@ def oracle_sql() -> dict[str, str]:
         "bm25_delta_fresh": _delta_sql(["deltafresh", "scan"]),
         "bm25_delta_exclude": _delta_sql(["scan"], exclude=["deltafresh"]),
         "bm25_delta_compacted": _delta_sql(["customer", "merge"]),
+        "bm25_match_count": f"""
+            WITH tok AS (
+              SELECT doc_id, {_tok()} AS toks,
+                     ['site:' || source,
+                      CASE WHEN doc_id % 7 = 3 THEN 'generator:wiki'
+                           ELSE 'generator:docs' END]
+                       || list_filter({sql_artifact_expr('toks')},
+                                      a -> NOT list_contains(toks, a)) AS synth
+              FROM documents
+            )
+            SELECT count(*)::BIGINT AS n FROM tok
+            WHERE (list_contains(toks, 'customer')
+                   OR list_contains(synth, 'customer'))
+              AND (list_contains(toks, 'merge')
+                   OR list_contains(synth, 'merge'))
+              AND NOT list_contains(toks, 'table')
+        """,
         "bm25_filter_spec": _bm25_sql(
             ["scan", "filter"],
             exclude=["customer"],

@@ -1171,7 +1171,13 @@ class SearcherLogic:
         # current candidates — a superset of list ∩ cand, so every retain/
         # reject/membership/tf-gather below is EXACT (postings_subset
         # contract).  Off by default; identical results either way.
-        pruned = bool(plan.get("pruned")) and seg.has_blocks
+        # count_only forces exhaustive candidates: the pruned top-k paths
+        # (block-max AND / MaxScore OR) produce score-ordered SUBSETS
+        pruned = (
+            bool(plan.get("pruned"))
+            and seg.has_blocks
+            and not plan.get("count_only")
+        )
 
         def _pl(t: int, against: np.ndarray) -> np.ndarray:
             if pruned and len(against):
@@ -1251,6 +1257,11 @@ class SearcherLogic:
                 if len(surv):
                     keep[lo + np.unique(surv // _POS_SHIFT)] = True
             cand = cand[keep]
+
+        if plan.get("count_only"):
+            # total-hit counting (ResultPriorityQueue size analog): the
+            # full candidate set post-filters, no scoring
+            return {"match_count": int(len(cand))}
 
         if len(cand) == 0:
             return _empty_partition_result()
@@ -2237,6 +2248,7 @@ class IndexSearch:
         budget_s: float = float("inf"),
         pruned: bool = False,
         filter_spec: dict | None = None,
+        count_only: bool = False,
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -2394,6 +2406,11 @@ class IndexSearch:
         global_df = {t: sum(d.get(t, 0) for d in dfs) for t in all_ids}
 
         # phase 2: scatter, merge per-partition (2k+8)-deep results
+        if count_only:
+            plan["count_only"] = True
+            counts = self._call("search", plan, global_df, self.total_docs)
+            total = sum(int(r.get("match_count", 0)) for r in counts)
+            return pa.table({"n": pa.array([total], pa.int64())})
         results = self._call("search", plan, global_df, self.total_docs)
         ids = np.concatenate(
             [np.asarray(r["combined_id"], dtype=np.int64) for r in results]
@@ -2444,6 +2461,10 @@ class IndexSearch:
             [float(scores[j]) for j in keep],
             out_cols or None,
         )
+
+    def count(self, query: str, **kw) -> int:
+        """Total matching documents (no scoring, exhaustive candidates)."""
+        return int(self.search(query, count_only=True, **kw)["n"][0].as_py())
 
     def shutdown(self):
         if self.use_actors:
