@@ -106,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--decorate", action="store_true")
     q.add_argument("--pruned", action="store_true")
+    q.add_argument("--count", action="store_true",
+                   help="print the total match count instead of top-k")
     q.add_argument("query")
 
     args = p.parse_args(argv)
@@ -153,12 +155,15 @@ def main(argv: list[str] | None = None) -> int:
                     args.index if len(args.index) > 1 else args.index[0],
                     use_actors=True,
                 )
-            t = s.search(
-                args.query, k=args.k, decorate=args.decorate,
-                pruned=args.pruned,
-            )
-            for row in t.to_pylist():
-                print(json.dumps(row))
+            if args.count:
+                print(json.dumps({"n": s.count(args.query)}))
+            else:
+                t = s.search(
+                    args.query, k=args.k, decorate=args.decorate,
+                    pruned=args.pruned,
+                )
+                for row in t.to_pylist():
+                    print(json.dumps(row))
             s.shutdown()
     finally:
         if owns_ray:
