@@ -107,6 +107,20 @@ def test_chain_matches_full_rebuild(chain):
         assert got == want, q
 
 
+def test_chain_count_and_filter_spec(chain):
+    """count_only and filter_spec compose with segment suppression the
+    same way scoring does: chain == full rebuild."""
+    base, ddir, ref = chain
+    s_chain = IndexSearch([base, ddir], use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    for q in ("return", "return value", "delta_token_0", "buffer -return"):
+        assert s_chain.count(q) == s_ref.count(q), q
+    spec = {"require": ["value"], "exclude": ["buffer"], "promote": ["size"]}
+    got = _rows(s_chain.search("return", k=20, filter_spec=spec))
+    want = _rows(s_ref.search("return", k=20, filter_spec=spec))
+    assert got == want
+
+
 def test_updated_doc_content_wins(chain):
     base, ddir, _ = chain
     s = IndexSearch([base, ddir], use_actors=False)
