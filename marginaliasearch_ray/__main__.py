@@ -111,6 +111,14 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("query")
 
     args = p.parse_args(argv)
+    if args.cmd == "publish":  # pure file op — no Ray session needed
+        from .state import manifest as mf
+
+        print(json.dumps({
+            "chain": mf.publish_chain(args.segment, args.chain),
+            "segments": [str(s) for s in args.segment],
+        }))
+        return 0
     owns_ray = _init_ray(args)
     import ray
     import ray.data as rd
@@ -136,13 +144,6 @@ def main(argv: list[str] | None = None) -> int:
 
             root = compact_segments(args.segment, args.out, _build_cfg(args))
             print(json.dumps(root))
-        elif args.cmd == "publish":
-            from .state import manifest as mf
-
-            print(json.dumps({
-                "chain": mf.publish_chain(args.segment, args.chain),
-                "segments": [str(s) for s in args.segment],
-            }))
         elif args.cmd == "query":
             from .pipelines.query import IndexSearch
 

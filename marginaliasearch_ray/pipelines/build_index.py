@@ -104,6 +104,15 @@ class BuildConfig:
     extra_journal: dict = field(default_factory=dict)
 
 
+def _clear_dir(path: str) -> None:
+    """Crash-resume idempotence: phase outputs commit their manifest
+    AFTER the parquet write and Ray's sink APPENDS, so a re-run of an
+    uncommitted phase must clear the stale partial files first."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def _journal_columns(kind: str) -> list[str]:
     if kind == "forward":
         return ["part", "combined_id", "document_meta", "features", "size"]
@@ -376,6 +385,7 @@ def build_index(
             )
             .materialize()  # vocabulary-sized; reused for write + hot scan
         )
+        _clear_dir(os.path.join(out_dir, "stats"))
         df_ds.write_parquet(os.path.join(out_dir, "stats"))
         hot_terms = [
             r["term_id"]
@@ -416,6 +426,8 @@ def build_index(
             batch_size=cfg.tokenize_batch_size,
             batch_format="pyarrow",
         )
+        _clear_dir(os.path.join(out_dir, "journal"))
+        _clear_dir(os.path.join(out_dir, "lang_index"))
         journal.write_parquet(
             os.path.join(out_dir, "journal"), partition_cols=["part"]
         )
@@ -494,6 +506,7 @@ def build_index(
                 lambda t: t.sort_by("combined_id"), batch_format="pyarrow"
             )
         )
+        _clear_dir(os.path.join(out_dir, "forward"))
         fwd.write_parquet(os.path.join(out_dir, "forward"), partition_cols=["part"])
         import pyarrow.dataset as pads
 
@@ -585,6 +598,7 @@ def build_index(
                     batch_format="pyarrow",
                 )
             seg_dir = os.path.join(out_dir, "postings", f"part={p}")
+            _clear_dir(seg_dir)
             merged.drop_columns(["part"]).write_parquet(seg_dir)
             seg_tbl = pads.dataset(seg_dir).to_table(columns=["df"])
             mf.commit_manifest(
@@ -640,6 +654,7 @@ def build_index(
                     _ft.partial(add_block_stats, block=cfg.posting_block),
                     batch_format="pyarrow",
                 )
+            _clear_dir(os.path.join(out_dir, "postings"))
             merged_all.write_parquet(
                 os.path.join(out_dir, "postings"), partition_cols=["part"]
             )
@@ -701,6 +716,7 @@ def build_index(
             .groupby(["part", "bucket"])
             .map_groups(merge_prio_group, batch_format="pyarrow")
         )
+        _clear_dir(os.path.join(out_dir, "postings_prio"))
         prio.write_parquet(
             os.path.join(out_dir, "postings_prio"), partition_cols=["part"]
         )

@@ -86,12 +86,8 @@ def _tomb_ids(ref) -> np.ndarray:
     return ids
 
 
-def _membership(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
-    if len(sorted_set) == 0:
-        return np.zeros(len(ids), dtype=bool)
-    ix = np.searchsorted(sorted_set, ids)
-    safe = np.minimum(ix, len(sorted_set) - 1)
-    return sorted_set[safe] == ids
+# the exactness-critical sorted-set semi-join lives in ONE place
+from .query import _membership  # noqa: E402
 
 
 def _tomb_filter_batch(batch: pa.Table, *, ids_ref) -> pa.Table:
@@ -215,6 +211,17 @@ def build_delta_index(
                     f"against {rec}, but is listed after {prior_dirs[:k]}"
                 )
 
+    # the delta MUST partition like its base: the extended registry
+    # assigns parts modulo the base's num_parts, and a smaller cfg value
+    # would silently build postings for only a prefix of the parts
+    # (documents in the rest would vanish from the chain while their
+    # base copies are tombstoned)
+    base_parts = int(mf.read_manifest(base_dir, "root")["num_parts"])
+    if cfg.num_parts != base_parts:
+        from dataclasses import replace
+
+        cfg = replace(cfg, num_parts=base_parts)
+
     if not mf.is_committed(delta_dir, "root"):
         # materialize the delta corpus ONCE: it is delta-sized by the
         # live-ingest contract, and the registry probe + journal phase
@@ -249,6 +256,16 @@ def build_delta_index(
 
     if not mf.is_committed(delta_dir, "delta"):
         t0 = time.time()
+        # resume idempotence: the phase commits ONE manifest at the end,
+        # so any tombstone/correction files from a crashed earlier
+        # attempt are garbage — Ray's parquet sink APPENDS, and appending
+        # to them would double-count the df corrections
+        import shutil
+
+        shutil.rmtree(os.path.join(delta_dir, "tombstones"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(delta_dir, "df_correction"), ignore_errors=True
+        )
         # the delta's own id set: small by the live-ingest contract —
         # collected once, broadcast to every prior-segment scan task
         delta_ids = np.sort(
@@ -382,6 +399,13 @@ def compact_segments(
 
     if not mf.is_committed(out_dir, "journal"):
         t0 = time.time()
+        # resume idempotence: a crash between the parquet writes and the
+        # manifest commit leaves partial dirs the APPEND sink would
+        # double on re-run
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "journal"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "lang_index"), ignore_errors=True)
         merged = None
         for d in segment_dirs:
             seg = rd.read_parquet(os.path.join(d, "journal")).map_batches(

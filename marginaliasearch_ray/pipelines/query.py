@@ -2153,14 +2153,30 @@ class IndexSearch:
         total, tombed = 0, 0
         for d in dirs:
             total += int(mf.read_manifest(d, "root")["n_docs"])
-        for dk in dirs[1:]:
+        for k, dk in enumerate(dirs[1:], start=1):
+            # read-side chain validation (mirrors build_delta_index's
+            # write-side guard): suppression matches priors by their
+            # RECORDED build-time abspaths, so a relocated tree, a
+            # reordered chain, or an uncommitted delta would otherwise
+            # silently serve stale tombstoned documents as duplicates
             if not mf.is_committed(dk, "delta"):
-                continue
+                raise ValueError(
+                    f"segment {dk} has no committed delta phase — it is "
+                    "not a finished delta; rebuild it or drop it from "
+                    "the chain"
+                )
             dman = mf.read_manifest(dk, "delta")
-            for j, prior in enumerate(dman.get("prior_dirs", [])):
-                if prior in suppress:
-                    suppress[prior].append((dk, j))
-                    tombed += int(dman.get("tombstones", {}).get(prior, 0))
+            rec = [os.path.abspath(d) for d in dman.get("prior_dirs", [])]
+            if rec != dirs[:k]:
+                raise ValueError(
+                    f"segment chain mismatch: {dk} was built against "
+                    f"{rec}, but the chain lists {dirs[:k]} before it "
+                    "(segments must be opened under their build-time "
+                    "paths, oldest first)"
+                )
+            for j, prior in enumerate(rec):
+                suppress[prior].append((dk, j))
+                tombed += int(dman.get("tombstones", {}).get(prior, 0))
         self.total_docs = total - tombed
         self.num_parts = mf.read_manifest(dirs[0], "root")["num_parts"]
         # the LAST segment's registry is the superset (append-only chain)
@@ -2201,6 +2217,10 @@ class IndexSearch:
                     *self._seg_parts[i]
                 )
                 replaced += 1
+            except ray.exceptions.GetTimeoutError:
+                # slow but alive (cold segment load, saturated node) —
+                # leave it; the retried fan-out will wait normally
+                pass
         return replaced
 
     def _call(self, method: str, *args):
@@ -2268,7 +2288,11 @@ class IndexSearch:
         if cq.repo is not None:
             ent = self._registry.get(cq.repo)
             if ent is None:
-                return _result_table([], [], None)
+                return (
+                    pa.table({"n": pa.array([0], pa.int64())})
+                    if count_only
+                    else _result_table([], [], None)
+                )
             dom, rank, _part = ent
             domain_range = idcodec.domain_id_range(int(rank), int(dom))
 
@@ -2336,7 +2360,11 @@ class IndexSearch:
                             idcodec.domain_id_range(int(rank), int(dom))
                         )
                 if not ranges:
-                    return _result_table([], [], None)
+                    return (
+                    pa.table({"n": pa.array([0], pa.int64())})
+                    if count_only
+                    else _result_table([], [], None)
+                )
                 plan["domain_ranges"] = ranges
 
         if cq.priority_orgs:
@@ -2391,7 +2419,12 @@ class IndexSearch:
                     for t, i in zip(cq.include, cq.include_ids)
                     if t not in consumed
                 ]
-                plan["include_ids"] = keep_ids
+                # preserve ids appended by filter_spec 'require' (they
+                # are not part of cq.include and no window consumed them)
+                extra = set(plan["include_ids"]) - set(cq.include_ids)
+                plan["include_ids"] = keep_ids + [
+                    i for i in plan["include_ids"] if i in extra
+                ]
 
         # phase 1: global df = sum of per-partition dfs
         all_ids = (

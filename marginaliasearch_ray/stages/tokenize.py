@@ -62,10 +62,13 @@ def _is_comment_line(line: str) -> bool:
     return line.lstrip().startswith(_COMMENT_PREFIXES)
 
 
-def tokenize_with_spans(content: str) -> tuple[list[str], list[int], list[list[int]]]:
-    """Tokenize line-by-line (identical token stream — newlines always
-    separate tokens) and record per-tag spans as flattened [start, end)
-    1-based position pairs.
+def _line_span_tokenize(
+    content: str, span_pred
+) -> tuple[list[str], list[int], list[list[int]]]:
+    """Shared processor core: tokenize line-by-line (identical token
+    stream — newlines always separate tokens), marking lines where
+    ``span_pred`` fires as comment/heading-analog spans (flattened
+    [start, end) 1-based pairs).
 
     (A single-finditer whole-document variant was measured ~25% SLOWER —
     re.findall's C-level string list beats per-match objects — so the
@@ -75,7 +78,7 @@ def tokenize_with_spans(content: str) -> tuple[list[str], list[int], list[list[i
     pos = 1
     for line in content.split("\n"):
         lt = tokenize(line)
-        if lt and _is_comment_line(line):
+        if lt and span_pred(line):
             comment_pairs.extend((pos, pos + len(lt)))
         toks.extend(lt)
         pos += len(lt)
@@ -88,6 +91,11 @@ def tokenize_with_spans(content: str) -> tuple[list[str], list[int], list[list[i
         codes.append(SPAN_HEAD)
         spans.append([1, min(len(toks), HEAD_SPAN_TOKENS) + 1])
     return toks, codes, spans
+
+
+def tokenize_with_spans(content: str) -> tuple[list[str], list[int], list[list[int]]]:
+    """Code processor: comment-prefixed lines become comment spans."""
+    return _line_span_tokenize(content, _is_comment_line)
 
 
 def plaintext_with_spans(
@@ -111,24 +119,9 @@ def markdown_with_spans(
     """Markdown processor: ATX heading lines ('#'-prefixed) become the
     heading-analog spans (the role comment lines play for code); other
     comment-like prefixes ('//', '--', '*') are prose."""
-    toks: list[str] = []
-    pairs: list[int] = []
-    pos = 1
-    for line in content.split("\n"):
-        lt = tokenize(line)
-        if lt and line.lstrip().startswith("#"):
-            pairs.extend((pos, pos + len(lt)))
-        toks.extend(lt)
-        pos += len(lt)
-    codes: list[int] = []
-    spans: list[list[int]] = []
-    if pairs:
-        codes.append(SPAN_COMMENT)
-        spans.append(pairs[: 2 * 8192])
-    if toks:
-        codes.append(SPAN_HEAD)
-        spans.append([1, min(len(toks), HEAD_SPAN_TOKENS) + 1])
-    return toks, codes, spans
+    return _line_span_tokenize(
+        content, lambda line: line.lstrip().startswith("#")
+    )
 
 
 # Document-processor plugin registry (AbstractDocumentProcessorPlugin with
