@@ -1505,15 +1505,25 @@ contrib AS (
     mask_col = ""
     if positions_mask:
         # calculatePositionsMask (IndexResultRankingService.java:262-278):
-        # bit floor(sqrt(s)) per full-group intersection start, first 64;
-        # sum of DISTINCT powers == the bit-OR.  Corpus positions < 4096,
-        # so Java's 1L<<bit wrap never engages here.
-        starts64 = _starts_sql(terms)
+        # bit floor(sqrt(s)) per full-group intersection start, first 64
+        # intersections (findIntersections limit); Java's `1L << bit`
+        # wraps at 64 (& 63) and the loop stops AFTER processing the
+        # first bit >= 64 — replicated here via a first-over stop index
+        # and a wrapped shift.  Sum of DISTINCT powers == the bit-OR
+        # (bit 63's sign bit survives the HUGEINT sum; CAST keeps the
+        # driver dtype int64 to match the engine).
+        starts64 = f"({_starts_sql(terms)})[1:64]"
+        # lambda vars must not shadow the comprehension's `i`/`s`
+        # list_position returns 0 (not NULL) when absent -> nullif
+        stop = (
+            f"coalesce(nullif(list_position(list_transform({starts64},"
+            f" mx -> floor(sqrt(mx)) >= 64.0), true), 0), 64)"
+        )
         mask_col = (
-            f",\n         coalesce(list_sum(list_distinct(list_transform("
-            f"({starts64})[1:64],"
-            f" s -> (1::BIGINT << CAST(floor(sqrt(s)) AS INT))))), 0)"
-            f" AS positions_mask"
+            f",\n         CAST(coalesce(list_sum(list_distinct(list_transform("
+            f"list_filter({starts64}, (mv, mi) -> mi <= {stop}),"
+            f" mv -> (1::BIGINT << (CAST(floor(sqrt(mv)) AS INT) & 63))))), 0)"
+            f" AS BIGINT) AS positions_mask"
         )
     scored = f"""{scored}
 scored AS (

@@ -2020,31 +2020,45 @@ class SearcherLogic:
             return np.zeros(n, dtype=np.int64)
         order = np.argsort(ids, kind="stable")  # adjacency needs sorted ids
         keys = _adjacency_keys(seg, ids[order], list(include_ids))
-        mask_sorted = np.zeros(n, dtype=np.uint64)
-        if len(keys):
-            cidx = keys // _POS_SHIFT
-            pos = keys - cidx * _POS_SHIFT
-            first = np.ones(len(keys), dtype=bool)
-            first[1:] = cidx[1:] != cidx[:-1]
-            starts = np.flatnonzero(first)
-            runs = np.diff(np.append(starts, len(keys)))
-            r = np.arange(len(keys)) - np.repeat(starts, runs)
-            bit = np.floor(np.sqrt(pos.astype(np.float64))).astype(np.int64)
-            over = bit >= 64
-            # positions ascend within a candidate, so 'over' is a suffix:
-            # include ranks < 64 that are not past the first over-bit
-            over_rank = np.where(over, r, np.iinfo(np.int64).max)
-            first_over = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(first_over, cidx, over_rank)
-            inc = (r < 64) & (r <= first_over[cidx])
-            np.bitwise_or.at(
-                mask_sorted,
-                cidx[inc],
-                np.uint64(1) << (bit[inc].astype(np.uint64) & np.uint64(63)),
-            )
+        mask_sorted = _mask_from_keys(keys, n)
         out = np.zeros(n, dtype=np.uint64)
         out[order] = mask_sorted
         return out.view(np.int64)
+
+
+def _mask_from_keys(keys: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized Java loop of calculatePositionsMask
+    (IndexResultRankingService.java:265-278) over sorted
+    ``cand_idx * _POS_SHIFT + position`` keys for ``n`` candidates:
+    per candidate, take the first 64 intersection starts
+    (findIntersections limit), set bit ``floor(sqrt(pos))`` with Java's
+    ``1L << bit`` wrap (& 63), and stop AFTER processing the first
+    bit >= 64 (the ``while (... && bit < 64)`` check runs before the
+    NEXT read, so the over-64 element itself is included, wrapped)."""
+    masks = np.zeros(n, dtype=np.uint64)
+    if len(keys) == 0:
+        return masks
+    cidx = keys // _POS_SHIFT
+    pos = keys - cidx * _POS_SHIFT
+    first = np.ones(len(keys), dtype=bool)
+    first[1:] = cidx[1:] != cidx[:-1]
+    starts = np.flatnonzero(first)
+    runs = np.diff(np.append(starts, len(keys)))
+    r = np.arange(len(keys)) - np.repeat(starts, runs)
+    bit = np.floor(np.sqrt(pos.astype(np.float64))).astype(np.int64)
+    over = bit >= 64
+    # positions ascend within a candidate, so 'over' is a suffix:
+    # include ranks < 64 that are not past the first over-bit
+    over_rank = np.where(over, r, np.iinfo(np.int64).max)
+    first_over = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_over, cidx, over_rank)
+    inc = (r < 64) & (r <= first_over[cidx])
+    np.bitwise_or.at(
+        masks,
+        cidx[inc],
+        np.uint64(1) << (bit[inc].astype(np.uint64) & np.uint64(63)),
+    )
+    return masks
 
 
 def _kth_group_max(

@@ -674,3 +674,42 @@ def test_positions_mask_matches_bruteforce(index_dir, oracle, corpus_table):
         assert got == mask, ((r, p), got, mask)
         n_nonzero += mask != 0
     assert n_nonzero > 0
+
+
+def test_mask_from_keys_java_wrap_semantics():
+    """Java-exact over-64 behavior of the vectorized mask kernel
+    (IndexResultRankingService.java:265-278): with positions > 4096
+    (bit >= 64), `1L << bit` wraps (& 63) and the loop stops AFTER
+    processing the first over-64 element.  Reference loop ported
+    literally below; vectors chosen so wrap and stop both fire."""
+    import numpy as np
+
+    from marginaliasearch_ray.pipelines.query import _POS_SHIFT, _mask_from_keys
+
+    def java_mask(positions):
+        result, bit = 0, 0
+        for p in positions[:64]:  # findIntersections(..., 64) limit
+            if bit >= 64:
+                break
+            bit = int(np.sqrt(p))
+            result |= (1 << (bit & 63)) & 0xFFFFFFFFFFFFFFFF
+        return result
+
+    cases = [
+        [1, 9, 100],                      # all under: plain bits 1,3,10
+        [4095, 4096, 4097],               # 4096 -> bit 64 wraps to 0, stops
+        [25, 5000, 36, 49],               # stop after 5000; 36/49 excluded
+        [4225, 10],                       # first element already over
+        [16640, 17030],                   # bits 129,130 wrap to 1,2; stop at 129
+        list(range(1, 200)),              # >64 intersections: rank cap
+        [3969, 4096],                     # boundary pair: 63 then wrapped 0
+    ]
+    n = len(cases)
+    keys = []
+    for ci, positions in enumerate(cases):
+        for p in positions:
+            keys.append(ci * int(_POS_SHIFT) + p)
+    got = _mask_from_keys(np.sort(np.array(keys, dtype=np.int64)), n)
+    for ci, positions in enumerate(cases):
+        want = java_mask(sorted(positions))
+        assert int(got[ci]) == want, (ci, positions, int(got[ci]), want)
