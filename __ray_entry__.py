@@ -361,6 +361,67 @@ def _bm25_heading(sf_dir: str):
     )
 
 
+_WORDNUM_HANDLES: dict[str, Any] = {}
+
+
+def _wordnum_index_for(sf_dir: str):
+    """Side index for the splitWordNum expansion
+    (QueryExpansion.java:112-121): the main sf corpus contains neither
+    letter+digit tokens nor dashed identifiers, so the strategy could
+    never produce a match there (r3 verdict: vacuous oracle).  Per
+    custkey id: 'probe' always, 'scan2' when id%2==0, 'scan-2' when
+    id%3==0, plus id%5 'pad' fillers — so the expanded query
+    'probe scan2' ~ probe AND (scan2 OR scan-2) finds strictly more
+    documents than the unexpanded one."""
+    handle = _WORDNUM_HANDLES.get(sf_dir)
+    if handle is not None:
+        return handle
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    ids = (
+        _pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+        )["c_custkey"]
+        .to_pylist()
+    )
+    ids = sorted(ids)[:400]
+    contents = []
+    for i in ids:
+        toks = ["probe"]
+        if i % 2 == 0:
+            toks.append("scan2")
+        if i % 3 == 0:
+            toks.append("scan-2")
+        toks += ["pad"] * (i % 5)
+        contents.append(" ".join(toks))
+    corpus = pa.table(
+        {
+            "repo": pa.array(["wordnumsrc"] * len(ids), pa.string()),
+            "path": pa.array([f"docs/{i}.txt" for i in ids], pa.string()),
+            "commit": pa.array(["0"] * len(ids), pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+            "ordinal": pa.array(ids, pa.int64()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+    tag = _hl.sha256(
+        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@wordnum".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/msray_index_cache", tag)
+    build_index(
+        ray.data.from_arrow(corpus),
+        out,
+        BuildConfig(num_parts=2, num_buckets=8, hot_df_threshold=1000),
+    )
+    handle = IndexSearch(out, use_actors=False)
+    _WORDNUM_HANDLES[sf_dir] = handle
+    return handle
+
+
 # delta-segment chain (pipelines.delta): the MAIN index is the base
 # segment; a delta re-ingests every doc with doc_id % 31 == 7 with
 # ' deltafresh deltafresh customer' appended to its text.  Searching
@@ -624,9 +685,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_category"] = lambda sf: _search(
         sf, "customer wiki", expand_category=True
     )
-    q["bm25_wordnum"] = lambda sf: _search(
-        sf, "customer scan2", expand_wordnum=True
-    )
+    # splitWordNum over a side corpus where both token forms exist (the
+    # main corpus has neither, making any oracle vacuous); the _off twin
+    # proves expansion changes the result set
+    q["bm25_wordnum"] = lambda sf: _wordnum_index_for(sf).search(
+        "probe scan2", k=20, expand_wordnum=True
+    ).select(["doc_id", "score_r"])
+    q["bm25_wordnum_off"] = lambda sf: _wordnum_index_for(sf).search(
+        "probe scan2", k=20
+    ).select(["doc_id", "score_r"])
     q["bm25_ngram_all"] = lambda sf: _search(
         sf, "fast table", expand_ngram_all=True
     )
@@ -1869,9 +1936,69 @@ def oracle_sql() -> dict[str, str]:
         "bm25_category": _bm25_sql(
             ["customer"], groups=[["wiki", "generator:wiki"]]
         ),
-        "bm25_wordnum": _bm25_sql(
-            ["customer"], groups=[["scan2", "scan-2"]]
-        ),
+        # splitWordNum side corpus (see _wordnum_index_for): probe AND
+        # (scan2 OR scan-2), group contribution = max over variants
+        # (intMaxSum), recreated from customer keys
+        "bm25_wordnum": f"""
+            WITH ks AS (
+              SELECT c_custkey AS id FROM customer
+              ORDER BY c_custkey LIMIT 400
+            ),
+            s AS (
+              SELECT id,
+                CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS t2,
+                CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS td,
+                1 + (CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END)
+                  + id % 5 AS dl
+              FROM ks
+            ),
+            agg AS (
+              SELECT count(*)::DOUBLE AS n,
+                     sum(t2)::DOUBLE AS df2,
+                     sum(td)::DOUBLE AS dfd
+              FROM s
+            )
+            SELECT id AS doc_id,
+              round(({sql_bm25_term_expr('1', 'agg.n', 'agg.n', 's.dl')})
+                  + greatest(
+                      CASE WHEN s.t2 = 1 THEN
+                        ({sql_bm25_term_expr('1', 'agg.df2', 'agg.n', 's.dl')})
+                        ELSE 0.0 END,
+                      CASE WHEN s.td = 1 THEN
+                        ({sql_bm25_term_expr('1', 'agg.dfd', 'agg.n', 's.dl')})
+                        ELSE 0.0 END),
+                6) AS score_r
+            FROM s, agg
+            WHERE s.t2 = 1 OR s.td = 1
+            ORDER BY score_r DESC, doc_id
+            LIMIT 20
+        """,
+        "bm25_wordnum_off": f"""
+            WITH ks AS (
+              SELECT c_custkey AS id FROM customer
+              ORDER BY c_custkey LIMIT 400
+            ),
+            s AS (
+              SELECT id,
+                CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS t2,
+                1 + (CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END)
+                  + id % 5 AS dl
+              FROM ks
+            ),
+            agg AS (
+              SELECT count(*)::DOUBLE AS n, sum(t2)::DOUBLE AS df2 FROM s
+            )
+            SELECT id AS doc_id,
+              round(({sql_bm25_term_expr('1', 'agg.n', 'agg.n', 's.dl')})
+                  + ({sql_bm25_term_expr('1', 'agg.df2', 'agg.n', 's.dl')}),
+                6) AS score_r
+            FROM s, agg
+            WHERE s.t2 = 1
+            ORDER BY score_r DESC, doc_id
+            LIMIT 20
+        """,
         "bm25_ngram_all": _bm25_nested_sql("fast table | fast_table"),
         "bm25_priority_org": _bm25_sql(["customer"], priority_org="src1"),
         "bm25_advice": _bm25_sql(["customer"], advice=["generator:wiki"]),
