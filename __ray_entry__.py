@@ -2263,6 +2263,100 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY 1, 2
         """,
+        # LSH ANN: the fixed-seed hyperplanes are deterministic constants
+        # of the operator (similarity._lsh_planes, LSH_SEED=99, dim 64),
+        # inlined as literals; sig(v) = bit p set iff dot(v, plane_p) > 0,
+        # probe set = own signature + Hamming-1 => candidates are vectors
+        # at signature distance <= 1 from the query's
+        "lsh_ann_topk": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            q AS (SELECT v FROM e WHERE vec_id = 0),
+            {_lsh_planes_sql()},
+            sigs AS (
+              SELECT e.vec_id,
+                     sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+                         THEN 1 << p.p ELSE 0 END)::BIGINT AS sig
+              FROM e CROSS JOIN planes p GROUP BY e.vec_id
+            ),
+            qs AS (SELECT sig FROM sigs WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.v, q.v), 6) AS cos_r
+            FROM e JOIN sigs s ON s.vec_id = e.vec_id, q, qs
+            WHERE bit_count(xor(s.sig, qs.sig)) <= 1
+            ORDER BY cos_r DESC, e.vec_id
+            LIMIT 10
+        """,
+        # IVF ANN: centroids are the first 16 vectors (vec_id < 16 — the
+        # file is vec_id-ordered), assignment = nearest centroid by
+        # cosine with first-index tiebreak, probe = 4 nearest centroids
+        # to the query, result = exact top-k over the probed buckets
+        "ivf_ann_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            q AS (SELECT v FROM e WHERE vec_id = 0),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            probe AS (
+              SELECT cid FROM c, q
+              ORDER BY list_cosine_similarity(c.cv, q.v) DESC, cid
+              LIMIT 4
+            ),
+            assign AS (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid
+                     ) AS rn
+              FROM e CROSS JOIN c
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.v, q.v), 6) AS cos_r
+            FROM e
+            JOIN assign b ON b.vec_id = e.vec_id AND b.rn = 1, q
+            WHERE b.cid IN (SELECT cid FROM probe)
+            ORDER BY cos_r DESC, e.vec_id
+            LIMIT 10
+        """,
+        # bucketed near-dup: candidates share a probe bucket (own sig +
+        # Hamming-1 on both sides) <=> signature distance <= 2; every
+        # emitted pair carries the exact rounded cosine, so the result is
+        # exactly the sig-filtered subset of embedding_near_dup
+        "embedding_near_dup_bucketed": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            {_lsh_planes_sql()},
+            sigs AS (
+              SELECT e.vec_id,
+                     sum(CASE WHEN list_dot_product(e.v, p.w) > 0
+                         THEN 1 << p.p ELSE 0 END)::BIGINT AS sig
+              FROM e CROSS JOIN planes p GROUP BY e.vec_id
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            JOIN sigs sa ON sa.vec_id = a.vec_id
+            JOIN sigs sb ON sb.vec_id = b.vec_id
+            WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
+              AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        """,
+        # frame sampling: payload = UTF-8 bytes of props, 4 frames of
+        # step = max(1, len//4) bytes, stop at the first empty chunk
+        "media_frame_sample": """
+            WITH e AS (
+              SELECT event_id, octet_length(encode(props)) AS L
+              FROM events ORDER BY event_id LIMIT 128
+            ),
+            p AS (
+              SELECT event_id, L, greatest(1, L // 4) AS step FROM e
+            )
+            SELECT event_id AS media_id, f::INTEGER AS frame_no,
+                   (least((f + 1) * step, L) - f * step)::BIGINT AS frame_bytes
+            FROM p, generate_series(0, 3) AS g(f)
+            WHERE f * step < L
+        """,
         "events_sessions": """
             WITH e AS (
               SELECT user_id, ts,
@@ -2281,8 +2375,22 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
         """,
     }
-    # simhash64 / lsh_ann_topk: bit-level / probabilistic — no SQL oracle
+    # simhash64: bit-level rolling-hash fingerprint — no SQL oracle
     return sqls
+
+
+def _lsh_planes_sql() -> str:
+    """The fixed-seed LSH hyperplanes (similarity._lsh_planes, dim 64,
+    8 planes) inlined as a DuckDB VALUES table — deterministic operator
+    constants, so the SQL oracle replicates the exact sign-bucketing."""
+    from marginaliasearch_ray.pipelines.similarity import _lsh_planes
+
+    pl = _lsh_planes(64, 8)  # (dim, n_planes)
+    rows = []
+    for p in range(pl.shape[1]):
+        vals = ", ".join(repr(float(x)) for x in pl[:, p])
+        rows.append(f"({p}, [{vals}]::DOUBLE[])")
+    return "planes(p, w) AS (VALUES " + ",\n ".join(rows) + ")"
 
 
 # ---------------------------------------------------------------------------

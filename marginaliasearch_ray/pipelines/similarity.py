@@ -382,7 +382,8 @@ def ivf_ann_topk(
     """IVF-flat over the bucket-partitioned store: the query loads the
     tiny centroid table, picks its ``nprobe`` nearest buckets, and READS
     ONLY those partition directories (a strict subset of the files).
-    Approximate — rows-only check."""
+    Approximate but deterministic (centroids = first 16 vectors), so the
+    driver oracle replicates the assignment/probe/score exactly in SQL."""
     import os
 
     import pyarrow.parquet as pq
@@ -573,7 +574,9 @@ def embedding_near_dup_bucketed(
     true near-duplicates (cos >= ~0.9, the dedup use case — pytest-proven
     on planted duplicates), low for weak-similarity thresholds like 0.45
     (measured 62/144 at sf0.1 — random-projection LSH cannot prune a
-    cos ~0.5 neighborhood in 64-d).  Rows-only checked."""
+    cos ~0.5 neighborhood in 64-d).  Deterministic given the fixed-seed
+    planes: the driver oracle replicates the signature-distance <= 2
+    candidate set and exact verify in SQL."""
     import functools
     import os
 
@@ -600,7 +603,9 @@ def embedding_near_dup_bucketed(
 def lsh_ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_planes: int = 8):
     """Random-hyperplane LSH over the bucket-partitioned store: the query
     reads ONLY its own signature's partition dir plus the Hamming-1
-    neighbor dirs.  Approximate (recall < 1) — rows-only check."""
+    neighbor dirs.  Approximate (recall < 1) but deterministic given the
+    fixed-seed planes, so the driver oracle replicates the sign
+    signatures and Hamming-1 probe set exactly in SQL."""
     import os
 
     import ray
