@@ -2,15 +2,15 @@
 
 Ray Data has no event-time windowing; tumbling windows are expressed as
 a plain groupby on (key, floor(ts / width)) — an exact, shuffle-once
-mapping.  Session windows need ordered per-key state and use
-``groupby(key).map_groups`` over ts-sorted groups (ordering assumption:
-one group holds all events of a key).
+mapping.  Session windows need ordered per-key state and run in two
+bounded passes: sessionize within (key, coarse time bucket) groups,
+then merge boundary-crossing sessions per key over the per-bucket
+summaries (see session_windows for why that is exact).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -106,36 +106,94 @@ def sliding_window(sf_dir: str, width_s: int = 3600, step_s: int = 900):
     return out.map_batches(round_val, batch_format="pyarrow")
 
 
-def session_windows(sf_dir: str, gap_s: int = 1800):
+def session_windows(sf_dir: str, gap_s: int = 1800, coarse_mult: int = 48):
     """(user_id, session_start, session_end, n_events) — session windows
-    with a max-gap rule, computed per user inside map_groups over the
-    ts-sorted group (stateful-window custom operator; documented
-    partitioning assumption: all events of a user in one group)."""
+    with a max-gap rule, exact in TWO BOUNDED passes (no per-user group
+    ever holds a user's full event history):
+
+    1. sessionize within (user_id, coarse time bucket) groups — bucket
+       width is ``coarse_mult * gap``, so a group holds at most one
+       bucket's events of one user;
+    2. merge boundary-crossing sessions per user over the per-bucket
+       session SUMMARIES.  A bucket yields at most ``coarse_mult / 2``
+       sessions (each session plus its following gap spans > gap), so the
+       pass-2 group is bounded by time_range / gap — independent of the
+       user's event count.  A power user with 10^8 events costs pass 1
+       many small groups and pass 2 a few thousand summary rows.
+
+    Merging adjacent summaries with the same ``start - prev_end <= gap``
+    rule is exact because buckets partition time: sessions sorted by
+    start are also sorted by end, and only time-adjacent sessions can
+    chain."""
     import ray.data
+
+    gap_us = gap_s * 1_000_000
+    coarse_us = gap_us * coarse_mult
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts = g["ts"].to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        new_session = np.concatenate([[True], gaps > gap_s * 1_000_000])
-        sid = np.cumsum(new_session)
-        out = (
-            pd.DataFrame({"ts": ts, "sid": sid})
-            .groupby("sid")["ts"]
-            .agg(["min", "max", "count"])
-            .reset_index(drop=True)
-        )
-        return pd.DataFrame(
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())  # microseconds
+        return pa.table(
             {
-                "user_id": g["user_id"].iloc[0],
-                "session_start": out["min"],
-                "session_end": out["max"],
-                "n_events": out["count"].astype("int64"),
+                "user_id": batch["user_id"],
+                "cb": pc.divide(ts, coarse_us),
+                "ts": ts,
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def bucket_sessions(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].to_numpy(zero_copy_only=False))
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new)
+        last = np.append(starts[1:], len(ts)) - 1
+        uid = g["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(starts), uid, dtype=np.int64), pa.int64()
+                ),
+                "s": pa.array(ts[starts], pa.int64()),
+                "e": pa.array(ts[last], pa.int64()),
+                "n": pa.array(last - starts + 1, pa.int64()),
+            }
+        )
+
+    def merge_user(g: pa.Table) -> pa.Table:
+        s = g["s"].to_numpy(zero_copy_only=False)
+        e = g["e"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        o = np.argsort(s, kind="stable")
+        s, e, n = s[o], e[o], n[o]
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = (s[1:] - e[:-1]) > gap_us
+        firsts = np.flatnonzero(new)
+        lasts = np.append(firsts[1:], len(s)) - 1
+        uid = g["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(firsts), uid, dtype=np.int64), pa.int64()
+                ),
+                "session_start": pa.array(s[firsts], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "session_end": pa.array(e[lasts], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n_events": pa.array(
+                    np.add.reduceat(n, firsts), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["user_id", "cb"])
+        .map_groups(bucket_sessions, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(merge_user, batch_format="pyarrow")
+    )

@@ -6,7 +6,8 @@
   against the broadcast normalized matrix) with a global top-k — exact.
 - ``lsh_ann_topk``: random-hyperplane LSH bucketing as the 10^12-row
   scale path (bucket by sign pattern, search only matching buckets) —
-  approximate, so it carries no SQL oracle.
+  approximate but deterministic, with an exact SQL oracle that inlines
+  the fixed-seed planes.
 
 All math is float64 (embeddings are float32 on disk; cast up exactly) so
 that DuckDB's ``list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])``
@@ -114,14 +115,24 @@ def _emb_block_rows(batch: pa.Table, *, num_blocks: int) -> pa.Table:
 
 
 def _group_matrix(group: pa.Table, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) of the selected rows.  The eb blobs are
+    gathered straight from the Arrow binary buffers (the
+    reverse._binary_buffers offset technique): one zero-copy reshape over
+    the values buffer plus one vectorized row take — no per-row as_py()
+    loop in the block-pair hot path."""
     ids = group["vec_id"].to_numpy(zero_copy_only=False)[rows]
-    blobs = [group["eb"][int(r)].as_py() for r in rows]
-    dim = len(blobs[0]) // 8 if blobs else 0
-    mat = (
-        np.frombuffer(b"".join(blobs), dtype=np.float64).reshape(len(rows), dim)
-        if blobs
-        else np.empty((0, 0))
-    )
+    if len(rows) == 0:
+        return ids, np.empty((0, 0))
+    col = group["eb"].combine_chunks()
+    n = len(col)
+    off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    width = int(off[1] - off[0])  # fixed dim*8 float64 blobs by construction
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+    # uniform widths -> the values buffer is a dense (n, width) grid; the
+    # fancy row take copies only the selected cells (fresh aligned array)
+    mat = data.reshape(n, width)[rows].view(np.float64)
     return ids, mat
 
 
@@ -428,7 +439,6 @@ def ann_topk_per_label(sf_dir: str, vec_id: int = 0, k: int = 3):
     """(label, vec_id, cos_r) — top-k by cosine vs the query vector WITHIN
     each label group (grouped similarity search: per-batch partial top-k
     per label, then a final per-label groupby top-k)."""
-    import pandas as pd
     import ray
     import ray.data
 
@@ -447,10 +457,11 @@ def ann_topk_per_label(sf_dir: str, vec_id: int = 0, k: int = 3):
             }
         )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["cos_r", "vec_id"], ascending=[False, True]
-        ).head(k)
+    def topk(g: pa.Table) -> pa.Table:
+        cos = g["cos_r"].to_numpy(zero_copy_only=False)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((ids, -cos))[:k]
+        return g.take(pa.array(sel, pa.int64()))
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
@@ -458,7 +469,7 @@ def ann_topk_per_label(sf_dir: str, vec_id: int = 0, k: int = 3):
     return (
         ds.map_batches(score, batch_format="pyarrow")
         .groupby("label")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
     )
 
 

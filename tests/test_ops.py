@@ -380,3 +380,56 @@ def test_words_tfidf_reference_semantics(ray_session):
             expected[(10 + i, t)] = int(-v * 75)
 
     assert out == expected
+
+
+def test_session_windows_bucket_boundary_merge(ray_session, tmp_path):
+    """Sessions that cross the coarse-bucket boundary (pass 1 splits
+    them) must be stitched back exactly by the pass-2 summary merge —
+    including a chain spanning three buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marginaliasearch_ray.pipelines.events import session_windows
+
+    gap_s, coarse_mult = 100, 4  # bucket width 400 s
+    # user 1: events every 50 s straddling bucket edges 400 and 800 —
+    # one session spanning three buckets (0..1000)
+    ts1 = np.arange(0, 1001, 50, dtype=np.int64)
+    # user 2: a session ending exactly gap before a bucket edge and one
+    # starting at the edge (gap == 100 -> still ONE session: 300->400),
+    # plus a separate later session (gap exceeded)
+    ts2 = np.array([250, 300, 400, 450, 900], dtype=np.int64)
+    ts = np.concatenate([ts1, ts2]) * 1_000_000
+    uid = np.concatenate(
+        [np.full(len(ts1), 1, np.int64), np.full(len(ts2), 2, np.int64)]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        session_windows(str(tmp_path), gap_s=gap_s, coarse_mult=coarse_mult)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    rows = [
+        (
+            int(r.user_id),
+            int(r.session_start.value // 10**9),
+            int(r.session_end.value // 10**9),
+            int(r.n_events),
+        )
+        for r in got.itertuples()
+    ]
+    assert rows == [
+        (1, 0, 1000, len(ts1)),
+        (2, 250, 450, 4),
+        (2, 900, 900, 1),
+    ]
