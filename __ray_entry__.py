@@ -795,9 +795,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         documents_corpus_dataset(sf)
     )
     # training-shard export sink: dedup -> shard -> partitioned parquet;
-    # returns the per-shard manifest read back from the written files
+    # returns the per-shard manifest read back from the written files.
+    # out_dir is per-sf: the export manifest marks completeness of ONE
+    # input, so a shared dir would resume-skip across scales
     q["export_shards"] = lambda sf: textops.export_shards(
-        documents_corpus_dataset(sf), "/tmp/msray_export_shards", 16
+        documents_corpus_dataset(sf),
+        "/tmp/msray_export_shards_"
+        + hashlib.sha256(os.path.abspath(sf).encode()).hexdigest()[:12],
+        16,
     )
 
     # ArtifactKeywords over a corpus that actually contains mail-like

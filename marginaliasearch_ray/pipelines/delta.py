@@ -16,7 +16,8 @@ as Lucene-style segment composition, the idiomatic shape for a
   term-frequency dict (the reference's TermFrequencyDict is a static
   artifact loaded per process, DocumentKeywordExtractor.java:45 — not
   regenerated per ingest).  Updated documents (same repo+path => same
-  combined id) produce TOMBSTONES against each prior segment plus
+  combined id — VALIDATED during the correction scan, since the ordinal
+  is caller-supplied) produce TOMBSTONES against each prior segment plus
   per-term document-frequency corrections, so multi-segment BM25 is
   value-identical to a full rebuild over the corpus-with-replacement.
 - ``IndexSearch([base, delta, ...])`` (pipelines.query) searches the
@@ -80,7 +81,8 @@ def _tomb_ids(ref) -> np.ndarray:
     if ids is None:
         import ray
 
-        _TOMB_CACHE.clear()
+        if len(_TOMB_CACHE) > 8:  # a few live refs (ids + path map), no leak
+            _TOMB_CACHE.clear()
         ids = ray.get(ref) if hasattr(ref, "hex") else ref
         _TOMB_CACHE[key] = ids
     return ids
@@ -99,11 +101,18 @@ def _tomb_filter_batch(batch: pa.Table, *, ids_ref) -> pa.Table:
     return batch.filter(pa.array(mask))
 
 
-def _corr_partial(batch: pa.Table, *, ids_ref) -> pa.Table:
+def _corr_partial(batch: pa.Table, *, ids_ref, paths_ref=None) -> pa.Table:
     """Per-batch df-correction partial over a prior segment's journal:
     for rows being tombstoned, count per (part, term) how many stale
     documents contain the term (df) and how many carry a flagged posting
-    (prio df, same low-byte predicate as stages.prio.explode_flagged)."""
+    (prio df, same low-byte predicate as stages.prio.explode_flagged).
+
+    When ``paths_ref`` (the delta's sorted combined_id -> repo/path
+    table) is given, every colliding row's identity is VALIDATED: the
+    update contract is same repo+path => same combined id, and the
+    ordinal inside the id is caller-supplied — a delta that reuses an
+    unrelated base document's ordinal would otherwise silently tombstone
+    that document and subtract its df corrections."""
     tomb = _tomb_ids(ids_ref)
     cid = batch["combined_id"].to_numpy(zero_copy_only=False)
     mask = _membership(cid, tomb)
@@ -117,6 +126,28 @@ def _corr_partial(batch: pa.Table, *, ids_ref) -> pa.Table:
             }
         )
     sel = batch.filter(pa.array(mask))
+    if paths_ref is not None:
+        ptab = _tomb_ids(paths_ref)
+        vcid = ptab["combined_id"].to_numpy(zero_copy_only=False)
+        scid = sel["combined_id"].to_numpy(zero_copy_only=False)
+        take = pa.array(np.searchsorted(vcid, scid), pa.int64())
+        ok = pc.and_(
+            pc.equal(ptab["repo"].take(take), sel["repo"].combine_chunks()),
+            pc.equal(ptab["path"].take(take), sel["path"].combine_chunks()),
+        )
+        if not pc.min(ok).as_py():
+            bad = int(np.flatnonzero(~ok.to_numpy(zero_copy_only=False))[0])
+            raise ValueError(
+                "delta id collision with a DIFFERENT document: combined_id "
+                f"{int(scid[bad])} is "
+                f"{ptab['repo'].take(take)[bad].as_py()!r}/"
+                f"{ptab['path'].take(take)[bad].as_py()!r} in the delta but "
+                f"{sel['repo'][bad].as_py()!r}/{sel['path'][bad].as_py()!r} "
+                "in the prior segment; the caller-supplied ordinal reuses "
+                "an unrelated document's id (update contract: same "
+                "repo+path => same combined id)"
+            )
+        sel = sel.drop_columns(["repo", "path"])
     parts = pc.cast(sel["part"], pa.int32()).to_numpy(zero_copy_only=False)
     tids_col = sel["term_ids"].combine_chunks()
     flat_tid = pc.list_flatten(tids_col).to_numpy(zero_copy_only=False)
@@ -273,6 +304,14 @@ def build_delta_index(
                 os.path.join(delta_dir, "forward"), columns=["combined_id"]
             )["combined_id"].to_numpy(zero_copy_only=False)
         )
+        # delta-sized identity map for collision validation in the
+        # correction scan (see _corr_partial)
+        paths_ref = ray.put(
+            pq.read_table(
+                os.path.join(delta_dir, "journal"),
+                columns=["combined_id", "repo", "path"],
+            ).sort_by("combined_id")
+        )
         n_tomb: dict[str, int] = {}
         for j, prior in enumerate(prior_dirs):
             # ids ALREADY tombstoned against this prior by the deltas
@@ -325,13 +364,20 @@ def build_delta_index(
                 corr = (
                     rd.read_parquet(
                         os.path.join(prior, "journal"),
-                        columns=["part", "combined_id", "term_ids", "term_meta"],
+                        columns=[
+                            "part",
+                            "combined_id",
+                            "term_ids",
+                            "term_meta",
+                            "repo",
+                            "path",
+                        ],
                         filter=id_filter,
                     )
                     .map_batches(_cast_part, batch_format="pyarrow")
                     .map_batches(
                         _corr_partial,
-                        fn_kwargs={"ids_ref": ids_ref},
+                        fn_kwargs={"ids_ref": ids_ref, "paths_ref": paths_ref},
                         batch_format="pyarrow",
                     )
                     .groupby("part")
@@ -379,6 +425,29 @@ def compact_segments(
 
     cfg = cfg or BuildConfig()
     segment_dirs = [os.path.abspath(d) for d in segment_dirs]
+    # chain-prefix validation (the same contract build_delta_index and
+    # IndexSearch enforce): each delta's recorded prior list must equal
+    # the segments listed before it.  A reordered or partial list would
+    # silently mis-aim the positional tombstone dirs (stale duplicates
+    # survive into the merged journal) and copy the wrong registry/stats
+    # (segment_dirs[-1]/[0] are assumed newest-delta/base below).
+    for k, dk in enumerate(segment_dirs):
+        if mf.is_committed(dk, "delta"):
+            rec = [
+                os.path.abspath(d)
+                for d in mf.read_manifest(dk, "delta").get("prior_dirs", [])
+            ]
+            if rec != segment_dirs[:k]:
+                raise ValueError(
+                    f"segment_dirs is not a consistent chain: {dk} was "
+                    f"built against {rec}, but is listed after "
+                    f"{segment_dirs[:k]}"
+                )
+        elif k > 0:
+            raise ValueError(
+                f"non-base segment {dk} has no delta manifest — is the "
+                "chain ordered base-first?"
+            )
     os.makedirs(out_dir, exist_ok=True)
 
     # gather, per segment, the union of tombstoned ids laid down by later

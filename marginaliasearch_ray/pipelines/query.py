@@ -2219,22 +2219,30 @@ class IndexSearch:
     def _respawn_dead(self) -> int:
         """Replace searcher actors that died (node loss / OOM kill) with
         fresh ones over the same immutable segment files — serving keeps
-        answering after partial failure instead of erroring the query."""
+        answering after partial failure instead of erroring the query.
+        All probes fire first and share ONE timeout window: with hundreds
+        of (segment, part) actors, serial 60 s probes would stall a
+        failover by minutes."""
         import ray
 
+        refs = [s.local_df.remote([]) for s in self.searchers]
         replaced = 0
-        for i, s in enumerate(self.searchers):
+        ready, _ = ray.wait(
+            refs, num_returns=len(refs), timeout=60, fetch_local=False
+        )
+        ready_set = set(ready)
+        for i, ref in enumerate(refs):
+            if ref not in ready_set:
+                # slow but alive (cold segment load, saturated node) —
+                # leave it; the retried fan-out will wait normally
+                continue
             try:
-                ray.get(s.local_df.remote([]), timeout=60)
+                ray.get(ref)
             except ray.exceptions.RayActorError:
                 self.searchers[i] = self._actor_cls.remote(
                     *self._seg_parts[i]
                 )
                 replaced += 1
-            except ray.exceptions.GetTimeoutError:
-                # slow but alive (cold segment load, saturated node) —
-                # leave it; the retried fan-out will wait normally
-                pass
         return replaced
 
     def _call(self, method: str, *args):

@@ -406,16 +406,23 @@ def export_shards(corpus_ds, out_dir: str, num_shards: int = 16):
     """Dedup + deterministic sharded export — the OUTPUT stage of a
     training-data pipeline: exact-dedup by sha256(content) (min doc_id
     wins), assign ``shard = doc_id % num_shards``, write one parquet
-    directory per shard (resumable: a re-run skips/overwrites per shard,
-    never one giant file), and return the per-shard manifest
-    (shard, n_docs, n_bytes) read back from the written files.
+    directory per shard (never one giant file), and return the per-shard
+    summary (shard, n_docs, n_bytes) read back from the written files.
+
+    Commit protocol (the index phases' pattern): the write lands first,
+    then an ``export`` manifest is committed; a crash mid-write leaves NO
+    manifest, so readers and re-runs can tell a partial export from a
+    complete one.  A re-run over a committed ``out_dir`` skips the write
+    entirely (resume); it clears uncommitted partial output before
+    rewriting.  The manifest marks completeness, not input identity —
+    use a fresh ``out_dir`` for a different corpus.
 
     Streaming end-to-end: the dedup is a hash-partitioned groupby on the
     content hash, the winner row is chosen inside each group, and the
     write is Ray Data's partitioned parquet sink."""
     import shutil
 
-    from ray.data.aggregate import Min
+    from ..state import manifest as mf
 
     def with_hash(batch: pa.Table) -> pa.Table:
         hs = [
@@ -449,14 +456,20 @@ def export_shards(corpus_ds, out_dir: str, num_shards: int = 16):
             }
         )
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    (
-        corpus_ds.select_columns(["content", "ordinal"])
-        .map_batches(with_hash, batch_format="pyarrow")
-        .groupby("data_hash")
-        .map_groups(first_wins, batch_format="pyarrow")
-        .write_parquet(out_dir, partition_cols=["shard"])
-    )
+    if not mf.is_committed(out_dir, "export"):
+        shutil.rmtree(out_dir, ignore_errors=True)  # uncommitted partials
+        (
+            corpus_ds.select_columns(["content", "ordinal"])
+            .map_batches(with_hash, batch_format="pyarrow")
+            .groupby("data_hash")
+            .map_groups(first_wins, batch_format="pyarrow")
+            .write_parquet(out_dir, partition_cols=["shard"])
+        )
+        mf.commit_manifest(
+            out_dir,
+            "export",
+            {"num_shards": num_shards, "files": mf.list_phase_files(out_dir, "")},
+        )
     import ray.data as rd
 
     summary = (

@@ -212,11 +212,22 @@ class TokenizeStage:
             ray.get(registry_ref) if hasattr(registry_ref, "hex") else registry_ref
         )
         # per-lang document processors (SURVEY §2.10 plugin seam);
-        # unmapped langs fall back to the code processor
-        self.processors = {
-            lang: DOC_PROCESSORS[name]
-            for lang, name in (doc_processors or {}).items()
-        }
+        # unmapped langs fall back to the code processor.  Names resolve
+        # against THIS worker process's registry: a processor registered
+        # via register_processor() only on the driver does not exist
+        # here — fail with the fix spelled out instead of a bare KeyError
+        self.processors = {}
+        for lang, name in (doc_processors or {}).items():
+            if name not in DOC_PROCESSORS:
+                raise ValueError(
+                    f"unknown doc processor {name!r} for lang {lang!r} in "
+                    f"this worker process (registered: "
+                    f"{sorted(DOC_PROCESSORS)}). register_processor() "
+                    "must run at import time of a module shipped to "
+                    "workers (e.g. the module defining the processor), "
+                    "not ad hoc on the driver."
+                )
+            self.processors[lang] = DOC_PROCESSORS[name]
         self.cache = KeywordHashCache()
         self._key_tokens_cache: dict[str, frozenset] = {}
         self.dict_ids: np.ndarray | None = None

@@ -304,3 +304,50 @@ def test_compaction(chain, tmp_path_factory):
     assert seg.has_blocks
     pruned = s_c.search("return value", k=20, pruned=True)
     assert _rows(pruned) == _rows(s_ref.search("return value", k=20))
+
+
+def test_compaction_rejects_bad_chain(chain, tmp_path_factory):
+    """A reordered or base-less segment list must be refused: positional
+    tombstone dirs and the registry/stats copies assume base-first
+    prefix order (compact_segments chain validation)."""
+    base, ddir, _ = chain
+    out = str(tmp_path_factory.mktemp("seg_badchain"))
+    with pytest.raises(ValueError, match="chain"):
+        compact_segments([ddir, base], out, BuildConfig(**CFG))
+    with pytest.raises(ValueError, match="chain"):
+        compact_segments([ddir], out, BuildConfig(**CFG))
+
+
+def test_compaction_rejects_plain_segment_after_base(chain, tmp_path_factory):
+    base, _, ref = chain
+    out = str(tmp_path_factory.mktemp("seg_badchain2"))
+    with pytest.raises(ValueError, match="delta manifest"):
+        compact_segments([base, ref], out, BuildConfig(**CFG))
+
+
+def test_delta_id_collision_different_path_raises(
+    ray_session, corpora, chain, tmp_path_factory
+):
+    """A delta doc that reuses an existing (repo, ordinal) under a NEW
+    path would silently tombstone the unrelated base document; the
+    correction scan must detect the identity mismatch and raise."""
+    import ray.data
+
+    v1, _, _ = corpora
+    base, _, _ = chain
+    bad = pa.table(
+        {
+            "repo": v1["repo"][:1],
+            "path": pa.array(["totally/new_file.py"], pa.string()),
+            "commit": v1["commit"][:1],
+            "lang": v1["lang"][:1],
+            "content": pa.array(["fresh content return value"], pa.string()),
+            "ordinal": v1["ordinal"][:1],  # reuses an existing doc's ordinal
+        }
+    )
+    bdir = str(tmp_path_factory.mktemp("seg_badid"))
+    with pytest.raises((ValueError, Exception)) as ei:
+        build_delta_index(
+            ray.data.from_arrow(bad), [base], bdir, BuildConfig(**CFG)
+        )
+    assert "collision" in str(ei.value) or "collision" in repr(ei.value)
