@@ -351,3 +351,68 @@ def test_delta_id_collision_different_path_raises(
             ray.data.from_arrow(bad), [base], bdir, BuildConfig(**CFG)
         )
     assert "collision" in str(ei.value) or "collision" in repr(ei.value)
+
+
+def test_five_delta_churn_chain(ray_session, corpora, tmp_path_factory):
+    """Churn contract: five overlapping delta waves (every doc in the
+    update window is re-updated by the NEXT wave too, and some docs are
+    touched by four waves) must keep the chain value-identical to a full
+    rebuild of the final corpus, and compaction must fold the whole
+    chain back to the same answers."""
+    import ray.data
+
+    v1, _, _ = corpora
+    cfg = BuildConfig(**CFG)
+    cols = {c: v1[c].to_pylist() for c in v1.column_names}
+    n = len(cols["repo"])
+
+    base = str(tmp_path_factory.mktemp("churn_base"))
+    build_index(ray.data.from_arrow(v1), base, cfg)
+
+    running = {c: list(cols[c]) for c in cols}
+    chain_dirs = [base]
+    for w in range(5):
+        # overlapping sliding window: waves w and w+1 share half
+        upd = [(w * 4 + j) % n for j in range(8)]
+        delta = {c: [running[c][i] for i in upd] for c in cols}
+        delta["content"] = [
+            c + f"\nchurn wave{w} churn_token_{w}_{j}"
+            for j, c in enumerate(delta["content"])
+        ]
+        for j, i in enumerate(upd):
+            running["content"][i] = delta["content"][j]
+        t_delta = pa.table(
+            {c: pa.array(delta[c], v1.schema.field(c).type) for c in cols}
+        )
+        ddir = str(tmp_path_factory.mktemp(f"churn_d{w}"))
+        build_delta_index(
+            ray.data.from_arrow(t_delta), list(chain_dirs), ddir, cfg
+        )
+        chain_dirs.append(ddir)
+
+    ref = str(tmp_path_factory.mktemp("churn_ref"))
+    t_final = pa.table(
+        {c: pa.array(running[c], v1.schema.field(c).type) for c in cols}
+    )
+    build_index(ray.data.from_arrow(t_final), ref, cfg)
+
+    s_chain = IndexSearch(chain_dirs, use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    assert s_chain.total_docs == s_ref.total_docs
+    probes = QUERIES + [
+        dict(query="churn_token_4_0"),  # newest wave wins
+        dict(query="churn_token_0_0"),  # oldest wave: survives only where
+        # later waves did not re-update the doc
+    ]
+    for q in probes:
+        assert _rows(s_chain.search(k=20, **q)) == _rows(
+            s_ref.search(k=20, **q)
+        ), q
+
+    out = str(tmp_path_factory.mktemp("churn_compact"))
+    compact_segments(list(chain_dirs), out, cfg)
+    s_c = IndexSearch(out, use_actors=False)
+    for q in probes:
+        assert _rows(s_c.search(k=20, **q)) == _rows(
+            s_ref.search(k=20, **q)
+        ), q
