@@ -902,7 +902,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         media = ds.map_batches(to_media, batch_format="pyarrow")
-        return extract_media_features(media)
+        feats = extract_media_features(media)
+
+        # scalar projection of the 16-dim fake-decode feature vector so
+        # the driver can hash values (f0/f7/f15 + the full-vector mean
+        # covers every dim); the sha256-derived features are exactly
+        # reproducible in SQL
+        def proj(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            col = batch["feature"].combine_chunks()
+            m = np.asarray(col.values, dtype=np.float64).reshape(
+                len(batch), -1
+            )
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": batch["kind"],
+                    "f0_r": pa.array(np.round(m[:, 0], 6), pa.float64()),
+                    "f7_r": pa.array(np.round(m[:, 7], 6), pa.float64()),
+                    "f15_r": pa.array(np.round(m[:, 15], 6), pa.float64()),
+                    "mean_r": pa.array(
+                        np.round(m.mean(axis=1), 6), pa.float64()
+                    ),
+                }
+            )
+
+        return feats.map_batches(proj, batch_format="pyarrow")
 
     q["media_features"] = _media_features
 
@@ -1032,67 +1058,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # long-stable oracle queries ride at the tail.  Update this list whenever an
 # operator's implementation changes materially.
 _DRIVER_WINDOW_FIRST = [
-    # newest (round 3): delta segments / incremental ingest
+    # --- round-4 changed/new surface (16): must be driver-certified now
+    # oracle realigned to the reference loop + BIGINT dtype
+    "bm25_positions_mask",
+    # new non-vacuous side-corpus expansion pair
+    "bm25_wordnum",
+    "bm25_wordnum_off",
+    # former no_oracle entries, now with exact SQL oracles
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_near_dup_bucketed",
+    "media_frame_sample",
+    # rewritten: bounded two-pass sessionization / Arrow map_groups
+    "events_sessions",
+    "ann_topk_per_label",
+    # _group_matrix blob gather vectorized
+    "embedding_top_pairs",
+    "embedding_near_dup",
+    # commit-manifest export protocol
+    "export_shards",
+    # delta identity validation + chain checks touched delta.py
     "bm25_delta_chain",
     "bm25_delta_fresh",
     "bm25_delta_exclude",
     "bm25_delta_compacted",
-    # new round 3: block-max pruned execution
-    "bm25_pruned",
-    "bm25_pruned_conj",
-    "bm25_or_flat",
-    "bm25_pruned_or",
-    # new round 3: training-data ops (PII features, shard-export sink)
-    "pii_counts",
-    "export_shards",
-    "bm25_filter_spec",
-    "bm25_match_count",
-    # rewritten round 2-3, never driver-checked (r02 capped at 50 keys)
-    "artifact_terms",
-    "token_counts",
-    "winnow_fingerprints",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "near_dup_components",
-    "embedding_top_pairs",
-    "embedding_near_dup",
-    "embedding_near_dup_bucketed",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "ann_topk_per_label",
-    "media_features_real",
-    "media_frame_sample",
-    "events_tumbling_1h",
-    "events_sessions",
-    # round-3 work: expansion rework, flags family, ranking adjustment
-    # (paired controls bm25_expanded_off / bm25_heading_off and the
-    # media_features fake / events_sliding / doc_bonus_recent variants
-    # ride at the tail — their machinery is covered by in-window
-    # siblings, and each was green in an earlier driver window)
-    "bm25_expanded",
-    "bm25_plural",
-    "bm25_category",
-    "bm25_wordnum",
-    "bm25_advice_site",
-    "bm25_flags",
-    "bm25_flags_tfidf",
-    "words_tfidf",
-    "bm25_priority",
-    "bm25_priority_org",
-    "bm25_priority_norm",
-    "bm25_normalized",
-    "bm25_positions_mask",
-    "bm25_heading",
-    # build internals touched round 3 (lineage rollup, prio encode, stats fold)
-    "journal_sizes",
-    "forward_docmeta",
-    "posting_list_merge",
-    "posting_list_customer",
-    "prio_posting_customer",
-    "prio_posting_dup",
-    "span_stats",
-    "important_words",
-    # recently-exercised scoring family (rounds 2-3)
+    # --- rotation: entries last driver-checked in r01/r02 (34) — the
+    # scoring-variant family the r3 window displaced.  Deferred to the
+    # tail (machinery covered by an in-window sibling): bm25_expanded_off,
+    # bm25_heading_off, bm25_doc_bonus_recent, media_features,
+    # events_sliding_1h_15m, bm25_or_top, simhash64 (rows-only).
+    "bm25_single",
+    "bm25_conj",
+    "bm25_exclude",
+    "bm25_phrase",
+    "bm25_repo",
+    "bm25_size_limit",
+    "bm25_domain_cap",
+    "search_decorated",
+    "bm25_or_group",
+    "bm25_segmented",
+    "bm25_lang",
+    "bm25_meta_year",
+    "bm25_meta_rank",
+    "bm25_meta_quality",
+    "bm25_ngram_all",
+    "bm25_advice",
+    "bm25_page2",
     "bm25_verbatim_tags",
     "bm25_verbatim_tags_opt",
     "bm25_prox_all",
@@ -1102,9 +1113,14 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_first_position",
     "bm25_head_weighted",
     "bm25_nested",
-    "bm25_or_top",
     "exact_dedup",
-    "simhash64",
+    "doc_length_histogram",
+    "repo_stats",
+    "term_df_top100",
+    "lang_id",
+    "quality_scores",
+    "ann_cosine_top10",
+    "events_tumbling_1h",
 ]
 
 
@@ -2346,6 +2362,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sigs sb ON sb.vec_id = b.vec_id
             WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
               AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        """,
+        # fake-decode media features: feature j = little-endian uint16 at
+        # digest bytes (2j, 2j+1) of sha256(payload) / 65535, cast to
+        # float32 — reproduced from the hex digest (payload = UTF-8 props)
+        "media_features": """
+            WITH e AS (
+              SELECT event_id, sha256(props) AS hx
+              FROM events ORDER BY event_id LIMIT 256
+            ),
+            f AS (
+              SELECT event_id,
+                     [CAST((('0x' || substr(hx, 4*j + 1, 2))::INTEGER
+                            + 256 * ('0x' || substr(hx, 4*j + 3, 2))::INTEGER)
+                           / 65535.0 AS FLOAT)::DOUBLE
+                      for j in generate_series(0, 15)] AS v
+              FROM e
+            )
+            SELECT event_id AS media_id, 'image' AS kind,
+                   round(v[1], 6) AS f0_r,
+                   round(v[8], 6) AS f7_r,
+                   round(v[16], 6) AS f15_r,
+                   round(list_avg(v), 6) AS mean_r
+            FROM f
         """,
         # frame sampling: payload = UTF-8 bytes of props, 4 frames of
         # step = max(1, len//4) bytes, stop at the first empty chunk
