@@ -485,23 +485,27 @@ def _delta_search(sf_dir: str, query: str, k: int = 10, **kw):
     return t.select(["doc_id", "score_r"])
 
 
-def _compacted_for(sf_dir: str) -> IndexSearch:
+def _compacted_for(sf_dir: str, blob_merge: bool = False) -> IndexSearch:
     """Chain [base, delta] folded back into ONE segment via
     compact_segments — same oracle as the chain (the fold must be a
-    no-op for scoring) and block-max pruning restored."""
-    handle = _DELTA_HANDLES.get(sf_dir + "@compacted")
+    no-op for scoring) and block-max pruning restored.  blob_merge=True
+    exercises the blob-level path (strip finished posting blobs + k-way
+    blob merge, no journal re-tokenize) which must be byte-identical."""
+    key = sf_dir + ("@blobcompact" if blob_merge else "@compacted")
+    handle = _DELTA_HANDLES.get(key)
     if handle is not None:
         return handle
     from marginaliasearch_ray.pipelines.delta import compact_segments
 
     chain = _delta_chain_for(sf_dir)
+    mode = "blobcompact" if blob_merge else "compact"
     tag = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@compact".encode()
+        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@{mode}".encode()
     ).hexdigest()[:12]
     out = os.path.join("/tmp/msray_index_cache", tag)
-    compact_segments(chain.segment_dirs, out, _build_cfg())
+    compact_segments(chain.segment_dirs, out, _build_cfg(), blob_merge=blob_merge)
     handle = IndexSearch(out, use_actors=False)
-    _DELTA_HANDLES[sf_dir + "@compacted"] = handle
+    _DELTA_HANDLES[key] = handle
     return handle
 
 
@@ -550,6 +554,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_delta_compacted"] = lambda sf: _compacted_for(sf).search(
         "customer merge", k=10, pruned=True
     ).select(["doc_id", "score_r"])
+    # same fold via BLOB-level compaction (finished postings stripped of
+    # tombstones + k-way blob merge, journal never re-tokenized) — must
+    # hit the identical oracle
+    q["bm25_delta_blobcompact"] = lambda sf: _compacted_for(
+        sf, blob_merge=True
+    ).search("customer merge", k=10, pruned=True).select(
+        ["doc_id", "score_r"]
+    )
 
     # user-defined search-filter spec composed onto a query
     # (SearchFilterSpec/SearchFilterParser analog): required + excluded +
@@ -1082,6 +1094,8 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_delta_fresh",
     "bm25_delta_exclude",
     "bm25_delta_compacted",
+    # blob-level compaction path (strip + k-way blob merge, no re-tokenize)
+    "bm25_delta_blobcompact",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -1777,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_delta_fresh": _delta_sql(["deltafresh", "scan"]),
         "bm25_delta_exclude": _delta_sql(["scan"], exclude=["deltafresh"]),
         "bm25_delta_compacted": _delta_sql(["customer", "merge"]),
+        "bm25_delta_blobcompact": _delta_sql(["customer", "merge"]),
         "bm25_match_count": f"""
             WITH tok AS (
               SELECT doc_id, {_tok()} AS toks,

@@ -405,8 +405,34 @@ def _strip_tomb(batch: pa.Table, *, ids_ref) -> pa.Table:
     return batch.filter(pa.array(~_membership(cid, tomb)))
 
 
+def _strip_postings_batch(batch: pa.Table, *, tomb_ref=None, aff_ref=None) -> pa.Table:
+    """blk_* side columns always drop (recomputed after the merge); a
+    prior segment with tombstones gets the blob-level strip kernel."""
+    from ..stages.reverse import strip_posting_tombstones
+
+    blk = [c for c in batch.column_names if c.startswith("blk_")]
+    if blk:
+        batch = batch.drop_columns(blk)
+    if tomb_ref is None:
+        return batch
+    aff = _tomb_ids(aff_ref) if aff_ref is not None else None
+    return strip_posting_tombstones(batch, _tomb_ids(tomb_ref), aff)
+
+
+def _strip_prio_batch(batch: pa.Table, *, tomb_ref=None, aff_ref=None) -> pa.Table:
+    from ..stages.prio import strip_prio_tombstones
+
+    if tomb_ref is None:
+        return batch
+    aff = _tomb_ids(aff_ref) if aff_ref is not None else None
+    return strip_prio_tombstones(batch, _tomb_ids(tomb_ref), aff)
+
+
 def compact_segments(
-    segment_dirs: list[str], out_dir: str, cfg: BuildConfig | None = None
+    segment_dirs: list[str],
+    out_dir: str,
+    cfg: BuildConfig | None = None,
+    blob_merge: bool = False,
 ) -> dict:
     """Fold a segment chain into ONE fresh segment.
 
@@ -419,6 +445,18 @@ def compact_segments(
     separate offline batch (TermFrequencyExporter), never inline with an
     ingest.  Compaction restores block-max pruning on previously-
     tombstoned bases and resets the suppression chain.
+
+    ``blob_merge=True`` switches the derived phases to BLOB-LEVEL
+    merging (the Lucene tiered-merge shape): instead of re-encoding the
+    reverse/prio indexes from the merged journal, each segment's
+    FINISHED posting rows are reused directly — tombstoned postings are
+    cut out of the priors' compressed blobs (strip kernels in
+    stages.reverse / stages.prio, byte-identical re-encode of only the
+    affected rows, prefiltered by the recorded df-correction term sets),
+    then rows k-way merge per (part, bucket) where single-segment terms
+    pass through zero-copy.  Decode/re-encode work is DELTA-sized, not
+    corpus-sized; output postings are byte-identical to the rebuild
+    path.  Requires every segment built with the same num_buckets.
     """
     import ray
     import ray.data as rd
@@ -451,8 +489,12 @@ def compact_segments(
     os.makedirs(out_dir, exist_ok=True)
 
     # gather, per segment, the union of tombstoned ids laid down by later
-    # segments (id arrays are delta-sized: small)
+    # segments (id arrays are delta-sized: small), plus — for the blob
+    # path — the union of corrected term ids (exactly the terms whose
+    # posting lists contain a tombstoned doc; prio_cnt>0 rows for prio)
     tomb_for: dict[str, list[np.ndarray]] = {d: [] for d in segment_dirs}
+    aff_for: dict[str, list[np.ndarray]] = {d: [] for d in segment_dirs}
+    prio_aff_for: dict[str, list[np.ndarray]] = {d: [] for d in segment_dirs}
     for k, dk in enumerate(segment_dirs):
         if not mf.is_committed(dk, "delta"):
             continue
@@ -465,6 +507,13 @@ def compact_segments(
                         "combined_id"
                     ].to_numpy(zero_copy_only=False)
                 )
+            cd = correction_dir(dk, j)
+            if blob_merge and prior in aff_for and os.path.isdir(cd):
+                ct = pq.read_table(cd, columns=["term_id", "prio_cnt"])
+                tid = ct["term_id"].to_numpy(zero_copy_only=False)
+                pcnt = ct["prio_cnt"].to_numpy(zero_copy_only=False)
+                aff_for[prior].append(tid)
+                prio_aff_for[prior].append(tid[pcnt > 0])
 
     if not mf.is_committed(out_dir, "journal"):
         t0 = time.time()
@@ -534,4 +583,197 @@ def compact_segments(
         base_stats = mf.read_manifest(segment_dirs[0], "stats")
         mf.commit_manifest(out_dir, "stats", base_stats)
 
+    if blob_merge:
+        _blob_merge_phases(
+            segment_dirs, out_dir, cfg, tomb_for, aff_for, prio_aff_for
+        )
+
     return build_index(None, out_dir, cfg)
+
+
+def _blob_merge_phases(
+    segment_dirs: list[str],
+    out_dir: str,
+    cfg: BuildConfig,
+    tomb_for: dict[str, list[np.ndarray]],
+    aff_for: dict[str, list[np.ndarray]],
+    prio_aff_for: dict[str, list[np.ndarray]],
+) -> None:
+    """Pre-commit forward/reverse/prio for a blob-level compaction: every
+    phase streams each segment's FINISHED artifacts through a tombstone
+    strip and a (part, bucket)-grouped k-way merge — no journal
+    re-tokenize/re-encode.  build_index then skips the committed phases
+    and only stamps the root manifest."""
+    import functools
+    import time as _time
+
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    from ..stages.reverse import add_block_stats, merge_runs_tree
+    from ..stages.prio import merge_prio_segments
+    from .build_index import _clear_dir
+
+    # blob merging composes rows ACROSS segments per (part, bucket): the
+    # bucket function must agree, or a term's rows land in different
+    # groups and survive as duplicates
+    buckets_seen = {
+        d: mf.read_manifest(d, "reverse").get("num_buckets")
+        for d in segment_dirs
+    }
+    if len(set(buckets_seen.values())) != 1:
+        raise ValueError(
+            "blob_merge requires every segment built with the same "
+            f"num_buckets; got {buckets_seen} — use blob_merge=False"
+        )
+    num_parts = int(mf.read_manifest(segment_dirs[0], "root")["num_parts"])
+
+    # broadcast the per-segment tombstone unions + affected-term sets once
+    refs: dict[str, tuple] = {}
+    for d in segment_dirs:
+        if tomb_for[d]:
+            tomb = np.unique(np.concatenate(tomb_for[d]))
+            aff = (
+                np.unique(np.concatenate(aff_for[d])) if aff_for[d] else None
+            )
+            paff = (
+                np.unique(np.concatenate(prio_aff_for[d]))
+                if prio_aff_for[d]
+                else None
+            )
+            refs[d] = (
+                ray.put(tomb),
+                ray.put(aff) if aff is not None else None,
+                ray.put(paff) if paff is not None else None,
+            )
+
+    def _read_stripped(sub: str, kind: str):
+        ds = None
+        for d in segment_dirs:
+            tomb_ref, aff_ref, paff_ref = refs.get(d, (None, None, None))
+            seg = rd.read_parquet(os.path.join(d, sub)).map_batches(
+                _cast_part, batch_format="pyarrow"
+            )
+            if kind == "forward":
+                if tomb_ref is not None:
+                    seg = seg.map_batches(
+                        _strip_tomb,
+                        fn_kwargs={"ids_ref": tomb_ref},
+                        batch_format="pyarrow",
+                    )
+            else:
+                fn = (
+                    _strip_postings_batch
+                    if kind == "reverse"
+                    else _strip_prio_batch
+                )
+                seg = seg.map_batches(
+                    fn,
+                    fn_kwargs={
+                        "tomb_ref": tomb_ref,
+                        "aff_ref": aff_ref if kind == "reverse" else paff_ref,
+                    },
+                    batch_format="pyarrow",
+                )
+            ds = seg if ds is None else ds.union(seg)
+        return ds
+
+    if not mf.is_committed(out_dir, "forward"):
+        t0 = _time.time()
+        fwd = (
+            _read_stripped("forward", "forward")
+            .groupby("part")
+            .map_groups(
+                lambda t: t.sort_by("combined_id"), batch_format="pyarrow"
+            )
+        )
+        _clear_dir(os.path.join(out_dir, "forward"))
+        fwd.write_parquet(os.path.join(out_dir, "forward"), partition_cols=["part"])
+        per_part = {}
+        for p in range(num_parts):
+            d = os.path.join(out_dir, "forward", f"part={p}")
+            if os.path.isdir(d):
+                per_part[str(p)] = pads.dataset(d).count_rows()
+        mf.commit_manifest(
+            out_dir,
+            "forward",
+            {
+                "per_part_docs": per_part,
+                "seconds": round(_time.time() - t0, 3),
+                "files": mf.list_phase_files(out_dir, "forward"),
+                "lineage": {"blob_merged_from": segment_dirs},
+            },
+        )
+
+    if not mf.is_committed(out_dir, "reverse"):
+        t0 = _time.time()
+        merged = (
+            _read_stripped("postings", "reverse")
+            .groupby(["part", "bucket"])
+            .map_groups(merge_runs_tree, batch_format="pyarrow")
+        )
+        if cfg.posting_block:
+            merged = merged.map_batches(
+                functools.partial(add_block_stats, block=cfg.posting_block),
+                batch_format="pyarrow",
+            )
+        _clear_dir(os.path.join(out_dir, "postings"))
+        merged.write_parquet(
+            os.path.join(out_dir, "postings"), partition_cols=["part"]
+        )
+        for p in range(num_parts):
+            d = os.path.join(out_dir, "postings", f"part={p}")
+            if not os.path.isdir(d):
+                continue
+            seg_tbl = pads.dataset(d).to_table(columns=["df"])
+            mf.commit_manifest(
+                out_dir,
+                f"reverse_part_{p}",
+                {
+                    "part": p,
+                    "postings": int(
+                        np.sum(seg_tbl["df"].to_numpy(zero_copy_only=False))
+                    ),
+                    "terms": seg_tbl.num_rows,
+                },
+            )
+        per_part = {
+            str(p): mf.read_manifest(out_dir, f"reverse_part_{p}")["postings"]
+            for p in range(num_parts)
+            if mf.is_committed(out_dir, f"reverse_part_{p}")
+        }
+        mf.commit_manifest(
+            out_dir,
+            "reverse",
+            {
+                "per_part_postings": per_part,
+                "num_buckets": next(iter(buckets_seen.values())),
+                "num_salts": cfg.num_salts,
+                "hot_terms": 0,
+                "seconds": round(_time.time() - t0, 3),
+                "files": mf.list_phase_files(out_dir, "postings"),
+                "lineage": {"blob_merged_from": segment_dirs},
+            },
+        )
+
+    if not mf.is_committed(out_dir, "prio"):
+        t0 = _time.time()
+        prio = (
+            _read_stripped("postings_prio", "prio")
+            .groupby(["part", "bucket"])
+            .map_groups(merge_prio_segments, batch_format="pyarrow")
+        )
+        _clear_dir(os.path.join(out_dir, "postings_prio"))
+        prio.write_parquet(
+            os.path.join(out_dir, "postings_prio"), partition_cols=["part"]
+        )
+        mf.commit_manifest(
+            out_dir,
+            "prio",
+            {
+                "seconds": round(_time.time() - t0, 3),
+                "files": mf.list_phase_files(out_dir, "postings_prio"),
+                "lineage": {"blob_merged_from": segment_dirs},
+            },
+        )

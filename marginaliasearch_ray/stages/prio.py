@@ -159,3 +159,130 @@ def merge_prio_group(group: pa.Table) -> pa.Table:
     )
 
 
+
+
+def strip_prio_tombstones(
+    batch: pa.Table,
+    tomb: np.ndarray,
+    affected_terms: np.ndarray | None = None,
+) -> pa.Table:
+    """Remove tombstoned doc ids from FINISHED gamma/delta prio rows —
+    the prio half of the blob-level compaction kernel (see
+    reverse.strip_posting_tombstones for the full-index twin).
+
+    ``tomb`` is the sorted union of combined ids tombstoned against this
+    segment; ``affected_terms`` (sorted) is the union of the later
+    deltas' df-correction term ids with ``prio_cnt > 0`` — by
+    construction exactly the terms whose prio posting list contains a
+    tombstoned flagged posting.  The gamma/delta decode is a per-row
+    Python bit walk (PrioIndexEntrySource mirror), so the prefilter is
+    what keeps the work DELTA-sized, not base-sized; rows outside it
+    pass through zero-copy.  Re-encoded blobs are byte-identical to a
+    from-scratch encode of the surviving ids
+    (encode_prio_doc_ids_multi's determinism)."""
+    from ..functions.prio_codec import decode_prio_doc_ids
+    from ..pipelines.query import _membership
+
+    if batch.num_rows == 0 or len(tomb) == 0:
+        return batch
+    keep_cols = batch.column_names
+    tids = batch["term_id"].to_numpy(zero_copy_only=False)
+    if affected_terms is not None:
+        cand = _membership(tids, affected_terms)
+        if not cand.any():
+            return batch
+        passthrough = batch.filter(pa.array(~cand))
+        work = batch.filter(pa.array(cand))
+    else:
+        passthrough = None
+        work = batch
+
+    blob_col = work["docs"].combine_chunks()
+    docs_list = [
+        decode_prio_doc_ids(blob_col[i].as_py()) for i in range(len(work))
+    ]
+    kept = [d[~_membership(d, tomb)] for d in docs_list]
+    changed = np.array(
+        [len(k) != len(d) for k, d in zip(kept, docs_list)], dtype=bool
+    )
+    if not changed.any():
+        return batch
+    clean = work.filter(pa.array(~changed))
+    parts = [t for t in (passthrough, clean) if t is not None and len(t)]
+
+    surv = [k for k, c in zip(kept, changed) if c]
+    new_dfs = np.array([len(k) for k in surv], dtype=np.int64)
+    nz = new_dfs > 0  # rows whose every flagged posting was tombstoned
+    if nz.any():
+        aff = work.filter(pa.array(changed)).filter(pa.array(nz))
+        out_dfs = new_dfs[nz]
+        ids = np.concatenate([k for k in surv if len(k)])
+        bounds = np.concatenate([[0], np.cumsum(out_dfs)])
+        blobs = encode_prio_doc_ids_multi(ids, bounds)
+        parts.append(
+            pa.table(
+                {
+                    "part": aff["part"],
+                    "bucket": aff["bucket"],
+                    "term_id": aff["term_id"],
+                    "df": pa.array(out_dfs, pa.int64()),
+                    "docs": pa.array(blobs, pa.binary()),
+                }
+            ).select(keep_cols)
+        )
+    if not parts:
+        return batch.slice(0, 0)
+    return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+
+
+def merge_prio_segments(group: pa.Table) -> pa.Table:
+    """One (part, bucket) group of FINISHED prio posting rows drawn from
+    MULTIPLE segments -> one gamma/delta row per term (the prio half of
+    blob-level compaction).  Terms present in a single segment pass
+    through zero-copy — with tombstones already stripped, only terms in
+    the DELTAS' vocabularies appear more than once, so the decode work
+    is delta-sized.  Multi-segment terms decode (per-row bit walk),
+    sorted-union (distinct docs, ascending — PrioPreindex merge
+    semantics) and re-encode once."""
+    from ..functions.prio_codec import decode_prio_doc_ids
+
+    tids = group["term_id"].to_numpy(zero_copy_only=False)
+    if len(tids) == 0:
+        return group
+    uniq, counts = np.unique(tids, return_counts=True)
+    if len(uniq) == len(tids):
+        return group
+    multi_terms = uniq[counts > 1]
+    is_multi = np.isin(tids, multi_terms)
+    single = group.filter(pa.array(~is_multi))
+    multi = group.filter(pa.array(is_multi))
+    m_tids = multi["term_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(m_tids, kind="stable")
+    multi = multi.take(pa.array(order))
+    m_tids = m_tids[order]
+    blob_col = multi["docs"].combine_chunks()
+    docs_per = [decode_prio_doc_ids(blob_col[i].as_py()) for i in range(len(multi))]
+    dfs = np.array([len(d) for d in docs_per], dtype=np.int64)
+    docs_flat = np.concatenate(docs_per) if docs_per else np.empty(0, np.int64)
+    terms_flat = np.repeat(m_tids, dfs)
+    o = np.lexsort((docs_flat, terms_flat))
+    t_m, d_m = terms_flat[o], docs_flat[o]
+    keep = np.ones(len(o), dtype=bool)
+    keep[1:] = (t_m[1:] != t_m[:-1]) | (d_m[1:] != d_m[:-1])
+    t_m, d_m = t_m[keep], d_m[keep]
+    u, u_starts = np.unique(t_m, return_index=True)
+    u_bounds = np.append(u_starts, len(t_m))
+    blobs = encode_prio_doc_ids_multi(d_m, u_bounds)
+    part = multi["part"][0].as_py()
+    bucket = multi["bucket"][0].as_py()
+    n = len(u)
+    merged = pa.table(
+        {
+            "part": pa.array(np.full(n, part, dtype=np.int32), pa.int32()),
+            "bucket": pa.array(np.full(n, bucket, dtype=np.int32), pa.int32()),
+            "term_id": pa.array(u, pa.int64()),
+            "df": pa.array(np.diff(u_bounds), pa.int64()),
+            "docs": pa.array(blobs, pa.binary()),
+        }
+    ).select(group.column_names)
+    return pa.concat_tables([single, merged]) if len(single) else merged

@@ -547,3 +547,165 @@ class MergeWorker:
         return pa.concat_tables(
             [single_tbl.select(merged_tbl.column_names), merged_tbl]
         )
+
+def strip_posting_tombstones(
+    batch: pa.Table,
+    tomb: np.ndarray,
+    affected_terms: np.ndarray | None = None,
+) -> pa.Table:
+    """Remove tombstoned doc ids from MERGED posting rows in place — the
+    blob-level compaction kernel: instead of re-running the reverse build
+    from a merged journal, a prior segment's finished posting rows are
+    rewritten directly, and only the rows that actually contain a
+    tombstoned posting are decoded + re-encoded (everything else passes
+    through zero-copy).
+
+    ``tomb`` is the sorted union of combined ids tombstoned against this
+    segment by later deltas; ``affected_terms`` (sorted) is an optional
+    prefilter — the union of the later deltas' df-correction term ids,
+    which by construction (delta.py _corr_partial walks the tombstoned
+    journal rows' term lists) is EXACTLY the set of terms whose posting
+    lists contain a tombstoned doc, so rows outside it skip even the
+    docs-blob decode.
+
+    Mirrors what the reference's merge achieves by omission (stale
+    journal pages simply aren't fed to FullPreindex); here the stale
+    postings are already baked into finished blobs, so they are cut out.
+    Blob bytes after the cut are byte-identical to a from-scratch encode
+    of the surviving postings (delta coding is order-deterministic).
+    """
+    from ..functions.codecs import encode_stream_blob
+    from ..pipelines.query import _membership
+
+    n = batch.num_rows
+    if n == 0 or len(tomb) == 0:
+        return batch
+    blk = [c for c in batch.column_names if c.startswith("blk_")]
+    if blk:
+        batch = batch.drop_columns(blk)
+    keep_cols = batch.column_names
+    tids = batch["term_id"].to_numpy(zero_copy_only=False)
+    if affected_terms is not None:
+        cand_mask = _membership(tids, affected_terms)
+        if not cand_mask.any():
+            return batch
+        passthrough = batch.filter(pa.array(~cand_mask))
+        work = batch.filter(pa.array(cand_mask))
+    else:
+        passthrough = None
+        work = batch
+
+    # ---- detect: decode ONLY the docs blobs of candidate rows ----------
+    dfs = work["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    docs_data, _ = _binary_buffers(work["docs"].combine_chunks())
+    docs_vals = decode_varints(docs_data).astype(np.int64)
+    nvals = dfs + 1
+    val_start = np.cumsum(nvals) - nvals
+    hdr = np.zeros(len(docs_vals), dtype=bool)
+    hdr[val_start] = True
+    deltas = docs_vals[~hdr]
+    pay_start = np.cumsum(dfs) - dfs
+    g = np.cumsum(deltas)
+    base = np.repeat(g[pay_start] - deltas[pay_start], dfs)
+    docs_flat = g - base - 1
+    hit = _membership(docs_flat, tomb)
+    row_of = np.repeat(np.arange(len(work)), dfs)
+    row_hit = np.zeros(len(work), dtype=bool)
+    row_hit[row_of[hit]] = True
+    clean = work.filter(pa.array(~row_hit))
+    parts = [t for t in (passthrough, clean) if t is not None and len(t)]
+    if not row_hit.any():
+        return batch
+
+    # ---- rewrite: full decode of the affected rows only ----------------
+    aff = work.filter(pa.array(row_hit))
+    a_dfs = dfs[row_hit]
+    post_keep = ~hit[row_hit[row_of]]  # per-posting keep, affected rows
+    a_docs = docs_flat[row_hit[row_of]]
+    a_row = np.repeat(np.arange(len(aff)), a_dfs)
+
+    tfs_data, _ = _binary_buffers(aff["tfs"].combine_chunks())
+    tfs_vals = decode_varints(tfs_data).astype(np.int64)
+    a_nvals = a_dfs + 1
+    a_val_start = np.cumsum(a_nvals) - a_nvals
+    a_hdr = np.zeros(len(tfs_vals), dtype=bool)
+    a_hdr[a_val_start] = True
+    tfs_flat = tfs_vals[~a_hdr]
+
+    metas_data, _ = _binary_buffers(aff["metas"].combine_chunks())
+    metas_flat = np.frombuffer(metas_data.tobytes(), dtype="<i8")
+
+    pc_col = aff["pos_cnts"].combine_chunks()
+    pos_cnts_flat = np.asarray(pc_col.values).astype(np.int64)
+    pos_data, _ = _binary_buffers(aff["positions"].combine_chunks())
+    pos_vals = decode_varints(pos_data).astype(np.int64)
+    pval_n = pos_cnts_flat + 1
+    pval_start = np.cumsum(pval_n) - pval_n
+    phdr = np.zeros(len(pos_vals), dtype=bool)
+    phdr[pval_start] = True
+    pos_payload = pos_vals[~phdr]
+
+    new_dfs = np.bincount(a_row[post_keep], minlength=len(aff)).astype(np.int64)
+    nz = new_dfs > 0  # rows whose every posting was tombstoned vanish
+    k_docs = a_docs[post_keep]
+    k_tfs = tfs_flat[post_keep]
+    k_metas = metas_flat[post_keep]
+    k_cnts = pos_cnts_flat[post_keep]
+    out_dfs = new_dfs[nz]
+    k = len(out_dfs)
+    if k:
+        starts = np.cumsum(out_dfs) - out_dfs
+        dd = np.empty(len(k_docs), dtype=np.int64)
+        dd[0] = k_docs[0] + 1
+        dd[1:] = k_docs[1:] - k_docs[:-1]
+        dd[starts] = k_docs[starts] + 1
+        docs_blob, docs_off = encode_stream_blob(dd, out_dfs)
+        tfs_blob, tfs_off = encode_stream_blob(k_tfs, out_dfs)
+        metas_bytes = k_metas.astype("<i8").tobytes()
+        # per-posting position streams are self-contained: gather payload
+        # slices of the kept postings, re-emit headers via the encoder
+        ppay_start = np.cumsum(pos_cnts_flat) - pos_cnts_flat
+        tot = int(k_cnts.sum())
+        gi = np.repeat(
+            ppay_start[post_keep] - (np.cumsum(k_cnts) - k_cnts), k_cnts
+        ) + np.arange(tot)
+        pos_blob, pos_off = encode_stream_blob(pos_payload[gi], k_cnts)
+        bounds = np.append(starts, len(k_docs))
+        term_pos_off = pos_off[bounds]
+        cols: dict = {}
+        if "part" in aff.column_names:
+            cols["part"] = aff["part"].filter(pa.array(nz))
+        cols.update(
+            {
+                "bucket": aff["bucket"].filter(pa.array(nz)),
+                "term_id": aff["term_id"].filter(pa.array(nz)),
+                "df": pa.array(out_dfs, pa.int64()),
+                "docs": pa.array(
+                    [docs_blob[docs_off[i] : docs_off[i + 1]] for i in range(k)],
+                    pa.binary(),
+                ),
+                "tfs": pa.array(
+                    [tfs_blob[tfs_off[i] : tfs_off[i + 1]] for i in range(k)],
+                    pa.binary(),
+                ),
+                "metas": pa.array(
+                    [
+                        metas_bytes[8 * int(bounds[i]) : 8 * int(bounds[i + 1])]
+                        for i in range(k)
+                    ],
+                    pa.binary(),
+                ),
+                "positions": pa.array(
+                    [pos_blob[term_pos_off[i] : term_pos_off[i + 1]] for i in range(k)],
+                    pa.binary(),
+                ),
+                "pos_cnts": pa.ListArray.from_arrays(
+                    pa.array(bounds.astype(np.int32)),
+                    pa.array(k_cnts.astype(np.int32)),
+                ),
+            }
+        )
+        parts.append(pa.table(cols).select(keep_cols))
+    if not parts:
+        return batch.slice(0, 0)
+    return pa.concat_tables(parts) if len(parts) > 1 else parts[0]

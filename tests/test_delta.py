@@ -416,3 +416,44 @@ def test_five_delta_churn_chain(ray_session, corpora, tmp_path_factory):
         assert _rows(s_c.search(k=20, **q)) == _rows(
             s_ref.search(k=20, **q)
         ), q
+
+
+def test_compaction_blob_merge(chain, tmp_path_factory):
+    """Blob-level compaction (strip finished posting blobs + k-way blob
+    merge, no journal re-encode) must produce BYTE-IDENTICAL artifacts
+    to the journal-rebuild compaction path, and score like the full
+    rebuild."""
+    import pyarrow.dataset as pads
+
+    base, ddir, ref = chain
+    cfg = BuildConfig(**CFG)
+    out_r = str(tmp_path_factory.mktemp("seg_compact_rebuild"))
+    out_b = str(tmp_path_factory.mktemp("seg_compact_blob"))
+    compact_segments([base, ddir], out_r, cfg)
+    compact_segments([base, ddir], out_b, cfg, blob_merge=True)
+
+    def canon(root, sub, keys):
+        d = os.path.join(root, sub)
+        t = pads.dataset(d, partitioning="hive").to_table()
+        t = t.sort_by([(k, "ascending") for k in keys])
+        return {c: t[c].to_pylist() for c in sorted(t.column_names)}
+
+    for sub, keys in (
+        ("postings", ["part", "bucket", "term_id"]),
+        ("postings_prio", ["part", "bucket", "term_id"]),
+        ("forward", ["part", "combined_id"]),
+    ):
+        a = canon(out_r, sub, keys)
+        b = canon(out_b, sub, keys)
+        assert a.keys() == b.keys(), sub
+        for c in a:
+            assert a[c] == b[c], (sub, c)
+
+    s_b = IndexSearch(out_b, use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    assert s_b.total_docs == s_ref.total_docs
+    for q in QUERIES:
+        assert _rows(s_b.search(k=20, **q)) == _rows(s_ref.search(k=20, **q)), q
+    assert _Segment(out_b, 0).has_blocks
+    pruned = s_b.search("return value", k=20, pruned=True)
+    assert _rows(pruned) == _rows(s_ref.search("return value", k=20))
