@@ -529,6 +529,47 @@ def _delta_sql(terms: list[str], **kw) -> str:
     )
 
 
+# purge spec for the delete-delta query: one whole repo that ranks in
+# the chain top-10 at sf0.001 AND sf0.01 (non-vacuous: the purge changes
+# the result) plus one single (repo, path) document
+PURGE_REPO = "src5"
+PURGE_PAIR = ("src1", "doc_1")
+
+
+def _delete_sql(terms: list[str], **kw) -> str:
+    sql = _bm25_sql(terms, **kw)
+    cte = (
+        _delta_docs_cte()
+        + f" WHERE NOT (source = '{PURGE_REPO}' OR (source = "
+        + f"'{PURGE_PAIR[0]}' AND doc_id = {PURGE_PAIR[1].removeprefix('doc_')}))"
+    )
+    return sql.replace(
+        "WITH tok AS", f"WITH documents AS ({cte}),\ntok AS", 1
+    )
+
+
+def _deleted_for(sf_dir: str) -> IndexSearch:
+    """[base, update-delta, DELETE-delta] — the delete purges PURGE_REPO
+    entirely plus the single PURGE_PAIR document, tombstone-only (no
+    reindex; pipelines.delta.build_delete_delta)."""
+    handle = _DELTA_HANDLES.get(sf_dir + "@deleted")
+    if handle is not None:
+        return handle
+    from marginaliasearch_ray.pipelines.delta import build_delete_delta
+
+    chain = _delta_chain_for(sf_dir)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@delete".encode()
+    ).hexdigest()[:12]
+    out = os.path.join("/tmp/msray_index_cache", tag)
+    build_delete_delta(
+        chain.segment_dirs, out, repos=[PURGE_REPO], paths=[PURGE_PAIR]
+    )
+    handle = IndexSearch([*chain.segment_dirs, out], use_actors=False)
+    _DELTA_HANDLES[sf_dir + "@deleted"] = handle
+    return handle
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
 
@@ -562,6 +603,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ).search("customer merge", k=10, pruned=True).select(
         ["doc_id", "score_r"]
     )
+    # tombstone-only DELETE delta (physical purge, no reindex): the
+    # purged repo ranked in the chain's top-10, so the result CHANGES
+    q["bm25_delete_purge"] = lambda sf: _deleted_for(sf).search(
+        "customer merge", k=10
+    ).select(["doc_id", "score_r"])
 
     # user-defined search-filter spec composed onto a query
     # (SearchFilterSpec/SearchFilterParser analog): required + excluded +
@@ -1096,6 +1142,8 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_delta_compacted",
     # blob-level compaction path (strip + k-way blob merge, no re-tokenize)
     "bm25_delta_blobcompact",
+    # tombstone-only delete delta (physical purge)
+    "bm25_delete_purge",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -1133,8 +1181,9 @@ _DRIVER_WINDOW_FIRST = [
     "term_df_top100",
     "lang_id",
     "quality_scores",
-    "ann_cosine_top10",
-    "events_tumbling_1h",
+    # ann_cosine_top10 + events_tumbling_1h dropped to the tail for
+    # bm25_delta_blobcompact / bm25_delete_purge: both are r03
+    # driver-green and unchanged since.
 ]
 
 
@@ -1792,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_delta_exclude": _delta_sql(["scan"], exclude=["deltafresh"]),
         "bm25_delta_compacted": _delta_sql(["customer", "merge"]),
         "bm25_delta_blobcompact": _delta_sql(["customer", "merge"]),
+        "bm25_delete_purge": _delete_sql(["customer", "merge"]),
         "bm25_match_count": f"""
             WITH tok AS (
               SELECT doc_id, {_tok()} AS toks,

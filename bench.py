@@ -121,6 +121,29 @@ def run_bench() -> dict:
         extras["chain_queries_per_s"] = round(nc / timings["query_chain"], 1)
         chain.shutdown()
 
+        # 1c) fold the chain back into one segment via BLOB-level
+        # compaction (strip tombstoned ids from finished posting blobs +
+        # k-way blob merge — the journal is never re-tokenized or
+        # re-encoded).  At 960k docs this is the cheap leg of the
+        # periodic ingest/compact cycle (see BASELINE.md); here it is a
+        # regression canary.
+        from marginaliasearch_ray.pipelines.delta import compact_segments
+
+        cdir = "/tmp/msray_bench_compact"
+        shutil.rmtree(cdir, ignore_errors=True)
+        timed(
+            "compact_blob",
+            lambda: compact_segments(
+                [sf_index, ddir], cdir, e._build_cfg(), blob_merge=True
+            ),
+        )
+        folded = IndexSearch(cdir, use_actors=False)
+        unfolded = IndexSearch([sf_index, ddir], use_actors=False)
+        for q in chain_qs:
+            got = folded.search(q, k=10)
+            want = unfolded.search(q, k=10)
+            assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist(), q
+
     # 2) index build over the deterministic synthetic source-code corpus
     synth_path = _synth_corpus_path()
     synth_out = "/tmp/msray_bench_index"

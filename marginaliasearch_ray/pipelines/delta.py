@@ -200,6 +200,125 @@ def _merge_corr_group(group: pa.Table) -> pa.Table:
     )
 
 
+def _validate_chain(dirs: list[str], strict: bool = False) -> None:
+    """Chain-prefix validation shared by build_delta_index /
+    build_delete_delta / compact_segments (IndexSearch enforces the same
+    contract read-side): every segment that is itself a delta must have
+    been built against exactly the dirs listed before it — the tombstone
+    dirs are resolved positionally, and a reordered or truncated chain
+    would silently mis-aim them.  ``strict`` additionally requires every
+    non-base segment to BE a committed delta (compaction's contract)."""
+    for k, dk in enumerate(dirs):
+        if mf.is_committed(dk, "delta"):
+            rec = [
+                os.path.abspath(d)
+                for d in mf.read_manifest(dk, "delta").get("prior_dirs", [])
+            ]
+            if rec != dirs[:k]:
+                raise ValueError(
+                    f"segment list is not a consistent chain: {dk} was "
+                    f"built against {rec}, but is listed after {dirs[:k]}"
+                )
+        elif strict and k > 0:
+            raise ValueError(
+                f"non-base segment {dk} has no delta manifest — is the "
+                "chain ordered base-first?"
+            )
+
+
+def _lay_tombstones(
+    delta_dir: str,
+    prior_dirs: list[str],
+    delta_ids: np.ndarray,
+    paths_ref=None,
+) -> dict[str, int]:
+    """Scan each prior segment for ids in ``delta_ids`` and lay per-prior
+    tombstone tables + per-term df corrections under ``delta_dir``.
+    Shared by update deltas (``paths_ref`` carries the delta's id ->
+    repo/path map for collision validation) and delete deltas (no new
+    documents, so no identity to validate).  Returns per-prior tombstone
+    counts."""
+    import ray
+    import ray.data as rd
+
+    n_tomb: dict[str, int] = {}
+    for j, prior in enumerate(prior_dirs):
+        # doc-less priors (delete-only deltas) hold no postings to
+        # tombstone
+        if not os.path.isdir(os.path.join(prior, "forward")):
+            n_tomb[prior] = 0
+            continue
+        # ids ALREADY tombstoned against this prior by the deltas
+        # between it and us (chain prefix property: prior_dirs[k]'s
+        # own prior list is prior_dirs[:k], so its tombstones against
+        # `prior` live at index j) — re-tombstoning them would
+        # double-subtract the df corrections
+        already = [
+            pq.read_table(
+                tombstone_dir(prior_dirs[k], j), columns=["combined_id"]
+            )["combined_id"].to_numpy(zero_copy_only=False)
+            for k in range(j + 1, len(prior_dirs))
+            if os.path.isdir(tombstone_dir(prior_dirs[k], j))
+        ]
+        eff_ids = (
+            np.setdiff1d(delta_ids, np.concatenate(already))
+            if already
+            else delta_ids
+        )
+        ids_ref = ray.put(eff_ids)
+        # id-set predicate pushed into the parquet scans: row groups
+        # whose combined_id stats exclude the whole delta never load,
+        # and late materialization skips the heavy journal columns
+        # for non-matching rows.  Combined ids are domain-major, so a
+        # real ingest (fresh docs of a few domains) clusters into few
+        # row groups — the scan cost tracks the TOUCHED id ranges,
+        # not the corpus.  The in-task membership checks stay as the
+        # exactness guarantee.
+        id_filter = pc.field("combined_id").isin(pa.array(eff_ids))
+        tomb_ds = (
+            rd.read_parquet(
+                os.path.join(prior, "forward"),
+                columns=["part", "combined_id"],
+                filter=id_filter,
+            )
+            .map_batches(_cast_part, batch_format="pyarrow")
+            .map_batches(
+                _tomb_filter_batch,
+                fn_kwargs={"ids_ref": ids_ref},
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cnt = tomb_ds.count()
+        n_tomb[prior] = int(cnt)
+        if cnt:
+            tomb_ds.write_parquet(
+                tombstone_dir(delta_dir, j), partition_cols=["part"]
+            )
+            columns = ["part", "combined_id", "term_ids", "term_meta"]
+            if paths_ref is not None:
+                columns += ["repo", "path"]
+            corr = (
+                rd.read_parquet(
+                    os.path.join(prior, "journal"),
+                    columns=columns,
+                    filter=id_filter,
+                )
+                .map_batches(_cast_part, batch_format="pyarrow")
+                .map_batches(
+                    _corr_partial,
+                    fn_kwargs={"ids_ref": ids_ref, "paths_ref": paths_ref},
+                    batch_format="pyarrow",
+                )
+                .groupby("part")
+                .map_groups(_merge_corr_group, batch_format="pyarrow")
+            )
+            corr.write_parquet(
+                correction_dir(delta_dir, j), partition_cols=["part"]
+            )
+    return n_tomb
+
+
 def build_delta_index(
     delta_corpus_ds,
     prior_dirs: list[str],
@@ -226,21 +345,7 @@ def build_delta_index(
     base_dir = prior_dirs[0]
     last_dir = prior_dirs[-1]
 
-    # chain-prefix validation: every prior that is itself a delta must
-    # have been built against exactly the priors before it in THIS list —
-    # the tombstone dirs below are resolved positionally, and a reordered
-    # or truncated chain would silently mis-aim them
-    for k, dk in enumerate(prior_dirs):
-        if mf.is_committed(dk, "delta"):
-            rec = [
-                os.path.abspath(d)
-                for d in mf.read_manifest(dk, "delta").get("prior_dirs", [])
-            ]
-            if rec != prior_dirs[:k]:
-                raise ValueError(
-                    f"prior_dirs is not a consistent chain: {dk} was built "
-                    f"against {rec}, but is listed after {prior_dirs[:k]}"
-                )
+    _validate_chain(prior_dirs)
 
     # the delta MUST partition like its base: the extended registry
     # assigns parts modulo the base's num_parts, and a smaller cfg value
@@ -312,80 +417,7 @@ def build_delta_index(
                 columns=["combined_id", "repo", "path"],
             ).sort_by("combined_id")
         )
-        n_tomb: dict[str, int] = {}
-        for j, prior in enumerate(prior_dirs):
-            # ids ALREADY tombstoned against this prior by the deltas
-            # between it and us (chain prefix property: prior_dirs[k]'s
-            # own prior list is prior_dirs[:k], so its tombstones against
-            # `prior` live at index j) — re-tombstoning them would
-            # double-subtract the df corrections
-            already = [
-                pq.read_table(
-                    tombstone_dir(prior_dirs[k], j), columns=["combined_id"]
-                )["combined_id"].to_numpy(zero_copy_only=False)
-                for k in range(j + 1, len(prior_dirs))
-                if os.path.isdir(tombstone_dir(prior_dirs[k], j))
-            ]
-            eff_ids = (
-                np.setdiff1d(delta_ids, np.concatenate(already))
-                if already
-                else delta_ids
-            )
-            ids_ref = ray.put(eff_ids)
-            # id-set predicate pushed into the parquet scans: row groups
-            # whose combined_id stats exclude the whole delta never load,
-            # and late materialization skips the heavy journal columns
-            # for non-matching rows.  Combined ids are domain-major, so a
-            # real ingest (fresh docs of a few domains) clusters into few
-            # row groups — the scan cost tracks the TOUCHED id ranges,
-            # not the corpus.  The in-task membership checks stay as the
-            # exactness guarantee.
-            id_filter = pc.field("combined_id").isin(pa.array(eff_ids))
-            tomb_ds = (
-                rd.read_parquet(
-                    os.path.join(prior, "forward"),
-                    columns=["part", "combined_id"],
-                    filter=id_filter,
-                )
-                .map_batches(_cast_part, batch_format="pyarrow")
-                .map_batches(
-                    _tomb_filter_batch,
-                    fn_kwargs={"ids_ref": ids_ref},
-                    batch_format="pyarrow",
-                )
-                .materialize()
-            )
-            cnt = tomb_ds.count()
-            n_tomb[prior] = int(cnt)
-            if cnt:
-                tomb_ds.write_parquet(
-                    tombstone_dir(delta_dir, j), partition_cols=["part"]
-                )
-                corr = (
-                    rd.read_parquet(
-                        os.path.join(prior, "journal"),
-                        columns=[
-                            "part",
-                            "combined_id",
-                            "term_ids",
-                            "term_meta",
-                            "repo",
-                            "path",
-                        ],
-                        filter=id_filter,
-                    )
-                    .map_batches(_cast_part, batch_format="pyarrow")
-                    .map_batches(
-                        _corr_partial,
-                        fn_kwargs={"ids_ref": ids_ref, "paths_ref": paths_ref},
-                        batch_format="pyarrow",
-                    )
-                    .groupby("part")
-                    .map_groups(_merge_corr_group, batch_format="pyarrow")
-                )
-                corr.write_parquet(
-                    correction_dir(delta_dir, j), partition_cols=["part"]
-                )
+        n_tomb = _lay_tombstones(delta_dir, prior_dirs, delta_ids, paths_ref)
         mf.commit_manifest(
             delta_dir,
             "delta",
@@ -396,6 +428,155 @@ def build_delta_index(
                 "seconds": round(time.time() - t0, 3),
             },
         )
+    return mf.read_manifest(delta_dir, "delta")
+
+
+def _purge_match_batch(batch: pa.Table, *, spec_ref) -> pa.Table:
+    """Rows of a prior journal matching the purge spec -> (part,
+    combined_id).  Whole-repo purges match on repo; path purges match on
+    the NUL-joined (repo, path) key (NUL cannot appear in either)."""
+    full_repos, pair_keys = _tomb_ids(spec_ref)
+    if full_repos:
+        mask = pc.is_in(
+            batch["repo"], value_set=pa.array(full_repos, pa.string())
+        )
+    else:
+        mask = pa.array(np.zeros(batch.num_rows, dtype=bool))
+    if pair_keys:
+        key = pc.binary_join_element_wise(
+            batch["repo"], batch["path"], "\x00"
+        )
+        mask = pc.or_(
+            mask, pc.is_in(key, value_set=pa.array(pair_keys, pa.string()))
+        )
+    return batch.select(["part", "combined_id"]).filter(mask)
+
+
+def build_delete_delta(
+    prior_dirs: list[str],
+    delta_dir: str,
+    repos: list[str] | None = None,
+    paths: list[tuple[str, str]] | None = None,
+) -> dict:
+    """Tombstone-ONLY delta: physically purge documents from a chain
+    without reindexing anything (the domain-blacklist / takedown story —
+    the reference suppresses blacklisted domains at query time and drops
+    them physically on the next crawl cycle; this is the physical half,
+    chain-native).
+
+    The segment carries NO documents — only per-prior tombstones + df
+    corrections, resolved from a purge spec:
+
+      * ``repos`` — purge EVERY document of these repos, and/or
+      * ``paths`` — purge individual ``(repo, path)`` documents.
+
+    The spec resolves against every prior's journal with repo-pushdown
+    projection reads (the caller never needs to know ids), including
+    documents REPLACED into later update deltas.  After the build,
+    ``IndexSearch([*prior_dirs, delete_dir])`` scores exactly like a
+    rebuild over the corpus minus the purged docs (df corrections
+    subtract the purged postings), and ``compact_segments`` — journal or
+    blob path — physically drops them.
+    """
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    if not repos and not paths:
+        raise ValueError("delete delta needs a non-empty purge spec")
+    prior_dirs = [os.path.abspath(d) for d in prior_dirs]
+    _validate_chain(prior_dirs)
+    if mf.is_committed(delta_dir, "delta"):
+        return mf.read_manifest(delta_dir, "delta")
+
+    t0 = time.time()
+    full_repos = sorted(set(repos or []))
+    pair_keys = sorted({f"{r}\x00{p}" for r, p in (paths or [])})
+    touched_repos = sorted(
+        set(full_repos) | {k.split("\x00", 1)[0] for k in pair_keys}
+    )
+    base_parts = int(mf.read_manifest(prior_dirs[0], "root")["num_parts"])
+
+    # resolve the spec -> combined ids across every prior that holds
+    # documents (delete-only priors have no journal).  repo pushdown
+    # prunes the scans to the touched repos' row groups; ids are
+    # purge-sized by contract, so a driver-side union is fine.
+    spec_ref = ray.put((full_repos, pair_keys))
+    repo_filter = pc.field("repo").isin(pa.array(touched_repos, pa.string()))
+    resolved = None
+    for prior in prior_dirs:
+        if not os.path.isdir(os.path.join(prior, "journal")):
+            continue
+        seg = rd.read_parquet(
+            os.path.join(prior, "journal"),
+            columns=["part", "combined_id", "repo", "path"],
+            filter=repo_filter,
+        ).map_batches(_cast_part, batch_format="pyarrow").map_batches(
+            _purge_match_batch,
+            fn_kwargs={"spec_ref": spec_ref},
+            batch_format="pyarrow",
+        )
+        resolved = seg if resolved is None else resolved.union(seg)
+    chunks = [
+        b["combined_id"].to_numpy(zero_copy_only=False)
+        for b in resolved.iter_batches(batch_format="pyarrow")
+    ]
+    delta_ids = (
+        np.unique(np.concatenate(chunks))
+        if chunks
+        else np.array([], dtype=np.int64)
+    )
+
+    # segment skeleton: a doc-less delta is still a first-class chain
+    # member — root/stats manifests + the registry superset copy, so
+    # chain opens, later deltas and compaction treat it uniformly
+    os.makedirs(delta_dir, exist_ok=True)
+    # resume idempotence: the delta manifest commits LAST; partial
+    # tombstone/correction parquet from a crashed attempt would be
+    # appended to
+    shutil.rmtree(os.path.join(delta_dir, "tombstones"), ignore_errors=True)
+    shutil.rmtree(os.path.join(delta_dir, "df_correction"), ignore_errors=True)
+    shutil.copyfile(
+        os.path.join(prior_dirs[-1], "registry.parquet"),
+        os.path.join(delta_dir, "registry.parquet"),
+    )
+    if not mf.is_committed(delta_dir, "stats"):
+        mf.commit_manifest(
+            delta_dir,
+            "stats",
+            {
+                **mf.read_manifest(prior_dirs[0], "stats"),
+                "inherited_from": prior_dirs[0],
+            },
+        )
+    if not mf.is_committed(delta_dir, "root"):
+        mf.commit_manifest(
+            delta_dir,
+            "root",
+            {
+                "n_docs": 0,
+                "num_parts": base_parts,
+                "out_dir": delta_dir,
+                "delete_only": True,
+            },
+        )
+
+    n_tomb = _lay_tombstones(delta_dir, prior_dirs, delta_ids, None)
+    mf.commit_manifest(
+        delta_dir,
+        "delta",
+        {
+            "prior_dirs": prior_dirs,
+            "tombstones": n_tomb,
+            "n_docs": 0,
+            "delete_only": True,
+            "purge_repos": full_repos,
+            "purge_paths": len(pair_keys),
+            "purged_ids": int(len(delta_ids)),
+            "seconds": round(time.time() - t0, 3),
+        },
+    )
     return mf.read_manifest(delta_dir, "delta")
 
 
@@ -463,29 +644,11 @@ def compact_segments(
 
     cfg = cfg or BuildConfig()
     segment_dirs = [os.path.abspath(d) for d in segment_dirs]
-    # chain-prefix validation (the same contract build_delta_index and
-    # IndexSearch enforce): each delta's recorded prior list must equal
-    # the segments listed before it.  A reordered or partial list would
-    # silently mis-aim the positional tombstone dirs (stale duplicates
-    # survive into the merged journal) and copy the wrong registry/stats
-    # (segment_dirs[-1]/[0] are assumed newest-delta/base below).
-    for k, dk in enumerate(segment_dirs):
-        if mf.is_committed(dk, "delta"):
-            rec = [
-                os.path.abspath(d)
-                for d in mf.read_manifest(dk, "delta").get("prior_dirs", [])
-            ]
-            if rec != segment_dirs[:k]:
-                raise ValueError(
-                    f"segment_dirs is not a consistent chain: {dk} was "
-                    f"built against {rec}, but is listed after "
-                    f"{segment_dirs[:k]}"
-                )
-        elif k > 0:
-            raise ValueError(
-                f"non-base segment {dk} has no delta manifest — is the "
-                "chain ordered base-first?"
-            )
+    # a reordered or partial list would silently mis-aim the positional
+    # tombstone dirs (stale duplicates survive into the merged journal)
+    # and copy the wrong registry/stats (segment_dirs[-1]/[0] are assumed
+    # newest-delta/base below)
+    _validate_chain(segment_dirs, strict=True)
     os.makedirs(out_dir, exist_ok=True)
 
     # gather, per segment, the union of tombstoned ids laid down by later
@@ -526,6 +689,8 @@ def compact_segments(
         shutil.rmtree(os.path.join(out_dir, "lang_index"), ignore_errors=True)
         merged = None
         for d in segment_dirs:
+            if not os.path.isdir(os.path.join(d, "journal")):
+                continue  # delete-only delta: contributes tombstones only
             seg = rd.read_parquet(os.path.join(d, "journal")).map_batches(
                 _cast_part, batch_format="pyarrow"
             )
@@ -618,9 +783,12 @@ def _blob_merge_phases(
     # blob merging composes rows ACROSS segments per (part, bucket): the
     # bucket function must agree, or a term's rows land in different
     # groups and survive as duplicates
+    doc_segments = [
+        d for d in segment_dirs if mf.is_committed(d, "reverse")
+    ]  # delete-only deltas hold no blobs; their tombstones are in tomb_for
     buckets_seen = {
         d: mf.read_manifest(d, "reverse").get("num_buckets")
-        for d in segment_dirs
+        for d in doc_segments
     }
     if len(set(buckets_seen.values())) != 1:
         raise ValueError(
@@ -650,7 +818,7 @@ def _blob_merge_phases(
 
     def _read_stripped(sub: str, kind: str):
         ds = None
-        for d in segment_dirs:
+        for d in doc_segments:
             tomb_ref, aff_ref, paff_ref = refs.get(d, (None, None, None))
             seg = rd.read_parquet(os.path.join(d, sub)).map_batches(
                 _cast_part, batch_format="pyarrow"

@@ -457,3 +457,173 @@ def test_compaction_blob_merge(chain, tmp_path_factory):
     assert _Segment(out_b, 0).has_blocks
     pruned = s_b.search("return value", k=20, pruned=True)
     assert _rows(pruned) == _rows(s_ref.search("return value", k=20))
+
+
+@pytest.fixture(scope="module")
+def delete_chain(chain, corpora, tmp_path_factory):
+    """[base, update-delta, delete-delta] purging one whole repo (whose
+    docs include UPDATED copies living in the delta) plus one single
+    (repo, path) document of another repo — and the reference rebuild
+    over the merged corpus minus the purged docs."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.build_index import BuildConfig, build_index
+    from marginaliasearch_ray.pipelines.delta import build_delete_delta
+
+    base, ddir, _ = chain
+    _, _, merged = corpora
+    purge_repo = "org0001/repo0001"
+    cols = {c: merged[c].to_pylist() for c in merged.column_names}
+    pair_idx = next(
+        i for i, r in enumerate(cols["repo"]) if r == "org0002/repo0002"
+    )
+    pair = (cols["repo"][pair_idx], cols["path"][pair_idx])
+
+    ddel = str(tmp_path_factory.mktemp("seg_del"))
+    man = build_delete_delta(
+        [base, ddir], ddel, repos=[purge_repo], paths=[pair]
+    )
+
+    keep = [
+        i
+        for i in range(len(cols["repo"]))
+        if cols["repo"][i] != purge_repo
+        and (cols["repo"][i], cols["path"][i]) != pair
+    ]
+    filtered = pa.table(
+        {
+            c: pa.array(
+                [cols[c][i] for i in keep], merged.schema.field(c).type
+            )
+            for c in merged.column_names
+        }
+    )
+    ref = str(tmp_path_factory.mktemp("seg_ref_del"))
+    # a purge must NOT reassign the surviving repos' domain ids (the
+    # registry is append-only), so the reference rebuild reuses the
+    # chain's registry — ids then coincide exactly
+    build_index(
+        ray.data.from_arrow(filtered),
+        ref,
+        BuildConfig(**CFG),
+        registry=load_registry(ddel),
+    )
+    return base, ddir, ddel, ref, man, len(keep)
+
+
+def test_delete_delta_manifest(delete_chain, corpora):
+    base, ddir, ddel, _, man, _ = delete_chain
+    _, _, merged = corpora
+    assert man["delete_only"] and man["n_docs"] == 0
+    # every live copy is tombstoned exactly once: base copies not already
+    # replaced + the replaced copies living in the update delta
+    cols = {c: merged[c].to_pylist() for c in merged.column_names}
+    n_purged = sum(1 for r in cols["repo"] if r == "org0001/repo0001") + 1
+    assert (
+        man["tombstones"][os.path.abspath(base)]
+        + man["tombstones"][os.path.abspath(ddir)]
+        == man["purged_ids"]
+    )
+    assert man["purged_ids"] == n_purged
+
+
+def test_delete_chain_matches_filtered_rebuild(delete_chain):
+    base, ddir, ddel, ref, _, n_keep = delete_chain
+    s_c = IndexSearch([base, ddir, ddel], use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    assert s_c.total_docs == s_ref.total_docs == n_keep
+    for q in QUERIES:
+        assert _rows(s_c.search(k=20, **q)) == _rows(
+            s_ref.search(k=20, **q)
+        ), q
+    # purged-repo filter returns nothing through the chain
+    assert s_c.search("return repo:org0001/repo0001", k=20).num_rows == 0
+
+
+def test_delete_chain_compaction_both_paths(
+    delete_chain, tmp_path_factory
+):
+    """Compacting [base, delta, delete-delta] physically drops the
+    purged docs on BOTH compaction paths and keeps serving parity."""
+    base, ddir, ddel, ref, _, n_keep = delete_chain
+    cfg = BuildConfig(**CFG)
+    s_ref = IndexSearch(ref, use_actors=False)
+    for blob in (False, True):
+        out = str(
+            tmp_path_factory.mktemp(f"seg_del_compact_{'blob' if blob else 'rebuild'}")
+        )
+        compact_segments([base, ddir, ddel], out, cfg, blob_merge=blob)
+        assert mf.read_manifest(out, "root")["n_docs"] == n_keep
+        s = IndexSearch(out, use_actors=False)
+        for q in QUERIES:
+            assert _rows(s.search(k=20, **q)) == _rows(
+                s_ref.search(k=20, **q)
+            ), (blob, q)
+        assert s.search("return repo:org0001/repo0001", k=20).num_rows == 0
+
+
+def test_update_delta_after_delete(delete_chain, corpora, tmp_path_factory):
+    """The chain stays extensible after a delete: an update delta built
+    on [base, delta, delete] scores like a rebuild over the filtered
+    corpus with the new replacements."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.build_index import build_index
+    from marginaliasearch_ray.pipelines.delta import build_delta_index
+
+    base, ddir, ddel, _, _, _ = delete_chain
+    _, _, merged = corpora
+    cols = {c: merged[c].to_pylist() for c in merged.column_names}
+    upd = [
+        i
+        for i in range(len(cols["repo"]))
+        if cols["repo"][i] == "org0000/repo0000"
+    ][:3]
+    d2 = {c: [cols[c][i] for i in upd] for c in cols}
+    d2["content"] = [c + "\npostdelete refresh_token" for c in d2["content"]]
+    d2_tbl = pa.table(
+        {c: pa.array(d2[c], merged.schema.field(c).type) for c in cols}
+    )
+
+    ddir2 = str(tmp_path_factory.mktemp("seg_delta2"))
+    build_delta_index(
+        ray.data.from_arrow(d2_tbl), [base, ddir, ddel], ddir2, BuildConfig(**CFG)
+    )
+
+    keep_rows = {
+        c: [
+            (d2["content"][upd.index(i)] if c == "content" and i in upd else cols[c][i])
+            for i in range(len(cols["repo"]))
+            if cols["repo"][i] != "org0001/repo0001"
+            and (cols["repo"][i], cols["path"][i])
+            != next(
+                (cols["repo"][j], cols["path"][j])
+                for j in range(len(cols["repo"]))
+                if cols["repo"][j] == "org0002/repo0002"
+            )
+        ]
+        for c in cols
+    }
+    from marginaliasearch_ray.pipelines.delta import load_registry as _lr
+
+    ref2 = str(tmp_path_factory.mktemp("seg_ref_del2"))
+    build_index(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    c: pa.array(keep_rows[c], merged.schema.field(c).type)
+                    for c in cols
+                }
+            )
+        ),
+        ref2,
+        BuildConfig(**CFG),
+        registry=_lr(ddel),
+    )
+    s_c = IndexSearch([base, ddir, ddel, ddir2], use_actors=False)
+    s_ref = IndexSearch(ref2, use_actors=False)
+    assert s_c.total_docs == s_ref.total_docs
+    for q in QUERIES + [dict(query="refresh_token")]:
+        assert _rows(s_c.search(k=20, **q)) == _rows(
+            s_ref.search(k=20, **q)
+        ), q
