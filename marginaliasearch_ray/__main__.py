@@ -89,7 +89,36 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--segment", action="append", required=True,
                    help="segment dir (repeat, oldest first)")
     c.add_argument("--out", required=True)
+    c.add_argument("--blob-merge", action="store_true",
+                   help="blob-level fold (strip + k-way blob merge; the "
+                        "journal is never re-encoded)")
     _common(c)
+
+    dl = sub.add_parser(
+        "delete", help="tombstone-only delta: physically purge documents"
+    )
+    dl.add_argument("--prior", action="append", required=True,
+                    help="prior segment dir (repeat, oldest first)")
+    dl.add_argument("--out", required=True)
+    dl.add_argument("--repo", action="append", default=[],
+                    help="purge EVERY document of this repo (repeat)")
+    dl.add_argument("--path", action="append", default=[],
+                    help="purge one document as repo:path (repeat)")
+
+    mt = sub.add_parser(
+        "maintain",
+        help="tiered chain maintenance: fold the oldest segments, rebase "
+             "the newer deltas, optionally republish the pointer",
+    )
+    mt.add_argument("--segment", action="append", default=None,
+                    help="segment dir (repeat, oldest first)")
+    mt.add_argument("--chain", default=None,
+                    help="pointer file (read AND republished on fold)")
+    mt.add_argument("--out-root", required=True)
+    mt.add_argument("--max-segments", type=int, default=4)
+    mt.add_argument("--max-tombstone-frac", type=float, default=0.25)
+    mt.add_argument("--no-blob-merge", action="store_true")
+    _common(mt)
 
     pub = sub.add_parser(
         "publish", help="atomically flip the CURRENT serving chain pointer"
@@ -142,8 +171,46 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from .pipelines.delta import compact_segments
 
-            root = compact_segments(args.segment, args.out, _build_cfg(args))
+            root = compact_segments(
+                args.segment, args.out, _build_cfg(args),
+                blob_merge=args.blob_merge,
+            )
             print(json.dumps(root))
+        elif args.cmd == "delete":
+            from .pipelines.delta import build_delete_delta
+
+            pairs = []
+            for spec in args.path:
+                repo, _, path = spec.partition(":")
+                if not path:
+                    p.error(f"--path must be repo:path, got {spec!r}")
+                pairs.append((repo, path))
+            man = build_delete_delta(
+                args.prior, args.out, repos=args.repo or None,
+                paths=pairs or None,
+            )
+            print(json.dumps(man))
+        elif args.cmd == "maintain":
+            from .pipelines.delta import maintain_chain
+            from .state import manifest as mf
+
+            if bool(args.segment) == bool(args.chain):
+                p.error("maintain needs exactly one of --segment/--chain")
+            dirs = args.segment or mf.read_chain(args.chain)
+            new_chain = maintain_chain(
+                dirs, args.out_root, _build_cfg(args),
+                max_segments=args.max_segments,
+                max_tombstone_frac=args.max_tombstone_frac,
+                blob_merge=not args.no_blob_merge,
+                chain_path=args.chain,
+            )
+            import os as _os
+
+            print(json.dumps({
+                "chain": new_chain,
+                "folded": new_chain
+                != [_os.path.abspath(d) for d in dirs],
+            }))
         elif args.cmd == "query":
             from .pipelines.query import IndexSearch
 

@@ -586,18 +586,44 @@ def _strip_tomb(batch: pa.Table, *, ids_ref) -> pa.Table:
     return batch.filter(pa.array(~_membership(cid, tomb)))
 
 
-def _strip_postings_batch(batch: pa.Table, *, tomb_ref=None, aff_ref=None) -> pa.Table:
-    """blk_* side columns always drop (recomputed after the merge); a
-    prior segment with tombstones gets the blob-level strip kernel."""
+def _strip_postings_batch(
+    batch: pa.Table, *, tomb_ref=None, aff_ref=None, block=None
+) -> pa.Table:
+    """Blob-level strip over a prior segment's finished posting rows.
+    With ``block`` set, untouched rows KEEP their blk_* block-max side
+    columns (zero decode) and only rewritten rows recompute them; with
+    ``block=None`` the blk_* columns drop (legacy flow — a downstream
+    add_block_stats recomputes for every row)."""
     from ..stages.reverse import strip_posting_tombstones
 
-    blk = [c for c in batch.column_names if c.startswith("blk_")]
-    if blk:
-        batch = batch.drop_columns(blk)
+    if block is None:
+        blk = [c for c in batch.column_names if c.startswith("blk_")]
+        if blk:
+            batch = batch.drop_columns(blk)
     if tomb_ref is None:
         return batch
     aff = _tomb_ids(aff_ref) if aff_ref is not None else None
-    return strip_posting_tombstones(batch, _tomb_ids(tomb_ref), aff)
+    return strip_posting_tombstones(
+        batch, _tomb_ids(tomb_ref), aff, block=block
+    )
+
+
+def _split_hot(batch: pa.Table, *, hot_ref, keep_hot: bool) -> pa.Table:
+    """Route posting rows by term temperature: ``hot`` terms (present in
+    >= 2 segments) must co-locate and k-way merge; everything else
+    passes through the compaction WITHOUT the all-to-all sort."""
+    hot_by_part = _tomb_ids(hot_ref)
+    parts = batch["part"].to_numpy(zero_copy_only=False)
+    tids = batch["term_id"].to_numpy(zero_copy_only=False)
+    mask = np.zeros(len(tids), dtype=bool)
+    for p in np.unique(parts):
+        hp = hot_by_part.get(int(p))
+        if hp is not None and len(hp):
+            sel = parts == p
+            mask[sel] = _membership(tids[sel], hp)
+    if not keep_hot:
+        mask = ~mask
+    return batch.filter(pa.array(mask))
 
 
 def _strip_prio_batch(batch: pa.Table, *, tomb_ref=None, aff_ref=None) -> pa.Table:
@@ -816,7 +842,7 @@ def _blob_merge_phases(
                 ray.put(paff) if paff is not None else None,
             )
 
-    def _read_stripped(sub: str, kind: str):
+    def _read_stripped(sub: str, kind: str, block: int | None = None):
         ds = None
         for d in doc_segments:
             tomb_ref, aff_ref, paff_ref = refs.get(d, (None, None, None))
@@ -836,12 +862,15 @@ def _blob_merge_phases(
                     if kind == "reverse"
                     else _strip_prio_batch
                 )
+                kw = {
+                    "tomb_ref": tomb_ref,
+                    "aff_ref": aff_ref if kind == "reverse" else paff_ref,
+                }
+                if kind == "reverse":
+                    kw["block"] = block
                 seg = seg.map_batches(
                     fn,
-                    fn_kwargs={
-                        "tomb_ref": tomb_ref,
-                        "aff_ref": aff_ref if kind == "reverse" else paff_ref,
-                    },
+                    fn_kwargs=kw,
                     batch_format="pyarrow",
                 )
             ds = seg if ds is None else ds.union(seg)
@@ -876,17 +905,63 @@ def _blob_merge_phases(
 
     if not mf.is_committed(out_dir, "reverse"):
         t0 = _time.time()
-        merged = (
-            _read_stripped("postings", "reverse")
-            .groupby(["part", "bucket"])
-            .map_groups(merge_runs_tree, batch_format="pyarrow")
+        # temperature split: a term needs the (part, bucket) all-to-all
+        # sort + k-way merge ONLY if it appears in >= 2 segments.  At a
+        # few-% churn that is a minority of rows AND of bytes, so the
+        # cold majority streams straight to the output — tombstones
+        # stripped in place, blk_* block-max columns preserved (the 960k
+        # measurement of the sort-everything variant was 1.7x the
+        # journal-rebuild path; this split is what makes blob merge
+        # cheaper).  Hot sets are vocabulary-sized per part (term_id-only
+        # columnar scans), broadcast once.
+        hot_by_part: dict[int, np.ndarray] = {}
+        for p in range(num_parts):
+            arrs = []
+            for d in doc_segments:
+                pdir = os.path.join(d, "postings", f"part={p}")
+                if os.path.isdir(pdir):
+                    arrs.append(
+                        pq.read_table(pdir, columns=["term_id"])[
+                            "term_id"
+                        ].to_numpy(zero_copy_only=False)
+                    )
+            if len(arrs) <= 1:
+                hot_by_part[p] = np.array([], dtype=np.int64)
+                continue
+            uniq, counts = np.unique(np.concatenate(arrs), return_counts=True)
+            hot_by_part[p] = uniq[counts > 1]
+        hot_ref = ray.put(hot_by_part)
+        block = cfg.posting_block or None
+
+        _clear_dir(os.path.join(out_dir, "postings"))
+        cold = _read_stripped("postings", "reverse", block=block).map_batches(
+            _split_hot,
+            fn_kwargs={"hot_ref": hot_ref, "keep_hot": False},
+            batch_format="pyarrow",
         )
-        if cfg.posting_block:
-            merged = merged.map_batches(
-                functools.partial(add_block_stats, block=cfg.posting_block),
+        cold.write_parquet(
+            os.path.join(out_dir, "postings"), partition_cols=["part"]
+        )
+        hot = _read_stripped("postings", "reverse", block=block).map_batches(
+            _split_hot,
+            fn_kwargs={"hot_ref": hot_ref, "keep_hot": True},
+            batch_format="pyarrow",
+        )
+        if block:
+            hot = hot.map_batches(
+                lambda t: t.drop_columns(
+                    [c for c in t.column_names if c.startswith("blk_")]
+                ),
                 batch_format="pyarrow",
             )
-        _clear_dir(os.path.join(out_dir, "postings"))
+        merged = hot.groupby(["part", "bucket"]).map_groups(
+            merge_runs_tree, batch_format="pyarrow"
+        )
+        if block:
+            merged = merged.map_batches(
+                functools.partial(add_block_stats, block=block),
+                batch_format="pyarrow",
+            )
         merged.write_parquet(
             os.path.join(out_dir, "postings"), partition_cols=["part"]
         )
@@ -945,3 +1020,217 @@ def _blob_merge_phases(
                 "lineage": {"blob_merged_from": segment_dirs},
             },
         )
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink-copy a segment content tree (immutable files; falls back
+    to a byte copy across filesystems)."""
+    import shutil
+
+    def _ln(a, b):
+        try:
+            os.link(a, b)
+        except OSError:
+            shutil.copyfile(a, b)
+
+    if os.path.isfile(src):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        _ln(src, dst)
+    else:
+        shutil.copytree(src, dst, copy_function=_ln, dirs_exist_ok=True)
+
+
+def _read_hive(dir_: str, columns: list[str]) -> pa.Table:
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(dir_, partitioning="hive").to_table(columns=columns)
+    if "part" in columns:
+        t = t.set_column(
+            t.schema.get_field_index("part"),
+            "part",
+            pc.cast(t["part"], pa.int32()),
+        )
+    return t
+
+
+def rebase_delta(
+    delta_dir: str,
+    new_dir: str,
+    new_prior_dirs: list[str],
+    collapse_k: int,
+) -> str:
+    """Rewrite a delta segment's LINEAGE after its oldest ``collapse_k``
+    priors were folded (compact_segments) into ``new_prior_dirs[0]``.
+
+    Content (journal/forward/postings/registry/manifests) is identical
+    and delta-sized — files hardlink into ``new_dir``.  Tombstones the
+    delta had laid against the folded priors merge into ONE table
+    against the folded base (their id sets are disjoint: the
+    already-tombstoned contract lays each replaced id against exactly
+    one prior, and the fold keeps exactly that live-or-stale copy), and
+    their df corrections sum per (part, term).  Tombstones against the
+    surviving priors shift position: old index j >= collapse_k -> new
+    index j - collapse_k + 1 (the caller rebases those priors too, in
+    chain order).
+    """
+    import pyarrow.parquet as _pq
+
+    old = mf.read_manifest(delta_dir, "delta")
+    old_priors = [os.path.abspath(d) for d in old["prior_dirs"]]
+    n = len(old_priors)
+    if not (1 <= collapse_k <= n):
+        raise ValueError(f"collapse_k {collapse_k} out of range for {n} priors")
+    if len(new_prior_dirs) != n - collapse_k + 1:
+        raise ValueError(
+            f"new_prior_dirs must have {n - collapse_k + 1} entries "
+            f"(folded base + {n - collapse_k} rebased priors), got "
+            f"{len(new_prior_dirs)}"
+        )
+    new_prior_dirs = [os.path.abspath(d) for d in new_prior_dirs]
+    if mf.is_committed(new_dir, "delta"):
+        return new_dir
+
+    os.makedirs(new_dir, exist_ok=True)
+    skip = {"tombstones", "df_correction", "delta"}
+    for name in os.listdir(delta_dir):
+        if name in skip:
+            continue
+        _link_tree(
+            os.path.join(delta_dir, name), os.path.join(new_dir, name)
+        )
+
+    # folded prefix -> one tombstone table + one summed correction table
+    # against new index 0
+    tomb_prefix = [
+        _read_hive(tombstone_dir(delta_dir, j), ["part", "combined_id"])
+        for j in range(collapse_k)
+        if os.path.isdir(tombstone_dir(delta_dir, j))
+    ]
+    n_tomb: dict[str, int] = {d: 0 for d in new_prior_dirs}
+    if tomb_prefix:
+        merged = pa.concat_tables(tomb_prefix)
+        n_tomb[new_prior_dirs[0]] = merged.num_rows
+        _pq.write_to_dataset(
+            merged, tombstone_dir(new_dir, 0), partition_cols=["part"]
+        )
+    corr_prefix = [
+        _read_hive(
+            correction_dir(delta_dir, j),
+            ["part", "term_id", "cnt", "prio_cnt"],
+        )
+        for j in range(collapse_k)
+        if os.path.isdir(correction_dir(delta_dir, j))
+    ]
+    if corr_prefix:
+        cat = pa.concat_tables(corr_prefix)
+        summed = pa.TableGroupBy(cat, ["part", "term_id"]).aggregate(
+            [("cnt", "sum"), ("prio_cnt", "sum")]
+        )
+        summed = summed.rename_columns(
+            ["part", "term_id", "cnt", "prio_cnt"]
+        )
+        summed = summed.set_column(
+            summed.schema.get_field_index("cnt"),
+            "cnt",
+            pc.cast(summed["cnt"], pa.int64()),
+        ).set_column(
+            summed.schema.get_field_index("prio_cnt"),
+            "prio_cnt",
+            pc.cast(summed["prio_cnt"], pa.int64()),
+        )
+        _pq.write_to_dataset(
+            summed, correction_dir(new_dir, 0), partition_cols=["part"]
+        )
+
+    # surviving priors shift positionally
+    for j in range(collapse_k, n):
+        nj = j - collapse_k + 1
+        if os.path.isdir(tombstone_dir(delta_dir, j)):
+            _link_tree(tombstone_dir(delta_dir, j), tombstone_dir(new_dir, nj))
+            n_tomb[new_prior_dirs[nj]] = int(
+                old["tombstones"].get(old_priors[j], 0)
+            )
+        if os.path.isdir(correction_dir(delta_dir, j)):
+            _link_tree(
+                correction_dir(delta_dir, j), correction_dir(new_dir, nj)
+            )
+
+    payload = {
+        k: v
+        for k, v in old.items()
+        if k not in ("prior_dirs", "tombstones", "phase", "committed_at")
+    }
+    payload.update(
+        {
+            "prior_dirs": new_prior_dirs,
+            "tombstones": n_tomb,
+            "rebased_from": os.path.abspath(delta_dir),
+            "collapsed_priors": old_priors[:collapse_k],
+        }
+    )
+    mf.commit_manifest(new_dir, "delta", payload)
+    return new_dir
+
+
+def maintain_chain(
+    chain: list[str],
+    out_root: str,
+    cfg: BuildConfig | None = None,
+    *,
+    max_segments: int = 4,
+    max_tombstone_frac: float = 0.25,
+    blob_merge: bool = True,
+    chain_path: str | None = None,
+) -> list[str]:
+    """Tiered chain maintenance (the Lucene TieredMergePolicy /
+    IndexFreezer shape): bound serving cost under continuous ingest by
+    folding the OLDEST segments and REBASING the newer deltas onto the
+    fold — newly ingested segments never re-merge until they age into
+    the prefix.
+
+    Triggers (checked in order):
+      * length  — ``len(chain) > max_segments``: fold the oldest
+        ``len - max_segments + 1`` segments into one, keeping exactly
+        ``max_segments`` serving segments;
+      * garbage — tombstoned docs > ``max_tombstone_frac`` of total:
+        fold the ENTIRE chain (full compaction reclaims the postings).
+
+    No trigger -> the input chain returns unchanged (cheap to call on a
+    schedule).  The fold uses blob-level compaction by default (no
+    re-tokenize), rebases are metadata-sized (hardlinked content,
+    delta-sized tombstone/correction rewrites), and every step is
+    resume-idempotent (phase manifests).  ``chain_path`` atomically
+    publishes the new chain on completion (state.manifest.publish_chain
+    — serving flips in one rename)."""
+    chain = [os.path.abspath(d) for d in chain]
+    _validate_chain(chain, strict=True)
+    n = len(chain)
+
+    total = sum(
+        int(mf.read_manifest(d, "root")["n_docs"]) for d in chain
+    )
+    tombed = 0
+    for d in chain[1:]:
+        dman = mf.read_manifest(d, "delta")
+        tombed += sum(int(v) for v in dman.get("tombstones", {}).values())
+
+    if n > max_segments:
+        collapse_k = n - max_segments + 1
+    elif total and tombed / total > max_tombstone_frac:
+        collapse_k = n
+    else:
+        return chain
+    if collapse_k < 2:
+        return chain
+
+    cfg = cfg or BuildConfig()
+    folded = os.path.join(out_root, "base")
+    compact_segments(chain[:collapse_k], folded, cfg, blob_merge=blob_merge)
+    new_chain = [folded]
+    for j in range(collapse_k, n):
+        nd = os.path.join(out_root, f"delta_{j - collapse_k}")
+        rebase_delta(chain[j], nd, list(new_chain), collapse_k)
+        new_chain.append(nd)
+    if chain_path:
+        mf.publish_chain(new_chain, chain_path)
+    return new_chain

@@ -552,6 +552,7 @@ def strip_posting_tombstones(
     batch: pa.Table,
     tomb: np.ndarray,
     affected_terms: np.ndarray | None = None,
+    block: int | None = None,
 ) -> pa.Table:
     """Remove tombstoned doc ids from MERGED posting rows in place — the
     blob-level compaction kernel: instead of re-running the reverse build
@@ -581,8 +582,10 @@ def strip_posting_tombstones(
     if n == 0 or len(tomb) == 0:
         return batch
     blk = [c for c in batch.column_names if c.startswith("blk_")]
-    if blk:
+    if blk and block is None:
+        # legacy flow: a downstream add_block_stats recomputes for all rows
         batch = batch.drop_columns(blk)
+        blk = []
     keep_cols = batch.column_names
     tids = batch["term_id"].to_numpy(zero_copy_only=False)
     if affected_terms is not None:
@@ -705,7 +708,16 @@ def strip_posting_tombstones(
                 ),
             }
         )
-        parts.append(pa.table(cols).select(keep_cols))
+        out = pa.table(cols)
+        if blk:
+            # ``block`` mode: untouched rows kept their blk_* side
+            # columns; recompute ONLY the rewritten rows' (the blob
+            # changed, so last-doc/maxtf/offsets did too)
+            out = add_block_stats(
+                out.select([c for c in keep_cols if not c.startswith("blk_")]),
+                block=block,
+            )
+        parts.append(out.select(keep_cols))
     if not parts:
         return batch.slice(0, 0)
     return pa.concat_tables(parts) if len(parts) > 1 else parts[0]

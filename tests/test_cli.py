@@ -87,3 +87,49 @@ def test_cli_roundtrip(cli_dirs, capsys):
     ]
     # the CLI must not have torn down the session fixture's Ray
     assert ray.is_initialized()
+
+
+def test_cli_delete_and_maintain(cli_dirs, capsys):
+    """delete (tombstone-only purge) and maintain (tiered fold + pointer
+    republish) through the job CLI."""
+    import os
+
+    root, corpus, delta = cli_dirs
+    common = ["--num-parts", "2", "--num-buckets", "4"]
+    # purge one whole repo from [base, d1] (both built by the roundtrip
+    # test, module-scoped fixture order guarantees they exist)
+    # purge the LAST repo — the clifresh delta updated docs of the first
+    # one, and those must survive the purge for the final query check
+    repo = pq.read_table(corpus)["repo"].to_pylist()[-1]
+    out = _run(
+        ["delete", "--prior", str(root / "base"), "--prior", str(root / "d1"),
+         "--out", str(root / "del1"), "--repo", repo],
+        capsys,
+    )
+    man = json.loads(out[-1])
+    assert man["delete_only"] and man["purged_ids"] == 10
+    out = _run(
+        ["query", "--index", str(root / "base"), "--index", str(root / "d1"),
+         "--index", str(root / "del1"), "--count", f"repo:{repo} file"],
+        capsys,
+    )
+    assert json.loads(out[-1])["n"] == 0
+
+    # maintain: 3 segments > max 2 -> fold [base, d1], rebase del1
+    chain = str(root / "MAINT.json")
+    _run(["publish", "--segment", str(root / "base"),
+          "--segment", str(root / "d1"), "--segment", str(root / "del1"),
+          "--chain", chain], capsys)
+    out = _run(
+        ["maintain", "--chain", chain, "--out-root", str(root / "gen1"),
+         "--max-segments", "2", *common],
+        capsys,
+    )
+    res = json.loads(out[-1])
+    assert res["folded"] and len(res["chain"]) == 2
+    out = _run(
+        ["query", "--chain", chain, "--count", f"repo:{repo} file"], capsys
+    )
+    assert json.loads(out[-1])["n"] == 0
+    out = _run(["query", "--chain", chain, "-k", "3", "clifresh"], capsys)
+    assert len(out) == 3

@@ -353,12 +353,11 @@ def test_delta_id_collision_different_path_raises(
     assert "collision" in str(ei.value) or "collision" in repr(ei.value)
 
 
-def test_five_delta_churn_chain(ray_session, corpora, tmp_path_factory):
-    """Churn contract: five overlapping delta waves (every doc in the
-    update window is re-updated by the NEXT wave too, and some docs are
-    touched by four waves) must keep the chain value-identical to a full
-    rebuild of the final corpus, and compaction must fold the whole
-    chain back to the same answers."""
+@pytest.fixture(scope="module")
+def churn_chain(ray_session, corpora, tmp_path_factory):
+    """base + five overlapping churn-delta waves, plus the full rebuild
+    of the final corpus and the probe query set (shared by the churn
+    parity test and the chain-maintenance tests)."""
     import ray.data
 
     v1, _, _ = corpora
@@ -396,14 +395,26 @@ def test_five_delta_churn_chain(ray_session, corpora, tmp_path_factory):
     )
     build_index(ray.data.from_arrow(t_final), ref, cfg)
 
-    s_chain = IndexSearch(chain_dirs, use_actors=False)
-    s_ref = IndexSearch(ref, use_actors=False)
-    assert s_chain.total_docs == s_ref.total_docs
     probes = QUERIES + [
         dict(query="churn_token_4_0"),  # newest wave wins
         dict(query="churn_token_0_0"),  # oldest wave: survives only where
         # later waves did not re-update the doc
     ]
+    return chain_dirs, ref, probes
+
+
+def test_five_delta_churn_chain(churn_chain, tmp_path_factory):
+    """Churn contract: five overlapping delta waves (every doc in the
+    update window is re-updated by the NEXT wave too, and some docs are
+    touched by four waves) must keep the chain value-identical to a full
+    rebuild of the final corpus, and compaction must fold the whole
+    chain back to the same answers."""
+    chain_dirs, ref, probes = churn_chain
+    cfg = BuildConfig(**CFG)
+
+    s_chain = IndexSearch(chain_dirs, use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    assert s_chain.total_docs == s_ref.total_docs
     for q in probes:
         assert _rows(s_chain.search(k=20, **q)) == _rows(
             s_ref.search(k=20, **q)
@@ -625,5 +636,56 @@ def test_update_delta_after_delete(delete_chain, corpora, tmp_path_factory):
     assert s_c.total_docs == s_ref.total_docs
     for q in QUERIES + [dict(query="refresh_token")]:
         assert _rows(s_c.search(k=20, **q)) == _rows(
+            s_ref.search(k=20, **q)
+        ), q
+
+
+def test_maintain_chain_tiered(churn_chain, tmp_path_factory):
+    """Length-triggered tiered maintenance: fold the oldest 4 of 6
+    segments and REBASE the newest two deltas onto the fold — serving
+    stays value-identical to the full rebuild, the published pointer
+    flips atomically, and a no-trigger call is a no-op."""
+    from marginaliasearch_ray.pipelines.delta import maintain_chain
+
+    chain_dirs, ref, probes = churn_chain
+    cfg = BuildConfig(**CFG)
+    out_root = str(tmp_path_factory.mktemp("maint"))
+    chain_path = os.path.join(out_root, "CHAIN.json")
+
+    new_chain = maintain_chain(
+        chain_dirs, out_root, cfg, max_segments=3, chain_path=chain_path
+    )
+    assert len(new_chain) == 3
+    assert mf.read_chain(chain_path) == new_chain
+    # the rebased deltas carry their lineage
+    d3 = mf.read_manifest(new_chain[1], "delta")
+    assert d3["prior_dirs"] == [new_chain[0]]
+    assert d3["rebased_from"] == os.path.abspath(chain_dirs[4])
+    d4 = mf.read_manifest(new_chain[2], "delta")
+    assert d4["prior_dirs"] == new_chain[:2]
+
+    s = IndexSearch.from_chain(chain_path, use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    assert s.total_docs == s_ref.total_docs
+    for q in probes:
+        assert _rows(s.search(k=20, **q)) == _rows(s_ref.search(k=20, **q)), q
+
+    # no trigger -> unchanged
+    again = maintain_chain(
+        new_chain, str(tmp_path_factory.mktemp("maint_noop")), cfg,
+        max_segments=3,
+    )
+    assert again == [os.path.abspath(d) for d in new_chain]
+
+    # garbage trigger -> full fold to one segment, same answers
+    full = maintain_chain(
+        new_chain, str(tmp_path_factory.mktemp("maint_full")), cfg,
+        max_segments=10, max_tombstone_frac=1e-6,
+    )
+    assert len(full) == 1
+    s_f = IndexSearch(full, use_actors=False)
+    assert s_f.total_docs == s_ref.total_docs
+    for q in probes:
+        assert _rows(s_f.search(k=20, **q)) == _rows(
             s_ref.search(k=20, **q)
         ), q

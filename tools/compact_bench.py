@@ -79,7 +79,13 @@ def main() -> int:
     )
 
     root = "/tmp/msray_compact_bench"
-    shutil.rmtree(root, ignore_errors=True)
+    # MSRAY_COMPACT_REUSE=1 keeps the (expensive) base+delta builds from a
+    # previous run and re-times only the two compaction legs
+    if os.environ.get("MSRAY_COMPACT_REUSE") == "1":
+        for leg in ("compact_rebuild", "compact_blob"):
+            shutil.rmtree(os.path.join(root, leg), ignore_errors=True)
+    else:
+        shutil.rmtree(root, ignore_errors=True)
     base = os.path.join(root, "base")
     timings: dict[str, float] = {}
 
@@ -151,6 +157,37 @@ def main() -> int:
         p = rows(s_b.search(q, k=20, pruned=True))
         assert p == a, ("pruned", q)
 
+    # ---- delete-only fold: the blob path's home turf -----------------
+    # a tombstone-only delta holds no postings, so NO term appears in two
+    # segments: hot sets are empty and the whole index streams through
+    # the strip with zero shuffle, vs the rebuild path re-encoding
+    # everything from the merged journal.
+    from marginaliasearch_ray.pipelines.delta import build_delete_delta
+
+    purge = [f"org{r % 3:04d}/repo{r:04d}" for r in range(0, repos, 31)]
+    deldir = os.path.join(root, "delete")
+    out_dr = os.path.join(root, "delcompact_rebuild")
+    out_db = os.path.join(root, "delcompact_blob")
+    for d in (deldir, out_dr, out_db):
+        shutil.rmtree(d, ignore_errors=True)
+    timed(
+        "delete_build",
+        lambda: build_delete_delta([base], deldir, repos=purge),
+    )
+    timed(
+        "delcompact_rebuild",
+        lambda: compact_segments([base, deldir], out_dr, cfg),
+    )
+    timed(
+        "delcompact_blob",
+        lambda: compact_segments([base, deldir], out_db, cfg, blob_merge=True),
+    )
+    s_dr = IndexSearch(out_dr, use_actors=False)
+    s_db = IndexSearch(out_db, use_actors=False)
+    assert s_dr.total_docs == s_db.total_docs
+    for q in queries[:4]:
+        assert rows(s_dr.search(q, k=20)) == rows(s_db.search(q, k=20)), q
+
     print(
         json.dumps(
             {
@@ -161,6 +198,11 @@ def main() -> int:
                 **timings,
                 "blob_vs_rebuild": round(
                     timings["compact_blob"] / timings["compact_rebuild"], 3
+                ),
+                "delete_blob_vs_rebuild": round(
+                    timings["delcompact_blob"]
+                    / timings["delcompact_rebuild"],
+                    3,
                 ),
                 "blob_vs_full_build": round(
                     timings["compact_blob"] / timings["base_build"], 3
