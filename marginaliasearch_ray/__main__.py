@@ -117,7 +117,10 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--out-root", required=True)
     mt.add_argument("--max-segments", type=int, default=4)
     mt.add_argument("--max-tombstone-frac", type=float, default=0.25)
-    mt.add_argument("--no-blob-merge", action="store_true")
+    mt.add_argument("--fold-path", choices=["auto", "blob", "rebuild"],
+                    default="auto",
+                    help="auto: blobs iff the fold is delete-only "
+                         "(the measured fast path per fold type)")
     _common(mt)
 
     pub = sub.add_parser(
@@ -201,7 +204,9 @@ def main(argv: list[str] | None = None) -> int:
                 dirs, args.out_root, _build_cfg(args),
                 max_segments=args.max_segments,
                 max_tombstone_frac=args.max_tombstone_frac,
-                blob_merge=not args.no_blob_merge,
+                blob_merge={"auto": "auto", "blob": True, "rebuild": False}[
+                    args.fold_path
+                ],
                 chain_path=args.chain,
             )
             import os as _os

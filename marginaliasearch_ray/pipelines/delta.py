@@ -1179,7 +1179,7 @@ def maintain_chain(
     *,
     max_segments: int = 4,
     max_tombstone_frac: float = 0.25,
-    blob_merge: bool = True,
+    blob_merge: bool | str = "auto",
     chain_path: str | None = None,
 ) -> list[str]:
     """Tiered chain maintenance (the Lucene TieredMergePolicy /
@@ -1196,10 +1196,15 @@ def maintain_chain(
         fold the ENTIRE chain (full compaction reclaims the postings).
 
     No trigger -> the input chain returns unchanged (cheap to call on a
-    schedule).  The fold uses blob-level compaction by default (no
-    re-tokenize), rebases are metadata-sized (hardlinked content,
-    delta-sized tombstone/correction rewrites), and every step is
-    resume-idempotent (phase manifests).  ``chain_path`` atomically
+    schedule).  ``blob_merge="auto"`` picks the fold path by what the
+    960k-doc measurements showed (tools/compact_bench.py, BASELINE.md):
+    an UPDATE fold re-encodes the head terms either way and the
+    journal-rebuild encode is the faster of the two, while a DELETE-ONLY
+    fold has no cross-segment vocabulary at all and the blob path runs
+    shuffle-free — so auto uses blobs iff every folded non-base segment
+    is delete-only.  Rebases are metadata-sized (hardlinked content,
+    delta-sized tombstone/correction rewrites), every step is
+    resume-idempotent (phase manifests), and ``chain_path`` atomically
     publishes the new chain on completion (state.manifest.publish_chain
     — serving flips in one rename)."""
     chain = [os.path.abspath(d) for d in chain]
@@ -1224,6 +1229,11 @@ def maintain_chain(
         return chain
 
     cfg = cfg or BuildConfig()
+    if blob_merge == "auto":
+        blob_merge = all(
+            mf.read_manifest(d, "delta").get("delete_only", False)
+            for d in chain[1:collapse_k]
+        )
     folded = os.path.join(out_root, "base")
     compact_segments(chain[:collapse_k], folded, cfg, blob_merge=blob_merge)
     new_chain = [folded]

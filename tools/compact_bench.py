@@ -78,9 +78,11 @@ def main() -> int:
         segment_commits=False,
     )
 
-    root = "/tmp/msray_compact_bench"
+    # scratch root keyed by corpus size so a smoke run can never clobber
+    # (and silently substitute for) an at-scale base
+    root = f"/tmp/msray_compact_bench_{repos}x{files}"
     # MSRAY_COMPACT_REUSE=1 keeps the (expensive) base+delta builds from a
-    # previous run and re-times only the two compaction legs
+    # previous run and re-times only the compaction legs
     if os.environ.get("MSRAY_COMPACT_REUSE") == "1":
         for leg in ("compact_rebuild", "compact_blob"):
             shutil.rmtree(os.path.join(root, leg), ignore_errors=True)
@@ -99,6 +101,10 @@ def main() -> int:
         "base_build",
         lambda: build_index(rd.read_parquet(corpus_path), base, cfg),
     )
+    from marginaliasearch_ray.state import manifest as mf
+
+    built = int(mf.read_manifest(base, "root")["n_docs"])
+    assert built == n_docs, f"stale base: {built} docs != expected {n_docs}"
 
     # ~3.2% churn: every 31st ordinal gets appended content (the delta
     # REPLACES those docs, tombstoning their base postings)
