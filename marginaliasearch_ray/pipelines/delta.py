@@ -603,9 +603,29 @@ def _strip_postings_batch(
     if tomb_ref is None:
         return batch
     aff = _tomb_ids(aff_ref) if aff_ref is not None else None
-    return strip_posting_tombstones(
-        batch, _tomb_ids(tomb_ref), aff, block=block
-    )
+    tomb = _tomb_ids(tomb_ref)
+    if isinstance(aff, dict):  # per-part prefilter
+        return _per_part(
+            batch,
+            lambda sub, p: strip_posting_tombstones(
+                sub, tomb, aff.get(p, _EMPTY_TIDS), block=block
+            ),
+        )
+    return strip_posting_tombstones(batch, tomb, aff, block=block)
+
+
+_EMPTY_TIDS = np.array([], dtype=np.int64)
+
+
+def _per_part(batch: pa.Table, fn) -> pa.Table:
+    """Apply ``fn(sub_batch, part)`` per part value (batches from hive
+    reads are near-always single-part, so this is one call)."""
+    parts = batch["part"].to_numpy(zero_copy_only=False)
+    uniq = np.unique(parts)
+    if len(uniq) <= 1:
+        return fn(batch, int(uniq[0])) if len(uniq) else batch
+    outs = [fn(batch.filter(pa.array(parts == p)), int(p)) for p in uniq]
+    return pa.concat_tables(outs)
 
 
 def _split_hot(batch: pa.Table, *, hot_ref, keep_hot: bool) -> pa.Table:
@@ -632,7 +652,15 @@ def _strip_prio_batch(batch: pa.Table, *, tomb_ref=None, aff_ref=None) -> pa.Tab
     if tomb_ref is None:
         return batch
     aff = _tomb_ids(aff_ref) if aff_ref is not None else None
-    return strip_prio_tombstones(batch, _tomb_ids(tomb_ref), aff)
+    tomb = _tomb_ids(tomb_ref)
+    if isinstance(aff, dict):  # per-part prefilter
+        return _per_part(
+            batch,
+            lambda sub, p: strip_prio_tombstones(
+                sub, tomb, aff.get(p, _EMPTY_TIDS)
+            ),
+        )
+    return strip_prio_tombstones(batch, tomb, aff)
 
 
 def compact_segments(
@@ -679,11 +707,12 @@ def compact_segments(
 
     # gather, per segment, the union of tombstoned ids laid down by later
     # segments (id arrays are delta-sized: small), plus — for the blob
-    # path — the union of corrected term ids (exactly the terms whose
-    # posting lists contain a tombstoned doc; prio_cnt>0 rows for prio)
+    # path — the corrected term ids PER PART (exactly the terms whose
+    # posting lists contain a tombstoned doc in that part; combined ids
+    # are domain-major, so a purged/updated repo's corrections cluster
+    # into its home part and the other parts' strips skip the decode)
     tomb_for: dict[str, list[np.ndarray]] = {d: [] for d in segment_dirs}
-    aff_for: dict[str, list[np.ndarray]] = {d: [] for d in segment_dirs}
-    prio_aff_for: dict[str, list[np.ndarray]] = {d: [] for d in segment_dirs}
+    corr_for: dict[str, list[pa.Table]] = {d: [] for d in segment_dirs}
     for k, dk in enumerate(segment_dirs):
         if not mf.is_committed(dk, "delta"):
             continue
@@ -697,12 +726,10 @@ def compact_segments(
                     ].to_numpy(zero_copy_only=False)
                 )
             cd = correction_dir(dk, j)
-            if blob_merge and prior in aff_for and os.path.isdir(cd):
-                ct = pq.read_table(cd, columns=["term_id", "prio_cnt"])
-                tid = ct["term_id"].to_numpy(zero_copy_only=False)
-                pcnt = ct["prio_cnt"].to_numpy(zero_copy_only=False)
-                aff_for[prior].append(tid)
-                prio_aff_for[prior].append(tid[pcnt > 0])
+            if blob_merge and prior in corr_for and os.path.isdir(cd):
+                corr_for[prior].append(
+                    _read_hive(cd, ["part", "term_id", "prio_cnt"])
+                )
 
     if not mf.is_committed(out_dir, "journal"):
         t0 = time.time()
@@ -775,11 +802,22 @@ def compact_segments(
         mf.commit_manifest(out_dir, "stats", base_stats)
 
     if blob_merge:
-        _blob_merge_phases(
-            segment_dirs, out_dir, cfg, tomb_for, aff_for, prio_aff_for
-        )
+        _blob_merge_phases(segment_dirs, out_dir, cfg, tomb_for, corr_for)
 
     return build_index(None, out_dir, cfg)
+
+
+def _aff_by_part(
+    tables: list[pa.Table], prio: bool = False
+) -> dict[int, np.ndarray]:
+    """Corrected-term prefilter per part: {part -> sorted term ids}."""
+    cat = pa.concat_tables(tables)
+    part = cat["part"].to_numpy(zero_copy_only=False)
+    tid = cat["term_id"].to_numpy(zero_copy_only=False)
+    if prio:
+        m = cat["prio_cnt"].to_numpy(zero_copy_only=False) > 0
+        part, tid = part[m], tid[m]
+    return {int(p): np.unique(tid[part == p]) for p in np.unique(part)}
 
 
 def _blob_merge_phases(
@@ -787,8 +825,7 @@ def _blob_merge_phases(
     out_dir: str,
     cfg: BuildConfig,
     tomb_for: dict[str, list[np.ndarray]],
-    aff_for: dict[str, list[np.ndarray]],
-    prio_aff_for: dict[str, list[np.ndarray]],
+    corr_for: dict[str, list[pa.Table]],
 ) -> None:
     """Pre-commit forward/reverse/prio for a blob-level compaction: every
     phase streams each segment's FINISHED artifacts through a tombstone
@@ -823,18 +860,15 @@ def _blob_merge_phases(
         )
     num_parts = int(mf.read_manifest(segment_dirs[0], "root")["num_parts"])
 
-    # broadcast the per-segment tombstone unions + affected-term sets once
+    # broadcast the per-segment tombstone unions + per-part affected-term
+    # sets once
     refs: dict[str, tuple] = {}
     for d in segment_dirs:
         if tomb_for[d]:
             tomb = np.unique(np.concatenate(tomb_for[d]))
-            aff = (
-                np.unique(np.concatenate(aff_for[d])) if aff_for[d] else None
-            )
+            aff = _aff_by_part(corr_for[d]) if corr_for[d] else None
             paff = (
-                np.unique(np.concatenate(prio_aff_for[d]))
-                if prio_aff_for[d]
-                else None
+                _aff_by_part(corr_for[d], prio=True) if corr_for[d] else None
             )
             refs[d] = (
                 ray.put(tomb),
@@ -1230,10 +1264,28 @@ def maintain_chain(
 
     cfg = cfg or BuildConfig()
     if blob_merge == "auto":
+        # measured policy (tools/compact_bench.py + BASELINE.md, 960k
+        # docs): update folds re-encode the head terms either way and the
+        # journal-rebuild encode wins; delete-only folds win on blobs
+        # when the purge is SMALL/CONCENTRATED (0.17% one-repo purge:
+        # 0.37x) and lose when victims scatter across every posting list
+        # (3.2% 19-repo purge: >1x) — so blobs iff the fold is
+        # delete-only and tombstones <= 1% of the folded docs
+        fold_docs = sum(
+            int(mf.read_manifest(d, "root")["n_docs"])
+            for d in chain[:collapse_k]
+        )
+        fold_tombed = sum(
+            int(v)
+            for d in chain[1:collapse_k]
+            for v in mf.read_manifest(d, "delta")
+            .get("tombstones", {})
+            .values()
+        )
         blob_merge = all(
             mf.read_manifest(d, "delta").get("delete_only", False)
             for d in chain[1:collapse_k]
-        )
+        ) and fold_tombed <= 0.01 * max(fold_docs, 1)
     folded = os.path.join(out_root, "base")
     compact_segments(chain[:collapse_k], folded, cfg, blob_merge=blob_merge)
     new_chain = [folded]
