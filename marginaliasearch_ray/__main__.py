@@ -104,6 +104,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="purge EVERY document of this repo (repeat)")
     dl.add_argument("--path", action="append", default=[],
                     help="purge one document as repo:path (repeat)")
+    dl.add_argument("--allow-empty", action="store_true",
+                    help="permit a spec that matches no documents "
+                         "(default: error loudly — a typo'd takedown "
+                         "must not read as done)")
 
     mt = sub.add_parser(
         "maintain",
@@ -190,7 +194,7 @@ def main(argv: list[str] | None = None) -> int:
                 pairs.append((repo, path))
             man = build_delete_delta(
                 args.prior, args.out, repos=args.repo or None,
-                paths=pairs or None,
+                paths=pairs or None, allow_empty=args.allow_empty,
             )
             print(json.dumps(man))
         elif args.cmd == "maintain":

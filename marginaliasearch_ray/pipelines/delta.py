@@ -457,6 +457,7 @@ def build_delete_delta(
     delta_dir: str,
     repos: list[str] | None = None,
     paths: list[tuple[str, str]] | None = None,
+    allow_empty: bool = False,
 ) -> dict:
     """Tombstone-ONLY delta: physically purge documents from a chain
     without reindexing anything (the domain-blacklist / takedown story —
@@ -527,6 +528,15 @@ def build_delete_delta(
         if chunks
         else np.array([], dtype=np.int64)
     )
+    if len(delta_ids) == 0 and not allow_empty:
+        # the takedown use case must fail LOUDLY on a typo'd repo/path —
+        # a committed no-op delete reads as "purge done" while every
+        # intended document keeps serving
+        raise ValueError(
+            f"purge spec matched no documents (repos={full_repos}, "
+            f"{len(pair_keys)} paths); pass allow_empty=True if a no-op "
+            "delete is intended"
+        )
 
     # segment skeleton: a doc-less delta is still a first-class chain
     # member — root/stats manifests + the registry superset copy, so
@@ -876,13 +886,24 @@ def _blob_merge_phases(
                 ray.put(paff) if paff is not None else None,
             )
 
-    def _read_stripped(sub: str, kind: str, block: int | None = None):
+    def _read_stripped(
+        sub: str, kind: str, block: int | None = None, split=None
+    ):
         ds = None
         for d in doc_segments:
             tomb_ref, aff_ref, paff_ref = refs.get(d, (None, None, None))
             seg = rd.read_parquet(os.path.join(d, sub)).map_batches(
                 _cast_part, batch_format="pyarrow"
             )
+            if split is not None:
+                # temperature routing BEFORE the strip (membership on
+                # (part, term_id) only — no blob decode), so each row's
+                # strip runs exactly once across the two passes
+                seg = seg.map_batches(
+                    _split_hot,
+                    fn_kwargs={"hot_ref": split[0], "keep_hot": split[1]},
+                    batch_format="pyarrow",
+                )
             if kind == "forward":
                 if tomb_ref is not None:
                     seg = seg.map_batches(
@@ -950,6 +971,9 @@ def _blob_merge_phases(
         # columnar scans), broadcast once.
         hot_by_part: dict[int, np.ndarray] = {}
         for p in range(num_parts):
+            if len(doc_segments) <= 1:
+                hot_by_part[p] = _EMPTY_TIDS  # nothing can appear twice
+                continue
             arrs = []
             for d in doc_segments:
                 pdir = os.path.join(d, "postings", f"part={p}")
@@ -960,45 +984,39 @@ def _blob_merge_phases(
                         ].to_numpy(zero_copy_only=False)
                     )
             if len(arrs) <= 1:
-                hot_by_part[p] = np.array([], dtype=np.int64)
+                hot_by_part[p] = _EMPTY_TIDS
                 continue
             uniq, counts = np.unique(np.concatenate(arrs), return_counts=True)
             hot_by_part[p] = uniq[counts > 1]
         hot_ref = ray.put(hot_by_part)
         block = cfg.posting_block or None
+        any_hot = any(len(v) for v in hot_by_part.values())
 
         _clear_dir(os.path.join(out_dir, "postings"))
-        cold = _read_stripped("postings", "reverse", block=block).map_batches(
-            _split_hot,
-            fn_kwargs={"hot_ref": hot_ref, "keep_hot": False},
-            batch_format="pyarrow",
+        cold = _read_stripped(
+            "postings", "reverse", block=block, split=(hot_ref, False)
         )
         cold.write_parquet(
             os.path.join(out_dir, "postings"), partition_cols=["part"]
         )
-        hot = _read_stripped("postings", "reverse", block=block).map_batches(
-            _split_hot,
-            fn_kwargs={"hot_ref": hot_ref, "keep_hot": True},
-            batch_format="pyarrow",
-        )
-        if block:
-            hot = hot.map_batches(
-                lambda t: t.drop_columns(
-                    [c for c in t.column_names if c.startswith("blk_")]
-                ),
-                batch_format="pyarrow",
+        if any_hot:
+            # hot rows lose their blk_* columns inside the strip
+            # (block=None) — the re-merge invalidates them and
+            # add_block_stats recomputes after
+            hot = _read_stripped(
+                "postings", "reverse", block=None, split=(hot_ref, True)
             )
-        merged = hot.groupby(["part", "bucket"]).map_groups(
-            merge_runs_tree, batch_format="pyarrow"
-        )
-        if block:
-            merged = merged.map_batches(
-                functools.partial(add_block_stats, block=block),
-                batch_format="pyarrow",
+            merged = hot.groupby(["part", "bucket"]).map_groups(
+                merge_runs_tree, batch_format="pyarrow"
             )
-        merged.write_parquet(
-            os.path.join(out_dir, "postings"), partition_cols=["part"]
-        )
+            if block:
+                merged = merged.map_batches(
+                    functools.partial(add_block_stats, block=block),
+                    batch_format="pyarrow",
+                )
+            merged.write_parquet(
+                os.path.join(out_dir, "postings"), partition_cols=["part"]
+            )
         for p in range(num_parts):
             d = os.path.join(out_dir, "postings", f"part={p}")
             if not os.path.isdir(d):
@@ -1036,11 +1054,14 @@ def _blob_merge_phases(
 
     if not mf.is_committed(out_dir, "prio"):
         t0 = _time.time()
-        prio = (
-            _read_stripped("postings_prio", "prio")
-            .groupby(["part", "bucket"])
-            .map_groups(merge_prio_segments, batch_format="pyarrow")
-        )
+        prio = _read_stripped("postings_prio", "prio")
+        if len(doc_segments) > 1:
+            prio = prio.groupby(["part", "bucket"]).map_groups(
+                merge_prio_segments, batch_format="pyarrow"
+            )
+        # single doc segment (delete-only fold): no term can appear
+        # twice, so the merge is a guaranteed pass-through — skip the
+        # all-to-all entirely
         _clear_dir(os.path.join(out_dir, "postings_prio"))
         prio.write_parquet(
             os.path.join(out_dir, "postings_prio"), partition_cols=["part"]
@@ -1124,6 +1145,14 @@ def rebase_delta(
     if mf.is_committed(new_dir, "delta"):
         return new_dir
 
+    # resume idempotence: the delta manifest commits LAST; a crashed
+    # attempt leaves partial hardlinks (os.link would EEXIST) and partial
+    # tombstone/correction parquet (write_to_dataset APPENDS -> doubled
+    # df corrections), so start clean
+    import shutil as _sh
+
+    if os.path.exists(new_dir):
+        _sh.rmtree(new_dir)
     os.makedirs(new_dir, exist_ok=True)
     skip = {"tombstones", "df_correction", "delta"}
     for name in os.listdir(delta_dir):
@@ -1286,11 +1315,23 @@ def maintain_chain(
             mf.read_manifest(d, "delta").get("delete_only", False)
             for d in chain[1:collapse_k]
         ) and fold_tombed <= 0.01 * max(fold_docs, 1)
-    folded = os.path.join(out_root, "base")
+    # generation-stamped output dir: deterministic for THIS input chain
+    # (a crashed maintenance resumes its committed phases), distinct for
+    # the NEXT round — reusing literal subdir names under out_root would
+    # let a second round find the previous round's committed manifests,
+    # skip every phase, and silently publish a chain missing the newly
+    # folded deltas' documents
+    import hashlib as _hl
+
+    gen = _hl.sha1(
+        ("|".join(chain) + f"@{collapse_k}").encode()
+    ).hexdigest()[:12]
+    gen_root = os.path.join(out_root, f"gen_{gen}")
+    folded = os.path.join(gen_root, "base")
     compact_segments(chain[:collapse_k], folded, cfg, blob_merge=blob_merge)
     new_chain = [folded]
     for j in range(collapse_k, n):
-        nd = os.path.join(out_root, f"delta_{j - collapse_k}")
+        nd = os.path.join(gen_root, f"delta_{j - collapse_k}")
         rebase_delta(chain[j], nd, list(new_chain), collapse_k)
         new_chain.append(nd)
     if chain_path:

@@ -52,14 +52,20 @@ def main() -> int:
     chain = [base]
     t_build = []
     for w in range(5):
-        mod, res = 29, (w * 5) % 29  # overlapping residue windows
+        # sliding residue window: wave w updates residues {2w..2w+3} mod
+        # 116 (~3.4% of docs), so waves w and w+1 SHARE half their docs —
+        # the overlapping-churn regime exercises the already-tombstoned
+        # dedup (a doc's stale copy must be tombstoned exactly once)
+        mod = 116
+        res_set = [(2 * w + i) % mod for i in range(4)]
 
-        def wave_corpus(mod=mod, res=res, w=w):
+        def wave_corpus(mod=mod, res_set=tuple(res_set), w=w):
             def mutate(batch):
+                import numpy as np
                 import pyarrow as pa
 
                 ords = batch["ordinal"].to_numpy(zero_copy_only=False)
-                keep = pa.array(ords % mod == res)
+                keep = pa.array(np.isin(ords % mod, res_set))
                 sel = batch.filter(keep)
                 content = pa.array(
                     [
