@@ -570,6 +570,30 @@ def _deleted_for(sf_dir: str) -> IndexSearch:
     return handle
 
 
+def _maintained_for(sf_dir: str) -> IndexSearch:
+    """The _deleted_for chain [base, delta, delete] run through TIERED
+    MAINTENANCE (maintain_chain, max_segments=2): [base, delta] fold and
+    the delete delta REBASES onto the fold — scoring must be a no-op
+    (same oracle as bm25_delete_purge)."""
+    handle = _DELTA_HANDLES.get(sf_dir + "@maintained")
+    if handle is not None:
+        return handle
+    from marginaliasearch_ray.pipelines.delta import maintain_chain
+
+    dirs = _deleted_for(sf_dir).segment_dirs
+    tag = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}@v{INDEX_FORMAT_VERSION}@maint".encode()
+    ).hexdigest()[:12]
+    out_root = os.path.join("/tmp/msray_index_cache", tag)
+    new_chain = maintain_chain(
+        dirs, out_root, _build_cfg(), max_segments=2
+    )
+    assert len(new_chain) == 2, new_chain
+    handle = IndexSearch(new_chain, use_actors=False)
+    _DELTA_HANDLES[sf_dir + "@maintained"] = handle
+    return handle
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
 
@@ -606,6 +630,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tombstone-only DELETE delta (physical purge, no reindex): the
     # purged repo ranked in the chain's top-10, so the result CHANGES
     q["bm25_delete_purge"] = lambda sf: _deleted_for(sf).search(
+        "customer merge", k=10
+    ).select(["doc_id", "score_r"])
+    # tiered maintenance fold + rebase must be a scoring no-op
+    q["bm25_delta_maintained"] = lambda sf: _maintained_for(sf).search(
         "customer merge", k=10
     ).select(["doc_id", "score_r"])
 
@@ -1144,6 +1172,8 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_delta_blobcompact",
     # tombstone-only delete delta (physical purge)
     "bm25_delete_purge",
+    # tiered maintenance: fold + rebase is a scoring no-op
+    "bm25_delta_maintained",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -1180,10 +1210,10 @@ _DRIVER_WINDOW_FIRST = [
     "repo_stats",
     "term_df_top100",
     "lang_id",
-    "quality_scores",
-    # ann_cosine_top10 + events_tumbling_1h dropped to the tail for
-    # bm25_delta_blobcompact / bm25_delete_purge: both are r03
-    # driver-green and unchanged since.
+    # quality_scores + ann_cosine_top10 + events_tumbling_1h dropped to
+    # the tail for bm25_delta_blobcompact / bm25_delete_purge /
+    # bm25_delta_maintained: all three are r03 driver-green and
+    # unchanged since.
 ]
 
 
@@ -1842,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_delta_compacted": _delta_sql(["customer", "merge"]),
         "bm25_delta_blobcompact": _delta_sql(["customer", "merge"]),
         "bm25_delete_purge": _delete_sql(["customer", "merge"]),
+        "bm25_delta_maintained": _delete_sql(["customer", "merge"]),
         "bm25_match_count": f"""
             WITH tok AS (
               SELECT doc_id, {_tok()} AS toks,
