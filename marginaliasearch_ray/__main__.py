@@ -134,6 +134,17 @@ def main(argv: list[str] | None = None) -> int:
                      help="segment dir (repeat, oldest first)")
     pub.add_argument("--chain", required=True, help="pointer file path")
 
+    vf = sub.add_parser(
+        "verify",
+        help="fsck a segment or chain against its committed manifests",
+    )
+    vf.add_argument("--segment", action="append", default=None,
+                    help="segment dir (repeat for a chain, oldest first)")
+    vf.add_argument("--chain", default=None, help="pointer file")
+    vf.add_argument("--deep", action="store_true",
+                    help="recompute the journal sha256-XOR rollups "
+                         "(distributed) and compare")
+
     q = sub.add_parser("query", help="search a segment chain")
     q.add_argument("--index", action="append", default=None,
                    help="segment dir (repeat, oldest first)")
@@ -197,6 +208,20 @@ def main(argv: list[str] | None = None) -> int:
                 paths=pairs or None, allow_empty=args.allow_empty,
             )
             print(json.dumps(man))
+        elif args.cmd == "verify":
+            from .state import manifest as mf
+            from .state.verify import verify_chain, verify_segment
+
+            if bool(args.segment) == bool(args.chain):
+                p.error("verify needs exactly one of --segment/--chain")
+            dirs = args.segment or mf.read_chain(args.chain)
+            res = (
+                verify_chain(dirs, deep=args.deep)
+                if len(dirs) > 1 or args.chain
+                else verify_segment(dirs[0], deep=args.deep)
+            )
+            print(json.dumps(res))
+            return 0 if res["ok"] else 1
         elif args.cmd == "maintain":
             from .pipelines.delta import maintain_chain
             from .state import manifest as mf

@@ -47,7 +47,12 @@ import pyarrow.parquet as pq
 
 from ..stages.docids import DomainRegistry
 from ..state import manifest as mf
-from .build_index import BuildConfig, _cast_part, build_index
+from .build_index import (
+    BuildConfig,
+    _cast_part,
+    _lineage_rollup,
+    build_index,
+)
 
 
 def load_registry(index_dir: str) -> DomainRegistry:
@@ -793,6 +798,12 @@ def compact_segments(
                 "num_parts": mf.read_manifest(segment_dirs[0], "root")[
                     "num_parts"
                 ],
+                # same per-part sha256-XOR lineage a fresh build records
+                # (the verifier's deep audit + trace-back contract holds
+                # across compactions)
+                "per_part_lineage": _lineage_rollup(
+                    os.path.join(out_dir, "journal")
+                ),
                 "compacted_from": segment_dirs,
                 "seconds": round(time.time() - t0, 3),
                 "files": mf.list_phase_files(out_dir, "journal"),
@@ -1260,12 +1271,13 @@ def maintain_chain(
 
     No trigger -> the input chain returns unchanged (cheap to call on a
     schedule).  ``blob_merge="auto"`` picks the fold path by what the
-    960k-doc measurements showed (tools/compact_bench.py, BASELINE.md):
-    an UPDATE fold re-encodes the head terms either way and the
-    journal-rebuild encode is the faster of the two, while a DELETE-ONLY
-    fold has no cross-segment vocabulary at all and the blob path runs
-    shuffle-free — so auto uses blobs iff every folded non-base segment
-    is delete-only.  Rebases are metadata-sized (hardlinked content,
+    960k-doc interleaved A/B measurements showed (tools/compact_bench.py,
+    BASELINE.md): an UPDATE fold re-encodes the head terms either way
+    and the journal-rebuild encode is the faster of the two (blob
+    1.27x), while a DELETE-ONLY fold has no cross-segment vocabulary at
+    all and the blob path runs shuffle-free (0.50-0.76x) — so auto uses
+    blobs iff every folded non-base segment is delete-only.  Rebases are
+    metadata-sized (hardlinked content,
     delta-sized tombstone/correction rewrites), every step is
     resume-idempotent (phase manifests), and ``chain_path`` atomically
     publishes the new chain on completion (state.manifest.publish_chain
@@ -1293,28 +1305,16 @@ def maintain_chain(
 
     cfg = cfg or BuildConfig()
     if blob_merge == "auto":
-        # measured policy (tools/compact_bench.py + BASELINE.md, 960k
-        # docs): update folds re-encode the head terms either way and the
-        # journal-rebuild encode wins; delete-only folds win on blobs
-        # when the purge is SMALL/CONCENTRATED (0.17% one-repo purge:
-        # 0.37x) and lose when victims scatter across every posting list
-        # (3.2% 19-repo purge: >1x) — so blobs iff the fold is
-        # delete-only and tombstones <= 1% of the folded docs
-        fold_docs = sum(
-            int(mf.read_manifest(d, "root")["n_docs"])
-            for d in chain[:collapse_k]
-        )
-        fold_tombed = sum(
-            int(v)
-            for d in chain[1:collapse_k]
-            for v in mf.read_manifest(d, "delta")
-            .get("tombstones", {})
-            .values()
-        )
+        # measured policy (tools/compact_bench.py interleaved A/B medians
+        # at 960k docs, BASELINE.md): UPDATE folds re-encode the head
+        # terms either way and the journal-rebuild encode wins (blob
+        # 1.27x); DELETE-only folds skip the vocabulary co-location
+        # entirely and blobs win at both measured churn levels (0.50x at
+        # a 0.17% one-repo purge, 0.76x at a 3.2% 19-repo purge)
         blob_merge = all(
             mf.read_manifest(d, "delta").get("delete_only", False)
             for d in chain[1:collapse_k]
-        ) and fold_tombed <= 0.01 * max(fold_docs, 1)
+        )
     # generation-stamped output dir: deterministic for THIS input chain
     # (a crashed maintenance resumes its committed phases), distinct for
     # the NEXT round — reusing literal subdir names under out_root would

@@ -1,0 +1,259 @@
+"""Segment integrity verification — fsck for the index.
+
+The build phases record per-partition lineage (file lists, doc counts,
+sha256(content) XOR rollups) in their manifests precisely so that a
+segment can later be AUDITED without trusting anything but the manifest
+bytes: after a node loss, a partial rsync, a bit-flipped disk or a
+crashed build attempt, ``verify_segment`` answers "is this segment
+exactly what its build committed?".
+
+Reference analog: the work-log discipline of BatchingWorkLogImpl (a
+resumed run must see exactly the recorded artifacts) plus the
+insertion-stable registry invariants; re-expressed over Parquet +
+manifest files.
+
+Shallow checks (metadata + cheap columnar reads):
+  * every required phase manifest is committed;
+  * every file a manifest recorded exists, and no STRAY parquet sits in
+    a phase dir (a crashed attempt's leftovers would be silently read
+    by the append-discipline sinks);
+  * doc counts agree across root/journal/forward manifests;
+  * reverse per-part posting counts match a recomputed sum(df);
+  * delta segments: recorded per-prior tombstone counts match the
+    tombstone tables on disk.
+
+Deep check (``deep=True``): recompute the journal's per-part
+sha256-XOR rollup DISTRIBUTED (the same ``_lineage_rollup`` kernel the
+build used) and compare — this catches content corruption, not just
+missing files.
+
+Relocation-safe: recorded paths are rebased from the build-time
+``out_dir`` onto the segment's current location.
+"""
+
+from __future__ import annotations
+
+import os
+
+from . import manifest as mf
+
+_PHASES_WITH_FILES = ("journal", "forward", "reverse", "prio")
+_PHASE_DIRS = {
+    "journal": "journal",
+    "forward": "forward",
+    "reverse": "postings",
+    "prio": "postings_prio",
+}
+
+
+def _rebase(path: str, recorded_root: str, actual_root: str) -> str:
+    rel = os.path.relpath(path, recorded_root)
+    return os.path.normpath(os.path.join(actual_root, rel))
+
+
+def verify_segment(segment_dir: str, deep: bool = False) -> dict:
+    """Audit one segment against its own manifests.  Returns
+    ``{"ok": bool, "problems": [...], "checked": {...}}`` — never
+    raises on an integrity failure (the caller decides severity)."""
+    segment_dir = os.path.abspath(segment_dir)
+    problems: list[str] = []
+    checked: dict = {"segment": segment_dir, "deep": deep}
+
+    if not mf.is_committed(segment_dir, "root"):
+        return {
+            "ok": False,
+            "problems": ["root manifest missing — not a finished segment"],
+            "checked": checked,
+        }
+    root = mf.read_manifest(segment_dir, "root")
+    recorded_root = os.path.abspath(root.get("out_dir", segment_dir))
+    n_docs = int(root["n_docs"])
+    delete_only = bool(root.get("delete_only", False))
+    checked["n_docs"] = n_docs
+
+    required = ("stats",) if delete_only else (
+        "journal", "stats", "forward", "reverse", "prio"
+    )
+    for phase in required:
+        if not mf.is_committed(segment_dir, phase):
+            problems.append(f"phase manifest missing: {phase}")
+    if not os.path.exists(os.path.join(segment_dir, "registry.parquet")):
+        problems.append("registry.parquet missing")
+
+    # recorded files exist; no strays next to them
+    n_files = 0
+    for phase in _PHASES_WITH_FILES:
+        if not mf.is_committed(segment_dir, phase):
+            continue
+        man = mf.read_manifest(segment_dir, phase)
+        recorded = {
+            _rebase(f, recorded_root, segment_dir)
+            for f in man.get("files", [])
+        }
+        n_files += len(recorded)
+        for f in sorted(recorded):
+            if not os.path.exists(f):
+                problems.append(f"{phase}: recorded file missing: {f}")
+        pdir = os.path.join(segment_dir, _PHASE_DIRS[phase])
+        actual = {
+            os.path.join(r, fn)
+            for r, _d, fns in os.walk(pdir)
+            for fn in fns
+            if fn.endswith(".parquet")
+        }
+        for f in sorted(actual - recorded):
+            problems.append(
+                f"{phase}: STRAY parquet not in the committed manifest "
+                f"(crashed attempt leftovers?): {f}"
+            )
+    checked["files"] = n_files
+
+    # doc-count arithmetic across phases
+    if not delete_only and mf.is_committed(segment_dir, "journal"):
+        jman = mf.read_manifest(segment_dir, "journal")
+        if "per_part_lineage" in jman:
+            j_docs = sum(
+                int(v["docs"]) for v in jman["per_part_lineage"].values()
+            )
+            if j_docs != n_docs:
+                problems.append(
+                    f"journal lineage docs {j_docs} != root n_docs {n_docs}"
+                )
+        if mf.is_committed(segment_dir, "forward"):
+            fman = mf.read_manifest(segment_dir, "forward")
+            f_docs = sum(
+                int(v) for v in fman.get("per_part_docs", {}).values()
+            )
+            if f_docs != n_docs:
+                problems.append(
+                    f"forward docs {f_docs} != root n_docs {n_docs}"
+                )
+
+    # reverse: recomputed per-part sum(df) vs the committed counts
+    if not delete_only and mf.is_committed(segment_dir, "reverse"):
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        rman = mf.read_manifest(segment_dir, "reverse")
+        for p, want in rman.get("per_part_postings", {}).items():
+            d = os.path.join(segment_dir, "postings", f"part={p}")
+            if not os.path.isdir(d):
+                problems.append(f"reverse: postings part={p} dir missing")
+                continue
+            try:
+                got = int(
+                    np.sum(
+                        pads.dataset(d)
+                        .to_table(columns=["df"])["df"]
+                        .to_numpy(zero_copy_only=False)
+                    )
+                )
+            except Exception as exc:  # stray foreign-schema file etc.
+                problems.append(
+                    f"reverse part={p}: postings unreadable ({exc})"
+                )
+                continue
+            if got != int(want):
+                problems.append(
+                    f"reverse part={p}: sum(df) {got} != committed {want}"
+                )
+
+    # delta segments: per-prior tombstone counts vs the tables on disk
+    if mf.is_committed(segment_dir, "delta"):
+        import pyarrow.dataset as pads
+
+        from ..pipelines.delta import tombstone_dir
+
+        dman = mf.read_manifest(segment_dir, "delta")
+        checked["delta"] = True
+        for j, prior in enumerate(dman.get("prior_dirs", [])):
+            want = int(dman.get("tombstones", {}).get(prior, 0))
+            td = tombstone_dir(segment_dir, j)
+            got = (
+                pads.dataset(td, partitioning="hive").count_rows()
+                if os.path.isdir(td)
+                else 0
+            )
+            if got != want:
+                problems.append(
+                    f"delta: tombstones against prior[{j}] = {got} rows "
+                    f"on disk != {want} committed"
+                )
+
+    # deep: recompute the journal content-hash rollup distributed
+    if deep and not delete_only and mf.is_committed(segment_dir, "journal"):
+        from ..pipelines.build_index import _lineage_rollup
+
+        jman = mf.read_manifest(segment_dir, "journal")
+        if "per_part_lineage" not in jman:
+            problems.append(
+                "deep: journal manifest has no per_part_lineage rollup "
+                "(pre-r4 compacted segment?) — content audit impossible"
+            )
+            return {"ok": not problems, "problems": problems, "checked": checked}
+        want = jman["per_part_lineage"]
+        got = _lineage_rollup(os.path.join(segment_dir, "journal"))
+        checked["deep_rollup_parts"] = len(got)
+        for p in sorted(set(want) | set(got)):
+            w, g = want.get(p), got.get(p)
+            if w is None or g is None:
+                problems.append(f"deep: part {p} present on one side only")
+            elif int(w["sha_rollup_xor"]) != int(g["sha_rollup_xor"]) or int(
+                w["docs"]
+            ) != int(g["docs"]):
+                problems.append(
+                    f"deep: part {p} journal rollup mismatch — content "
+                    f"differs from what the build committed "
+                    f"(docs {w['docs']}->{g['docs']}, xor "
+                    f"{w['sha_rollup_xor']}!={g['sha_rollup_xor']})"
+                )
+
+    return {"ok": not problems, "problems": problems, "checked": checked}
+
+
+def verify_chain(segment_dirs: list[str], deep: bool = False) -> dict:
+    """Audit a serving chain: every segment individually, the chain
+    prefix contract (each delta built against exactly the dirs before
+    it), and the doc-count arithmetic the chain open relies on."""
+    segment_dirs = [os.path.abspath(d) for d in segment_dirs]
+    problems: list[str] = []
+    segments = {}
+    for d in segment_dirs:
+        segments[d] = verify_segment(d, deep=deep)
+        problems += [f"{d}: {p}" for p in segments[d]["problems"]]
+
+    total, tombed = 0, 0
+    for k, dk in enumerate(segment_dirs):
+        if mf.is_committed(dk, "root"):
+            total += int(mf.read_manifest(dk, "root")["n_docs"])
+        if k == 0:
+            if mf.is_committed(dk, "delta") and mf.read_manifest(
+                dk, "delta"
+            ).get("prior_dirs"):
+                problems.append(
+                    f"{dk}: chain starts at a DELTA segment (its recorded "
+                    "priors are not in the list)"
+                )
+            continue
+        if not mf.is_committed(dk, "delta"):
+            problems.append(f"{dk}: non-base segment without delta manifest")
+            continue
+        dman = mf.read_manifest(dk, "delta")
+        rec = [os.path.abspath(p) for p in dman.get("prior_dirs", [])]
+        if rec != segment_dirs[:k]:
+            problems.append(
+                f"{dk}: chain mismatch — built against {rec}, listed "
+                f"after {segment_dirs[:k]}"
+            )
+        tombed += sum(int(v) for v in dman.get("tombstones", {}).values())
+    live = total - tombed
+    if live < 0:
+        problems.append(f"negative live doc count: {total} - {tombed}")
+    return {
+        "ok": not problems,
+        "problems": problems,
+        "total_docs": total,
+        "tombstoned": tombed,
+        "live_docs": live,
+        "segments": segments,
+    }
