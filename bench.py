@@ -290,6 +290,36 @@ def run_bench() -> dict:
     }
 
 
+def _host_control(nworkers: int, total_iters: int = 480_000_000) -> float:
+    """Pure-CPU multiprocessing throughput (iters/s) at ``nworkers`` in a
+    fresh subprocess — an engine-free probe of the SAME window the engine
+    legs run in, so hypervisor steal can be factored out of the scaling
+    ratio (this shared VM swings identical code 3-9x across windows; see
+    BASELINE.md's variance note)."""
+    code = (
+        "import multiprocessing as mp, sys, time\n"
+        "def w(n):\n"
+        "    s = 0\n"
+        "    for i in range(n):\n"
+        "        s += i * i\n"
+        "    return s\n"
+        "if __name__ == '__main__':\n"
+        "    nw = int(sys.argv[1]); total = int(sys.argv[2])\n"
+        "    per = total // nw\n"
+        "    t0 = time.time()\n"
+        "    with mp.Pool(nw) as p:\n"
+        "        p.map(w, [per] * nw)\n"
+        "    print(total / (time.time() - t0))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(nworkers), str(total_iters)],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return float(out.strip())
+
+
 def run_scaling() -> dict:
     # Scaling defaults to the 960k-doc corpus: per-phase fixed pipeline
     # latencies (~20 s per build regardless of size) dominate small
@@ -321,11 +351,23 @@ def run_scaling() -> dict:
     # See BASELINE.md for the control numbers.
     lo = int(os.environ.get("MSRAY_SCALE_LO", "4"))
     hi = int(os.environ.get("MSRAY_SCALE_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
+    # Host control brackets each engine leg (steal windows shift on the
+    # scale of minutes, and the engine legs run for minutes): control@lo,
+    # engine@lo, control@hi, engine@hi, then controls again in reverse.
+    # The per-leg control is the mean of its two brackets.
+    ctl_lo_1 = _host_control(lo)
+    r_lo = run(lo)
+    ctl_hi_1 = _host_control(hi)
+    r_hi = run(hi)
+    ctl_hi_2 = _host_control(hi)
+    ctl_lo_2 = _host_control(lo)
+    ctl_lo = (ctl_lo_1 + ctl_lo_2) / 2
+    ctl_hi = (ctl_hi_1 + ctl_hi_2) / 2
     # throughput on the synthetic index build — the shuffle-heavy core
     thr_lo = r_lo["synth_build_docs_per_s"]
     thr_hi = r_hi["synth_build_docs_per_s"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    host_eff = (ctl_hi / ctl_lo) / (hi / lo)
     return {
         "metric": "scaling efficiency (synthetic index build docs/s)",
         "cpus_lo": lo,
@@ -335,6 +377,11 @@ def run_scaling() -> dict:
         "total_sec_lo": r_lo["value"],
         "total_sec_hi": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
+        # same-window pure-CPU control: what a steal-free box would call
+        # 1.0 reads as host_control_efficiency here; the engine's
+        # window-corrected ratio is scaling_efficiency / this value
+        "host_control_efficiency": round(host_eff, 3),
+        "scaling_efficiency_vs_host": round(eff / host_eff, 3) if host_eff else None,
     }
 
 
