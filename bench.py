@@ -306,10 +306,12 @@ def _host_control(nworkers: int, total_iters: int = 480_000_000) -> float:
         "if __name__ == '__main__':\n"
         "    nw = int(sys.argv[1]); total = int(sys.argv[2])\n"
         "    per = total // nw\n"
-        "    t0 = time.time()\n"
         "    with mp.Pool(nw) as p:\n"
+        "        p.map(w, [1000] * nw)  # warm the workers\n"
+        "        t0 = time.time()\n"
         "        p.map(w, [per] * nw)\n"
-        "    print(total / (time.time() - t0))\n"
+        "        dt = time.time() - t0\n"
+        "    print(total / dt)\n"
     )
     out = subprocess.run(
         [sys.executable, "-c", code, str(nworkers), str(total_iters)],
@@ -352,15 +354,15 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("MSRAY_SCALE_LO", "4"))
     hi = int(os.environ.get("MSRAY_SCALE_HI", "16"))
     # Host control brackets each engine leg (steal windows shift on the
-    # scale of minutes, and the engine legs run for minutes): control@lo,
-    # engine@lo, control@hi, engine@hi, then controls again in reverse.
-    # The per-leg control is the mean of its two brackets.
+    # scale of minutes, and the engine legs run for minutes): each leg's
+    # control is the mean of a probe run immediately BEFORE and
+    # immediately AFTER that leg, so it samples the same window.
     ctl_lo_1 = _host_control(lo)
     r_lo = run(lo)
+    ctl_lo_2 = _host_control(lo)
     ctl_hi_1 = _host_control(hi)
     r_hi = run(hi)
     ctl_hi_2 = _host_control(hi)
-    ctl_lo_2 = _host_control(lo)
     ctl_lo = (ctl_lo_1 + ctl_lo_2) / 2
     ctl_hi = (ctl_hi_1 + ctl_hi_2) / 2
     # throughput on the synthetic index build — the shuffle-heavy core

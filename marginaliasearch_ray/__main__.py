@@ -166,6 +166,23 @@ def main(argv: list[str] | None = None) -> int:
             "segments": [str(s) for s in args.segment],
         }))
         return 0
+    if args.cmd == "verify" and not args.deep:
+        # shallow fsck is manifest + pyarrow metadata only — it must run
+        # on a recovery box with no reachable cluster (only --deep's
+        # distributed journal rollup needs ray.data)
+        from .state import manifest as mf
+        from .state.verify import verify_chain, verify_segment
+
+        if bool(args.segment) == bool(args.chain):
+            p.error("verify needs exactly one of --segment/--chain")
+        dirs = args.segment or mf.read_chain(args.chain)
+        res = (
+            verify_chain(dirs, deep=False)
+            if len(dirs) > 1 or args.chain
+            else verify_segment(dirs[0], deep=False)
+        )
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
     owns_ray = _init_ray(args)
     import ray
     import ray.data as rd

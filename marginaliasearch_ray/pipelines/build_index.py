@@ -487,6 +487,11 @@ def build_index(
                 "per_part_lineage": lineage,
                 "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "journal"),
+                # the per-language id index is serve-time state too —
+                # recorded here so the fsck can audit it (absent in
+                # pre-r4 manifests; the verifier treats absence as
+                # "not auditable", not as a failure)
+                "lang_files": mf.list_phase_files(out_dir, "lang_index"),
             },
         )
 

@@ -807,6 +807,7 @@ def compact_segments(
                 "compacted_from": segment_dirs,
                 "seconds": round(time.time() - t0, 3),
                 "files": mf.list_phase_files(out_dir, "journal"),
+                "lang_files": mf.list_phase_files(out_dir, "lang_index"),
             },
         )
 

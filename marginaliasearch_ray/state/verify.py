@@ -20,7 +20,10 @@ Shallow checks (metadata + cheap columnar reads):
   * doc counts agree across root/journal/forward manifests;
   * reverse per-part posting counts match a recomputed sum(df);
   * delta segments: recorded per-prior tombstone counts match the
-    tombstone tables on disk.
+    tombstone tables on disk; tombstone/correction parquet WITHOUT a
+    committed delta manifest (a crashed delta attempt) is flagged;
+  * the per-language id index (lang_index) matches the journal
+    manifest's recorded file list, when the manifest records one.
 
 Deep check (``deep=True``): recompute the journal's per-part
 sha256-XOR rollup DISTRIBUTED (the same ``_lineage_rollup`` kernel the
@@ -28,7 +31,12 @@ build used) and compare — this catches content corruption, not just
 missing files.
 
 Relocation-safe: recorded paths are rebased from the build-time
-``out_dir`` onto the segment's current location.
+``out_dir`` onto the segment's current location, and ``verify_chain``
+accepts a chain whose recorded prior paths match after the same
+prefix transform (a chain rsynced wholesale verifies clean).
+Unreadable (truncated/corrupt) parquet is reported as a problem, never
+raised — the "never raises on an integrity failure" contract includes
+integrity failures of the files themselves.
 """
 
 from __future__ import annotations
@@ -71,7 +79,10 @@ def verify_segment(segment_dir: str, deep: bool = False) -> dict:
     delete_only = bool(root.get("delete_only", False))
     checked["n_docs"] = n_docs
 
-    required = ("stats",) if delete_only else (
+    # delete-only segments commit the delta manifest LAST (after the
+    # tombstones are laid) — its absence means a crashed build attempt,
+    # not a finished segment
+    required = ("stats", "delta") if delete_only else (
         "journal", "stats", "forward", "reverse", "prio"
     )
     for phase in required:
@@ -79,32 +90,45 @@ def verify_segment(segment_dir: str, deep: bool = False) -> dict:
             problems.append(f"phase manifest missing: {phase}")
     if not os.path.exists(os.path.join(segment_dir, "registry.parquet")):
         problems.append("registry.parquet missing")
+    # tombstone/correction parquet without a committed delta manifest is
+    # always a crashed delta attempt (update AND delete deltas commit the
+    # delta manifest after laying them; re-runs rmtree + rewrite)
+    if not mf.is_committed(segment_dir, "delta"):
+        for d in ("tombstones", "df_correction"):
+            if mf.list_phase_files(segment_dir, d):
+                problems.append(
+                    f"{d}/ parquet present without a committed delta "
+                    "manifest (crashed delta attempt leftovers)"
+                )
 
     # recorded files exist; no strays next to them
+    def _check_files(label: str, recorded_paths, phase_dir: str) -> int:
+        recorded = {
+            _rebase(f, recorded_root, segment_dir) for f in recorded_paths
+        }
+        for f in sorted(recorded):
+            if not os.path.exists(f):
+                problems.append(f"{label}: recorded file missing: {f}")
+        actual = set(mf.list_phase_files(segment_dir, phase_dir))
+        for f in sorted(actual - recorded):
+            problems.append(
+                f"{label}: STRAY parquet not in the committed manifest "
+                f"(crashed attempt leftovers?): {f}"
+            )
+        return len(recorded)
+
     n_files = 0
     for phase in _PHASES_WITH_FILES:
         if not mf.is_committed(segment_dir, phase):
             continue
         man = mf.read_manifest(segment_dir, phase)
-        recorded = {
-            _rebase(f, recorded_root, segment_dir)
-            for f in man.get("files", [])
-        }
-        n_files += len(recorded)
-        for f in sorted(recorded):
-            if not os.path.exists(f):
-                problems.append(f"{phase}: recorded file missing: {f}")
-        pdir = os.path.join(segment_dir, _PHASE_DIRS[phase])
-        actual = {
-            os.path.join(r, fn)
-            for r, _d, fns in os.walk(pdir)
-            for fn in fns
-            if fn.endswith(".parquet")
-        }
-        for f in sorted(actual - recorded):
-            problems.append(
-                f"{phase}: STRAY parquet not in the committed manifest "
-                f"(crashed attempt leftovers?): {f}"
+        n_files += _check_files(phase, man.get("files", []), _PHASE_DIRS[phase])
+        if phase == "journal" and "lang_files" in man:
+            # the per-language id index serves lang: filters — audited
+            # when the manifest records it (pre-r4 manifests don't;
+            # absence is "not auditable", not a failure)
+            n_files += _check_files(
+                "lang_index", man["lang_files"], "lang_index"
             )
     checked["files"] = n_files
 
@@ -169,11 +193,17 @@ def verify_segment(segment_dir: str, deep: bool = False) -> dict:
         for j, prior in enumerate(dman.get("prior_dirs", [])):
             want = int(dman.get("tombstones", {}).get(prior, 0))
             td = tombstone_dir(segment_dir, j)
-            got = (
-                pads.dataset(td, partitioning="hive").count_rows()
-                if os.path.isdir(td)
-                else 0
-            )
+            try:
+                got = (
+                    pads.dataset(td, partitioning="hive").count_rows()
+                    if os.path.isdir(td)
+                    else 0
+                )
+            except Exception as exc:  # truncated/corrupt parquet
+                problems.append(
+                    f"delta: tombstones against prior[{j}] unreadable ({exc})"
+                )
+                continue
             if got != want:
                 problems.append(
                     f"delta: tombstones against prior[{j}] = {got} rows "
@@ -192,7 +222,11 @@ def verify_segment(segment_dir: str, deep: bool = False) -> dict:
             )
             return {"ok": not problems, "problems": problems, "checked": checked}
         want = jman["per_part_lineage"]
-        got = _lineage_rollup(os.path.join(segment_dir, "journal"))
+        try:
+            got = _lineage_rollup(os.path.join(segment_dir, "journal"))
+        except Exception as exc:  # truncated/corrupt parquet
+            problems.append(f"deep: journal unreadable ({exc})")
+            return {"ok": not problems, "problems": problems, "checked": checked}
         checked["deep_rollup_parts"] = len(got)
         for p in sorted(set(want) | set(got)):
             w, g = want.get(p), got.get(p)
@@ -209,6 +243,27 @@ def verify_segment(segment_dir: str, deep: bool = False) -> dict:
                 )
 
     return {"ok": not problems, "problems": problems, "checked": checked}
+
+
+def _rebased_priors(delta_dir: str, recorded: list[str]) -> list[str]:
+    """Map build-time prior paths onto the chain's current location: a
+    chain rsynced wholesale keeps its segments' relative layout, so the
+    recorded-out_dir -> actual-dir prefix transform of the DELTA applies
+    to its priors too.  Returns the recorded list unchanged when the
+    delta has no usable out_dir record."""
+    if not mf.is_committed(delta_dir, "root"):
+        return recorded
+    rec_self = mf.read_manifest(delta_dir, "root").get("out_dir")
+    if not rec_self:
+        return recorded
+    rec_parent = os.path.dirname(os.path.abspath(rec_self))
+    act_parent = os.path.dirname(os.path.abspath(delta_dir))
+    return [
+        os.path.normpath(
+            os.path.join(act_parent, os.path.relpath(p, rec_parent))
+        )
+        for p in recorded
+    ]
 
 
 def verify_chain(segment_dirs: list[str], deep: bool = False) -> dict:
@@ -240,7 +295,9 @@ def verify_chain(segment_dirs: list[str], deep: bool = False) -> dict:
             continue
         dman = mf.read_manifest(dk, "delta")
         rec = [os.path.abspath(p) for p in dman.get("prior_dirs", [])]
-        if rec != segment_dirs[:k]:
+        if rec != segment_dirs[:k] and _rebased_priors(
+            dk, rec
+        ) != segment_dirs[:k]:
             problems.append(
                 f"{dk}: chain mismatch — built against {rec}, listed "
                 f"after {segment_dirs[:k]}"

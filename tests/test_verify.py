@@ -154,3 +154,117 @@ def test_compacted_segment_deep_verifies(seg, tmp_path):
     compact_segments([base, ddir], out, BuildConfig(**CFG))
     res = verify_segment(out, deep=True)
     assert res["ok"], res["problems"]
+
+
+def test_relocated_chain_verifies(seg, tmp_path):
+    """A chain rsynced wholesale (relative layout preserved) audits
+    clean at its new location: recorded prior paths are rebased with the
+    same prefix transform verify_segment applies to file lists."""
+    base, ddir = seg
+    common = os.path.commonpath([base, ddir])
+    new_root = str(tmp_path / "restore")
+    nb = os.path.join(new_root, os.path.relpath(base, common))
+    nd = os.path.join(new_root, os.path.relpath(ddir, common))
+    shutil.copytree(base, nb)
+    shutil.copytree(ddir, nd)
+    res = verify_chain([nb, nd])
+    assert res["ok"], res["problems"]
+    # a genuinely wrong prefix still fails after rebasing
+    res2 = verify_chain([nd, nb])
+    assert not res2["ok"]
+
+
+def test_crashed_delete_delta_detected(seg, tmp_path):
+    """A delete delta that crashed after laying tombstones but before
+    its delta manifest committed must NOT pass fsck (the root manifest
+    with delete_only=True commits first)."""
+    from marginaliasearch_ray.pipelines.delta import build_delete_delta
+
+    base, _ = seg
+    ddir = str(tmp_path / "del")
+    build_delete_delta([base], ddir, repos=["org0000/repo0000"])
+    assert verify_segment(ddir)["ok"]
+    os.remove(os.path.join(ddir, "delta", "_manifest.json"))
+    res = verify_segment(ddir)
+    assert not res["ok"]
+    assert any("phase manifest missing: delta" in p for p in res["problems"])
+    assert any("crashed delta attempt" in p for p in res["problems"])
+
+
+def test_corrupt_tombstone_reported_not_raised(seg, tmp_path):
+    """Truncated/corrupt parquet is a reported problem, not a crash —
+    the verifier's 'never raises on an integrity failure' contract."""
+    base, ddir = seg
+    c = _copy(ddir, tmp_path, "corrupt")
+    part = next(
+        os.path.join(r, fn)
+        for r, _d, fns in os.walk(os.path.join(c, "tombstones"))
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    with open(part, "wb") as f:
+        f.write(b"PAR1garbage-not-a-footer")
+    res = verify_segment(c)
+    assert not res["ok"]
+    assert any("unreadable" in p for p in res["problems"])
+
+
+def test_corrupt_journal_deep_reported_not_raised(seg, tmp_path):
+    base, _ = seg
+    c = _copy(base, tmp_path, "jcorrupt")
+    part = next(
+        os.path.join(r, fn)
+        for r, _d, fns in os.walk(os.path.join(c, "journal"))
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    with open(part, "wb") as f:
+        f.write(b"PAR1garbage-not-a-footer")
+    res = verify_segment(c, deep=True)
+    assert not res["ok"]
+    assert any("unreadable" in p or "missing" in p for p in res["problems"])
+
+
+def test_lang_index_audited(seg, tmp_path):
+    """lang_index (serve-time state for lang: filters) is covered by the
+    journal manifest's lang_files record: a missing file and a stray
+    file are both flagged."""
+    base, _ = seg
+    c = _copy(base, tmp_path, "langmiss")
+    part = next(
+        os.path.join(r, fn)
+        for r, _d, fns in os.walk(os.path.join(c, "lang_index"))
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    os.remove(part)
+    res = verify_segment(c)
+    assert not res["ok"]
+    assert any(
+        "lang_index: recorded file missing" in p for p in res["problems"]
+    )
+
+    c2 = _copy(base, tmp_path, "langstray")
+    stray = os.path.join(c2, "lang_index", "stray.parquet")
+    pq.write_table(pa.table({"x": [1]}), stray)
+    res2 = verify_segment(c2)
+    assert not res2["ok"]
+    assert any("lang_index: STRAY" in p for p in res2["problems"])
+
+
+def test_cli_shallow_verify_needs_no_ray(seg, monkeypatch, capsys):
+    """Shallow (non --deep) verify is a pure file/pyarrow op and must not
+    start a Ray session — it has to work on a recovery box with no
+    reachable cluster."""
+    import marginaliasearch_ray.__main__ as cli
+
+    def boom(_args):
+        raise AssertionError("shallow verify must not init Ray")
+
+    monkeypatch.setattr(cli, "_init_ray", boom)
+    base, ddir = seg
+    assert cli.main(["verify", "--segment", base, "--segment", ddir]) == 0
+    out = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    )
+    assert out["ok"]
