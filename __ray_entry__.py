@@ -1163,11 +1163,13 @@ _DRIVER_WINDOW_FIRST = [
     "embedding_near_dup",
     # commit-manifest export protocol
     "export_shards",
-    # delta identity validation + chain checks touched delta.py
+    # delta identity validation + chain checks touched delta.py; the
+    # other bm25_delta_* siblings (fresh/exclude/compacted, r03-green)
+    # ride at the tail — maintained/blobcompact/delete_purge below
+    # exercise the same machinery end-to-end
     "bm25_delta_chain",
-    "bm25_delta_fresh",
-    "bm25_delta_exclude",
-    "bm25_delta_compacted",
+    # fake-decode media features gained an exact oracle this round
+    "media_features",
     # blob-level compaction path (strip + k-way blob merge, no re-tokenize)
     "bm25_delta_blobcompact",
     # tombstone-only delete delta (physical purge)
@@ -1210,10 +1212,11 @@ _DRIVER_WINDOW_FIRST = [
     "repo_stats",
     "term_df_top100",
     "lang_id",
-    # quality_scores + ann_cosine_top10 + events_tumbling_1h dropped to
-    # the tail for bm25_delta_blobcompact / bm25_delete_purge /
-    # bm25_delta_maintained: all three are r03 driver-green and
-    # unchanged since.
+    "quality_scores",
+    "ann_cosine_top10",
+    # events_tumbling_1h stays at the tail (r03 driver-green, unchanged);
+    # simhash64 (rows-only) and the *_off twins defer to in-window
+    # siblings that share their machinery.
 ]
 
 
