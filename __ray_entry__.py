@@ -955,6 +955,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_topk_per_label"] = lambda sf: similarity.ann_topk_per_label(
         sf, vec_id=0, k=3
     )
+    # incrementally-maintained vector store: base generation + an UPDATE
+    # generation (vec_id % 7 == 3 re-ingested negated) routed through the
+    # FROZEN base centroids; newest generation wins (delta-segment
+    # contract on the embedding side)
+    q["vecstore_append_topk"] = lambda sf: similarity.vecstore_append_topk(
+        sf, k=10
+    )
 
     # multimodal plumbing: events.props strings stand in as opaque binary
     # payloads; deterministic fake features (decode stubbed — rows-only)
@@ -1155,6 +1162,8 @@ _DRIVER_WINDOW_FIRST = [
     "ivf_ann_topk",
     "embedding_near_dup_bucketed",
     "media_frame_sample",
+    # NEW this round: incrementally-maintained vector store
+    "vecstore_append_topk",
     # rewritten: bounded two-pass sessionization / Arrow map_groups
     "events_sessions",
     "ann_topk_per_label",
@@ -1212,11 +1221,10 @@ _DRIVER_WINDOW_FIRST = [
     "repo_stats",
     "term_df_top100",
     "lang_id",
-    "quality_scores",
     "ann_cosine_top10",
-    # events_tumbling_1h stays at the tail (r03 driver-green, unchanged);
-    # simhash64 (rows-only) and the *_off twins defer to in-window
-    # siblings that share their machinery.
+    # quality_scores + events_tumbling_1h stay at the tail (driver-green
+    # earlier, unchanged); simhash64 (rows-only) and the *_off twins
+    # defer to in-window siblings that share their machinery.
 ]
 
 
@@ -2434,6 +2442,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id,
                    round(list_cosine_similarity(e.v, q.v), 6) AS cos_r
             FROM e
+            JOIN assign b ON b.vec_id = e.vec_id AND b.rn = 1, q
+            WHERE b.cid IN (SELECT cid FROM probe)
+            ORDER BY cos_r DESC, e.vec_id
+            LIMIT 10
+        """,
+        # incremental vector store: current corpus = originals with every
+        # vec_id % 7 == 3 replaced by its negation (the append
+        # generation); centroids stay the ORIGINAL first 16 vectors
+        # (frozen at base build), probe = 4 nearest to query vec 0
+        # (itself unchanged), result = exact top-k over the probed
+        # buckets of the corpus-with-replacement
+        "vecstore_append_topk": """
+            WITH orig AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cur AS (
+              SELECT vec_id,
+                     CASE WHEN vec_id % 7 = 3
+                          THEN list_transform(v, x -> -x) ELSE v END AS v
+              FROM orig
+            ),
+            q AS (SELECT v FROM cur WHERE vec_id = 0),
+            c AS (SELECT vec_id AS cid, v AS cv FROM orig WHERE vec_id < 16),
+            probe AS (
+              SELECT cid FROM c, q
+              ORDER BY list_cosine_similarity(c.cv, q.v) DESC, cid
+              LIMIT 4
+            ),
+            assign AS (
+              SELECT cur.vec_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY cur.vec_id
+                       ORDER BY list_cosine_similarity(cur.v, c.cv) DESC, c.cid
+                     ) AS rn
+              FROM cur CROSS JOIN c
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.v, q.v), 6) AS cos_r
+            FROM cur e
             JOIN assign b ON b.vec_id = e.vec_id AND b.rn = 1, q
             WHERE b.cid IN (SELECT cid FROM probe)
             ORDER BY cos_r DESC, e.vec_id

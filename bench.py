@@ -234,6 +234,22 @@ def run_bench() -> dict:
     np_ = timed("query_set_pruned", run_pruned)
     extras["pruned_queries_per_s"] = round(np_ / timings["query_set_pruned"], 1)
 
+    # 3b'') concurrent serving: same query set through search_many with 8
+    # in flight (maxSimultaneousQueries=8, IndexQueryExecution.java:55-56)
+    # — partition actors interleave queries instead of idling between
+    # serial fan-outs; results are identical to the serial path (pytest)
+    def run_concurrent():
+        n = 0
+        for _ in range(5):
+            idx.search_many([(q, {"k": 10}) for q in qset], max_in_flight=8)
+            n += len(qset)
+        return n
+
+    nc = timed("query_set_concurrent", run_concurrent)
+    extras["concurrent_queries_per_s"] = round(
+        nc / timings["query_set_concurrent"], 1
+    )
+
     # 3c) per-query latency percentiles (PerfTestMain.java:44-67,150-199
     # protocol: warmup pass, then a timed run, percentiles over
     # individual query latencies)

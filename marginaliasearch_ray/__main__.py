@@ -155,7 +155,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--pruned", action="store_true")
     q.add_argument("--count", action="store_true",
                    help="print the total match count instead of top-k")
-    q.add_argument("query")
+    q.add_argument("--batch", default=None, metavar="FILE",
+                   help="serve newline-delimited queries from FILE "
+                        "concurrently (8 in flight) instead of one "
+                        "positional query")
+    q.add_argument("query", nargs="?", default=None)
 
     args = p.parse_args(argv)
     if args.cmd == "publish":  # pure file op — no Ray session needed
@@ -274,7 +278,17 @@ def main(argv: list[str] | None = None) -> int:
                     args.index if len(args.index) > 1 else args.index[0],
                     use_actors=True,
                 )
-            if args.count:
+            if bool(args.batch) == bool(args.query):
+                p.error("query needs exactly one of --batch/positional query")
+            if args.batch:
+                with open(args.batch) as f:
+                    batch = [ln.strip() for ln in f if ln.strip()]
+                kw = {"k": args.k, "decorate": args.decorate,
+                      "pruned": args.pruned}
+                tables = s.search_many([(qr, kw) for qr in batch])
+                for qr, t in zip(batch, tables):
+                    print(json.dumps({"query": qr, "results": t.to_pylist()}))
+            elif args.count:
                 print(json.dumps({"n": s.count(args.query)}))
             else:
                 t = s.search(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -2208,6 +2209,9 @@ class IndexSearch:
         self.parts = [p for _d, p, _s in seg_parts]
         self._seg_parts = seg_parts
         self.use_actors = use_actors
+        # guards the self.searchers list when concurrent search_many
+        # threads hit _respawn_dead at the same time
+        self._respawn_lock = threading.Lock()
         if use_actors:
             self._actor_cls = _make_searcher_actor()
             self.searchers = [
@@ -2225,6 +2229,10 @@ class IndexSearch:
         failover by minutes."""
         import ray
 
+        with self._respawn_lock:
+            return self._respawn_dead_locked(ray)
+
+    def _respawn_dead_locked(self, ray) -> int:
         refs = [s.local_df.remote([]) for s in self.searchers]
         replaced = 0
         ready, _ = ray.wait(
@@ -2520,6 +2528,34 @@ class IndexSearch:
     def count(self, query: str, **kw) -> int:
         """Total matching documents (no scoring, exhaustive candidates)."""
         return int(self.search(query, count_only=True, **kw)["n"][0].as_py())
+
+    def search_many(
+        self,
+        queries: list[str | tuple[str, dict]],
+        max_in_flight: int = 8,
+    ) -> list[pa.Table]:
+        """Serve a batch of queries with up to ``max_in_flight`` queries
+        in flight at once (the reference's maxSimultaneousQueries=8
+        semaphore, IndexQueryExecution.java:55-56).
+
+        Each query still runs the exact serial ``search`` path — results
+        are identical by construction — but while one query's driver-side
+        merge or df round-trip is in progress, the partition actors are
+        already working the next query's fan-out, so the pool never sits
+        idle between queries.  Each element is either a query string or a
+        ``(query, kwargs)`` tuple; results come back in input order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(q):
+            if isinstance(q, str):
+                return self.search(q)
+            s, kw = q
+            return self.search(s, **kw)
+
+        if max_in_flight <= 1 or len(queries) <= 1:
+            return [one(q) for q in queries]
+        with ThreadPoolExecutor(max_workers=max_in_flight) as ex:
+            return list(ex.map(one, queries))
 
     def shutdown(self):
         if self.use_actors:

@@ -8,6 +8,12 @@
   scale path (bucket by sign pattern, search only matching buckets) —
   approximate but deterministic, with an exact SQL oracle that inlines
   the fixed-seed planes.
+- ``build_vector_store`` / ``append_vector_store`` /
+  ``vector_store_topk``: an explicit incrementally-maintained bucket
+  store — new/updated vectors land as generations routed through the
+  base's frozen centroids/planes, newest generation of a vec_id wins
+  (the delta-segment contract of pipelines/delta.py on the embedding
+  side).
 
 All math is float64 (embeddings are float32 on disk; cast up exactly) so
 that DuckDB's ``list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])``
@@ -656,3 +662,349 @@ def lsh_ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_planes: int = 8):
         .sort(["cos_r", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained vector store — the delta-segment contract
+# (pipelines/delta.py) applied to the embedding side.  At 100 TB the
+# bucket-partitioned vector files cannot be rebuilt per ingest any more
+# than posting lists can: new/updated vectors land as a GENERATION
+# (bucket-assigned with the store's FROZEN centroids/planes, so probe
+# routing stays consistent), and the newest generation of a vec_id wins
+# — later generations' delta-sized id sets suppress earlier copies at
+# query time, exactly like delta tombstones suppress prior posting rows.
+
+VECTOR_STORE_VERSION = 1
+
+
+def _store_meta_path(out: str) -> str:
+    import os
+
+    return os.path.join(out, "store.json")
+
+
+def _read_store_meta(out: str) -> dict:
+    import json
+
+    with open(_store_meta_path(out)) as f:
+        return json.load(f)
+
+
+def _write_store_meta(out: str, meta: dict) -> None:
+    """Manifest-last commit: a crashed build/append leaves a generation
+    dir that store.json never references; readers ignore it and the next
+    append clears and rewrites it."""
+    import json
+    import os
+
+    tmp = _store_meta_path(out) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _store_meta_path(out))
+
+
+def _assign_fn(meta: dict, cents: np.ndarray | None):
+    """Bucket assignment closure under the store's frozen parameters —
+    identical math to build_ivf_index/build_lsh_index."""
+    if meta["kind"] == "ivf":
+
+        def assign(batch: pa.Table) -> pa.Table:
+            _, mat = _batch_matrix(batch)
+            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            bucket = np.argmax(matn @ cents.T, axis=1).astype(np.int32)
+            return batch.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    else:  # lsh
+
+        n_planes = int(meta["n_planes"])
+
+        def assign(batch: pa.Table) -> pa.Table:
+            _, mat = _batch_matrix(batch)
+            pl = _lsh_planes(mat.shape[1], n_planes)
+            sig = np.packbits(
+                (mat @ pl > 0).astype(np.uint8), axis=1, bitorder="little"
+            )[:, 0].astype(np.int32)
+            return batch.append_column("bucket", pa.array(sig, pa.int32()))
+
+    return assign
+
+
+def _store_centroids(out: str) -> np.ndarray | None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(out, "centroids.parquet")
+    if not os.path.exists(p):
+        return None
+    ct = pq.read_table(p)
+    return np.array(ct["vec"].to_pylist(), dtype=np.float64)
+
+
+def _to_vec_dataset(src):
+    """(vec_id, embedding) rows from a pyarrow Table, a parquet path, or
+    a ray Dataset — appends stay streaming for large deltas."""
+    import ray.data
+
+    if isinstance(src, pa.Table):
+        return ray.data.from_arrow(src.select(["vec_id", "embedding"]))
+    if isinstance(src, str):
+        return ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+    return src.select_columns(["vec_id", "embedding"])
+
+
+def build_vector_store(
+    src,
+    out: str,
+    kind: str = "ivf",
+    n_centroids: int = 16,
+    n_planes: int = 8,
+) -> dict:
+    """Generation 0 of an explicit (non-cache) vector store at ``out``.
+    IVF centroids are the first ``n_centroids`` vectors of ``src`` (read
+    from the first batch only), normalized and FROZEN in the store —
+    appends route through them unchanged so bucket probing stays
+    consistent across generations."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    ds = _to_vec_dataset(src)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    cents = None
+    if kind == "ivf":
+        first = ds.limit(n_centroids).take_all()
+        mat0 = np.array(
+            [r["embedding"] for r in first], dtype=np.float64
+        )
+        cents = mat0 / np.linalg.norm(mat0, axis=1, keepdims=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "centroid": pa.array(range(len(cents)), pa.int32()),
+                    "vec": pa.array(cents.tolist(), pa.list_(pa.float64())),
+                }
+            ),
+            os.path.join(out, "centroids.parquet"),
+        )
+    elif kind != "lsh":
+        raise ValueError(f"unknown vector-store kind {kind!r}")
+
+    meta = {
+        "version": VECTOR_STORE_VERSION,
+        "kind": kind,
+        "n_centroids": n_centroids,
+        "n_planes": n_planes,
+        "generations": 0,
+    }
+    ds.map_batches(
+        _assign_fn(meta, cents), batch_format="pyarrow"
+    ).write_parquet(os.path.join(out, "gen_0000"), partition_cols=["bucket"])
+    meta["generations"] = 1
+    _write_store_meta(out, meta)
+    return meta
+
+
+def append_vector_store(out: str, src) -> dict:
+    """Ingest new/updated vectors as the next generation.  The newest
+    generation of a vec_id wins: the generation records its own
+    (delta-sized) sorted id set in ``ids.parquet`` and queries drop
+    matching ids from every earlier generation — fresh ids suppress
+    nothing, updated ids suppress exactly their stale copies (the
+    combined-id tombstone rule of pipelines/delta.py)."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    meta = _read_store_meta(out)
+    g = int(meta["generations"])
+    gdir = os.path.join(out, f"gen_{g:04d}")
+    shutil.rmtree(gdir, ignore_errors=True)  # uncommitted crash leftover
+
+    ds = _to_vec_dataset(src)
+    cents = _store_centroids(out)
+    ds.map_batches(
+        _assign_fn(meta, cents), batch_format="pyarrow"
+    ).write_parquet(gdir, partition_cols=["bucket"])
+
+    # delta-sized id set, one column-pruned pass over what was written
+    import glob
+
+    files = sorted(glob.glob(os.path.join(gdir, "**", "*.parquet"), recursive=True))
+    ids = pa.concat_tables(
+        [pq.read_table(f, columns=["vec_id"]) for f in files]
+    )
+    ids = ids.sort_by("vec_id")
+    n = ids.num_rows
+    if n and pc.any(
+        pc.equal(ids["vec_id"].slice(1), ids["vec_id"].slice(0, n - 1))
+    ).as_py():
+        raise ValueError("append batch contains duplicate vec_ids")
+    pq.write_table(ids, os.path.join(gdir, "ids.parquet"))
+
+    meta["generations"] = g + 1
+    _write_store_meta(out, meta)
+    return {"generation": g, "n_vectors": n}
+
+
+def vector_store_topk(
+    out: str,
+    q: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+):
+    """Top-k by cosine over the store's probe buckets across ALL
+    generations, newest-wins.  Probe routing (IVF nearest-``nprobe``
+    centroids / LSH Hamming-1 signatures) uses the frozen store
+    parameters; suppression sets are delta-sized broadcast arrays."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    meta = _read_store_meta(out)
+    ngen = int(meta["generations"])
+    if meta["kind"] == "ivf":
+        cents = _store_centroids(out)
+        probe = np.argsort(-(cents @ (q / np.linalg.norm(q))))[
+            : nprobe
+        ].tolist()
+    else:
+        n_planes = int(meta["n_planes"])
+        planes = _lsh_planes(len(q), n_planes)
+        qsig = int(
+            np.packbits((q @ planes > 0).astype(np.uint8), bitorder="little")[0]
+        )
+        probe = sorted({qsig} | {qsig ^ (1 << i) for i in range(n_planes)})
+
+    # ids of generations > g suppress generation g (loaded once, tiny)
+    gen_ids = [
+        pq.read_table(os.path.join(out, f"gen_{g:04d}", "ids.parquet"))[
+            "vec_id"
+        ].to_numpy(zero_copy_only=False)
+        for g in range(1, ngen)
+    ]
+    q_ref = ray.put(q)
+
+    def score_gen(suppress: np.ndarray | None):
+        def score(batch: pa.Table) -> pa.Table:
+            qv = ray.get(q_ref)
+            ids, mat = _batch_matrix(batch)
+            if suppress is not None and len(suppress):
+                keep = ~np.isin(ids, suppress)
+                ids, mat = ids[keep], mat[keep]
+            if not len(ids):
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "cos_r": pa.array([], pa.float64()),
+                    }
+                )
+            cos = np.round(_cosine(mat, qv), 6)
+            top = np.lexsort((ids, -cos))[:k]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[top], pa.int64()),
+                    "cos_r": pa.array(cos[top], pa.float64()),
+                }
+            )
+
+        return score
+
+    import glob
+
+    def _gen_bucket_files(gdir: str) -> list[str]:
+        files: list[str] = []
+        for b in probe:
+            files.extend(
+                sorted(glob.glob(os.path.join(gdir, f"bucket={b}", "*.parquet")))
+            )
+        return files
+
+    parts = []
+    for g in range(ngen):
+        paths = _gen_bucket_files(os.path.join(out, f"gen_{g:04d}"))
+        if not paths:
+            continue
+        later = (
+            np.unique(np.concatenate(gen_ids[g:]))
+            if g < ngen - 1 and gen_ids[g:]
+            else None
+        )
+        parts.append(
+            ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+            .map_batches(score_gen(later), batch_format="pyarrow")
+        )
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_r": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds.sort(["cos_r", "vec_id"], descending=[True, False]).limit(k)
+
+
+def vecstore_append_topk(
+    sf_dir: str, k: int = 10, n_centroids: int = 16, nprobe: int = 4
+):
+    """Driver-gate demo of the incremental store: generation 0 over the
+    sf embeddings, then an UPDATE generation re-ingesting every
+    ``vec_id % 7 == 3`` vector negated (a deterministic edit the SQL
+    oracle replicates with ``list_transform(v, x -> -x)``), then IVF
+    top-k for vector 0 — whose own embedding is unchanged (0 % 7 != 3).
+    Updated vectors must route through the FROZEN base centroids and
+    suppress their stale copies; results equal the oracle computed over
+    the corpus-with-replacement."""
+    import os
+
+    import ray.data
+
+    import shutil
+
+    out = os.path.join(_ann_cache_dir(sf_dir), f"vstore_demo_ivf{n_centroids}")
+    done = os.path.join(out, "_DEMO_DONE")
+    if not os.path.exists(done):
+        # same crash/concurrency discipline as the ANN cache builders:
+        # stage under a unique dir, publish with one rename
+        tmp = _staging_dir(out)
+        build_vector_store(
+            f"{sf_dir}/embeddings.parquet", tmp, kind="ivf",
+            n_centroids=n_centroids,
+        )
+
+        def negate_sel(batch: pa.Table) -> pa.Table:
+            ids, mat = _batch_matrix(batch)
+            keep = ids % 7 == 3
+            neg = -mat[keep]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[keep], pa.int64()),
+                    "embedding": pa.array(
+                        list(neg), pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        delta = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).map_batches(negate_sel, batch_format="pyarrow")
+        append_vector_store(tmp, delta)
+        open(os.path.join(tmp, "_DEMO_DONE"), "w").close()
+        if os.path.exists(done):  # another builder won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(tmp, out)
+    return vector_store_topk(out, query_vector(sf_dir, 0), k=k, nprobe=nprobe)

@@ -85,6 +85,20 @@ def test_cli_roundtrip(cli_dirs, capsys):
     assert [(r["combined_id"], r["score_r"]) for r in flipped] == [
         (r["combined_id"], r["score_r"]) for r in rows
     ]
+    # batch mode: concurrent search_many over a query file, one JSON
+    # object per input query, results identical to the serial query
+    qfile = root / "queries.txt"
+    qfile.write_text("clifresh\nclifresh\n")
+    out = _run(
+        ["query", "--chain", chain, "-k", "3", "--batch", str(qfile)],
+        capsys,
+    )
+    batched = [json.loads(l) for l in out]
+    assert [r["query"] for r in batched] == ["clifresh", "clifresh"]
+    for r in batched:
+        assert [x["combined_id"] for x in r["results"]] == [
+            x["combined_id"] for x in flipped
+        ]
     # the CLI must not have torn down the session fixture's Ray
     assert ray.is_initialized()
 

@@ -35,6 +35,36 @@ def test_actor_death_respawn(small_index):
     idx.shutdown()
 
 
+def test_search_many_matches_serial(small_index):
+    """Concurrent batch serving (maxSimultaneousQueries=8 analog,
+    IndexQueryExecution.java:55-56) returns bit-identical results to
+    serial search() calls, in input order, including under a dead-actor
+    respawn racing the in-flight batch."""
+    import ray
+
+    idx = IndexSearch(small_index, use_actors=True)
+    batch = [
+        "license import",
+        ("merge_buffer -license", {}),
+        ('"license import"', {"k": 3}),
+        ("copyright return", {"verbatim_weight": 1.0, "k": 5}),
+        ("parse_tree visitor", {"normalize_score": True}),
+    ] * 3
+    serial = [
+        idx.search(q) if isinstance(q, str) else idx.search(q[0], **q[1])
+        for q in batch
+    ]
+    conc = idx.search_many(batch, max_in_flight=8)
+    assert [t.to_pylist() for t in conc] == [t.to_pylist() for t in serial]
+    # a killed actor mid-pool doesn't poison the batch path
+    ray.kill(idx.searchers[-1])
+    conc2 = idx.search_many(batch[:5], max_in_flight=4)
+    assert [t.to_pylist() for t in conc2] == [
+        t.to_pylist() for t in serial[:5]
+    ]
+    idx.shutdown()
+
+
 def test_ranking_params_bundle(small_index):
     idx = IndexSearch(small_index, use_actors=False)
     params = RankingParams(verbatim_weight=1.0, proximity_weight=0.5,

@@ -1,0 +1,174 @@
+"""Incrementally-maintained vector store (similarity.build_vector_store /
+append_vector_store / vector_store_topk): generations route through the
+base's FROZEN centroids/planes, the newest generation of a vec_id wins,
+and probe-bucket top-k equals an independent numpy oracle computed over
+the corpus-with-replacement — the delta-segment contract
+(pipelines/delta.py) applied to embeddings."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from marginaliasearch_ray.pipelines.similarity import (
+    _lsh_planes,
+    append_vector_store,
+    build_vector_store,
+    vector_store_topk,
+)
+
+
+def _emb_table(ids, mat):
+    return pa.table(
+        {
+            "vec_id": pa.array(list(ids), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
+def _expected_ivf(current, cents, q, k, nprobe):
+    ids = np.array(sorted(current), dtype=np.int64)
+    mat = np.array([current[i] for i in ids], dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bucket = np.argmax(matn @ cents.T, axis=1)
+    probe = set(
+        np.argsort(-(cents @ (q / np.linalg.norm(q))))[:nprobe].tolist()
+    )
+    keep = np.array([b in probe for b in bucket])
+    ids, mat = ids[keep], mat[keep]
+    cos = np.round(
+        (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q)), 6
+    )
+    order = np.lexsort((ids, -cos))[:k]
+    return [(int(ids[i]), float(cos[i])) for i in order]
+
+
+def _expected_lsh(current, q, k, n_planes):
+    ids = np.array(sorted(current), dtype=np.int64)
+    mat = np.array([current[i] for i in ids], dtype=np.float64)
+    planes = _lsh_planes(mat.shape[1], n_planes)
+    sig = np.packbits(
+        (mat @ planes > 0).astype(np.uint8), axis=1, bitorder="little"
+    )[:, 0].astype(int)
+    qsig = int(
+        np.packbits((q @ planes > 0).astype(np.uint8), bitorder="little")[0]
+    )
+    probe = {qsig} | {qsig ^ (1 << i) for i in range(n_planes)}
+    keep = np.array([s in probe for s in sig])
+    ids, mat = ids[keep], mat[keep]
+    cos = np.round(
+        (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q)), 6
+    )
+    order = np.lexsort((ids, -cos))[:k]
+    return [(int(ids[i]), float(cos[i])) for i in order]
+
+
+def _got(ds):
+    return [(r["vec_id"], r["cos_r"]) for r in ds.take_all()]
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(7)
+    return rng.standard_normal((60, 8))
+
+
+def test_ivf_store_append_newest_wins(ray_session, tmp_path, vecs):
+    out = str(tmp_path / "vs_ivf")
+    base_ids = list(range(40))
+    build_vector_store(
+        _emb_table(base_ids, vecs[:40]), out, kind="ivf", n_centroids=8
+    )
+    # frozen centroids = first 8 base vectors, normalized
+    cents = vecs[:8] / np.linalg.norm(vecs[:8], axis=1, keepdims=True)
+
+    # gen 1: 16 fresh vectors + 2 updates (negated)
+    g1_ids = list(range(40, 56)) + [3, 10]
+    g1_mat = np.vstack([vecs[40:56], -vecs[[3, 10]]])
+    r = append_vector_store(out, _emb_table(g1_ids, g1_mat))
+    assert r == {"generation": 1, "n_vectors": 18}
+
+    # gen 2: 4 fresh + re-update id 3 (offset) + update a gen-1 id (41)
+    g2_ids = list(range(56, 60)) + [3, 41]
+    g2_mat = np.vstack([vecs[56:60], [vecs[3] + 1.0], [-vecs[41]]])
+    append_vector_store(out, _emb_table(g2_ids, g2_mat))
+
+    current = {i: vecs[i] for i in range(60)}
+    current[10] = -vecs[10]
+    current[3] = vecs[3] + 1.0
+    current[41] = -vecs[41]
+
+    q = vecs[0]
+    got = _got(vector_store_topk(out, q, k=10, nprobe=3))
+    assert got == _expected_ivf(current, cents, q, 10, 3)
+
+    # a second query vector probes different buckets
+    q2 = vecs[45]
+    got2 = _got(vector_store_topk(out, q2, k=7, nprobe=2))
+    assert got2 == _expected_ivf(current, cents, q2, 7, 2)
+
+
+def test_lsh_store_append(ray_session, tmp_path, vecs):
+    out = str(tmp_path / "vs_lsh")
+    build_vector_store(
+        _emb_table(range(40), vecs[:40]), out, kind="lsh", n_planes=6
+    )
+    append_vector_store(
+        out,
+        _emb_table(
+            list(range(40, 60)) + [5], np.vstack([vecs[40:60], -vecs[[5]]])
+        ),
+    )
+    current = {i: vecs[i] for i in range(60)}
+    current[5] = -vecs[5]
+    q = vecs[2]
+    got = _got(vector_store_topk(out, q, k=10))
+    assert got == _expected_lsh(current, q, 10, 6)
+
+
+def test_append_rejects_duplicate_ids(ray_session, tmp_path, vecs):
+    out = str(tmp_path / "vs_dup")
+    build_vector_store(
+        _emb_table(range(20), vecs[:20]), out, kind="ivf", n_centroids=4
+    )
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        append_vector_store(out, _emb_table([20, 20], vecs[20:22]))
+
+
+def test_crashed_append_is_ignored_then_overwritten(
+    ray_session, tmp_path, vecs
+):
+    """A generation dir without a store.json reference (crash before the
+    manifest-last commit) is invisible to queries and cleared by the next
+    append."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "vs_crash")
+    build_vector_store(
+        _emb_table(range(20), vecs[:20]), out, kind="ivf", n_centroids=4
+    )
+    cents = vecs[:4] / np.linalg.norm(vecs[:4], axis=1, keepdims=True)
+    # simulate a crashed append: gen dir present, manifest not bumped
+    append_vector_store(out, _emb_table([99], vecs[[40]]))
+    meta_path = os.path.join(out, "store.json")
+    import json
+
+    meta = json.load(open(meta_path))
+    meta["generations"] = 1
+    json.dump(meta, open(meta_path, "w"))
+    assert os.path.isdir(os.path.join(out, "gen_0001"))
+
+    current = {i: vecs[i] for i in range(20)}
+    q = vecs[1]
+    got = _got(vector_store_topk(out, q, k=5, nprobe=2))
+    assert got == _expected_ivf(current, cents, q, 5, 2)
+
+    # next append reclaims the orphan dir and commits cleanly
+    append_vector_store(out, _emb_table([21], vecs[[21]]))
+    current[21] = vecs[21]
+    got = _got(vector_store_topk(out, q, k=5, nprobe=2))
+    assert got == _expected_ivf(current, cents, q, 5, 2)
+    shutil.rmtree(out)
