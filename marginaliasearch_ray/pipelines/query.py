@@ -2212,6 +2212,13 @@ class IndexSearch:
         # guards the self.searchers list when concurrent search_many
         # threads hit _respawn_dead at the same time
         self._respawn_lock = threading.Lock()
+        # term df / prio-df are immutable for an open segment chain, so
+        # the driver caches them exactly: repeat terms (zipf-hot in real
+        # query streams) skip the whole phase-1 fan-out, halving warm
+        # query round trips.  Plain dict ops are GIL-atomic — safe under
+        # search_many threads.
+        self._df_cache: dict[int, int] = {}
+        self._prio_df_cache: dict[int, int] = {}
         if use_actors:
             self._actor_cls = _make_searcher_actor()
             self.searchers = [
@@ -2404,9 +2411,17 @@ class IndexSearch:
                 if any(r.startswith(o) for o in cq.priority_orgs)
             )
         if flags_weight > 0:
-            pdfs = self._call("local_prio_df", plan["include_ids"])
+            pmissing = [
+                t
+                for t in set(plan["include_ids"])
+                if t not in self._prio_df_cache
+            ]
+            if pmissing:
+                pdfs = self._call("local_prio_df", pmissing)
+                for t in pmissing:
+                    self._prio_df_cache[t] = sum(d.get(t, 0) for d in pdfs)
             plan["prio_df"] = {
-                t: sum(d.get(t, 0) for d in pdfs) for t in plan["include_ids"]
+                t: self._prio_df_cache[t] for t in plan["include_ids"]
             }
 
         # ngram segmentation (QueryExpansion.createSegments / NgramLexicon
@@ -2428,10 +2443,14 @@ class IndexSearch:
             }
             cand_terms = sorted({t for v in cands.values() for t in v})
             cand_ids = {t: hash_nearly_ascii(t) for t in cand_terms}
-            dfs0 = self._call("local_df", list(cand_ids.values()))
-            joined_df = {
-                t: sum(d.get(i, 0) for d in dfs0) for t, i in cand_ids.items()
-            }
+            probe_missing = [
+                i for i in cand_ids.values() if i not in self._df_cache
+            ]
+            if probe_missing:
+                dfs0 = self._call("local_df", probe_missing)
+                for i in probe_missing:
+                    self._df_cache[i] = sum(d.get(i, 0) for d in dfs0)
+            joined_df = {t: self._df_cache[i] for t, i in cand_ids.items()}
             consumed: set[str] = set()
             for w, variants in cands.items():
                 live = [v for v in variants if joined_df.get(v, 0) > 0]
@@ -2456,7 +2475,9 @@ class IndexSearch:
                     i for i in plan["include_ids"] if i in extra
                 ]
 
-        # phase 1: global df = sum of per-partition dfs
+        # phase 1: global df = sum of per-partition dfs (driver-cached —
+        # dfs are immutable for an open chain, so warm terms skip the
+        # fan-out entirely)
         all_ids = (
             plan["include_ids"]
             + plan["exclude_ids"]
@@ -2465,8 +2486,12 @@ class IndexSearch:
             + [t for p in plan["phrase_ids"] for t in p]
             + (tree_words(plan["tree"]) if plan["tree"] is not None else [])
         )
-        dfs = self._call("local_df", all_ids)
-        global_df = {t: sum(d.get(t, 0) for d in dfs) for t in all_ids}
+        missing = [t for t in set(all_ids) if t not in self._df_cache]
+        if missing:
+            dfs = self._call("local_df", missing)
+            for t in missing:
+                self._df_cache[t] = sum(d.get(t, 0) for d in dfs)
+        global_df = {t: self._df_cache[t] for t in all_ids}
 
         # phase 2: scatter, merge per-partition (2k+8)-deep results
         if count_only:
