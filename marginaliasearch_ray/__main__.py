@@ -161,6 +161,24 @@ def main(argv: list[str] | None = None) -> int:
                         "positional query")
     q.add_argument("query", nargs="?", default=None)
 
+    vs = sub.add_parser(
+        "vecstore",
+        help="incrementally-maintained embedding store "
+             "(build / append / topk / compact)",
+    )
+    vs.add_argument("action", choices=["build", "append", "topk", "compact"])
+    vs.add_argument("--store", required=True, help="store directory")
+    vs.add_argument("--embeddings", default=None,
+                    help="parquet with (vec_id, embedding) — input for "
+                         "build/append, query-vector source for topk")
+    vs.add_argument("--kind", choices=["ivf", "lsh"], default="ivf")
+    vs.add_argument("--n-centroids", type=int, default=16)
+    vs.add_argument("--n-planes", type=int, default=8)
+    vs.add_argument("--vec-id", type=int, default=0,
+                    help="topk: query vector id looked up in --embeddings")
+    vs.add_argument("-k", type=int, default=10)
+    vs.add_argument("--nprobe", type=int, default=4)
+
     args = p.parse_args(argv)
     if args.cmd == "publish":  # pure file op — no Ray session needed
         from .state import manifest as mf
@@ -266,6 +284,43 @@ def main(argv: list[str] | None = None) -> int:
                 "folded": new_chain
                 != [_os.path.abspath(d) for d in dirs],
             }))
+        elif args.cmd == "vecstore":
+            from .pipelines import similarity as sim
+
+            if args.action == "build":
+                if not args.embeddings:
+                    p.error("vecstore build needs --embeddings")
+                meta = sim.build_vector_store(
+                    args.embeddings, args.store, kind=args.kind,
+                    n_centroids=args.n_centroids, n_planes=args.n_planes,
+                )
+                print(json.dumps(meta))
+            elif args.action == "append":
+                if not args.embeddings:
+                    p.error("vecstore append needs --embeddings")
+                print(json.dumps(
+                    sim.append_vector_store(args.store, args.embeddings)
+                ))
+            elif args.action == "compact":
+                print(json.dumps(sim.compact_vector_store(args.store)))
+            else:  # topk
+                if not args.embeddings:
+                    p.error("vecstore topk needs --embeddings for the "
+                            "query vector")
+                import numpy as np
+                import pyarrow.parquet as pq_
+
+                t = pq_.read_table(
+                    args.embeddings, columns=["vec_id", "embedding"],
+                    filters=[("vec_id", "==", args.vec_id)],
+                )
+                qv = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+                res = sim.vector_store_topk(
+                    args.store, qv, k=args.k, nprobe=args.nprobe
+                )
+                for row in res.take_all():
+                    print(json.dumps(row))
+
         elif args.cmd == "query":
             from .pipelines.query import IndexSearch
 

@@ -1008,3 +1008,90 @@ def vecstore_append_topk(
             shutil.rmtree(out, ignore_errors=True)
             os.rename(tmp, out)
     return vector_store_topk(out, query_vector(sf_dir, 0), k=k, nprobe=nprobe)
+
+
+def compact_vector_store(out: str) -> dict:
+    """Fold all generations into a fresh generation 0: suppressed stale
+    copies are dropped (newest vec_id wins) and each vector keeps its
+    already-assigned bucket — no re-routing, no centroid drift, exactly
+    like blob-level segment compaction never re-tokenizes the journal.
+    Queries over the compacted store equal queries over the chain."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    meta = _read_store_meta(out)
+    ngen = int(meta["generations"])
+    if ngen <= 1:
+        return {"generations_folded": ngen, "n_vectors": None}
+
+    gen_ids = [
+        pq.read_table(os.path.join(out, f"gen_{g:04d}", "ids.parquet"))[
+            "vec_id"
+        ].to_numpy(zero_copy_only=False)
+        for g in range(1, ngen)
+    ]
+
+    tmp = _staging_dir(os.path.join(out, "gen_0000"))
+    parts = []
+    for g in range(ngen):
+        files = sorted(
+            glob.glob(
+                os.path.join(out, f"gen_{g:04d}", "bucket=*", "*.parquet")
+            )
+        )
+        if not files:
+            continue
+        later = gen_ids[g:] if g < ngen - 1 else []
+        suppress = np.unique(np.concatenate(later)) if later else None
+        sup_ref = ray.put(suppress)
+
+        def drop_stale(batch: pa.Table, _ref=sup_ref) -> pa.Table:
+            # an explicit file list loses hive inference, so the bucket
+            # comes back out of each row's source path
+            paths = batch["path"].to_pylist()
+            bucket = pa.array(
+                [int(p.split("bucket=")[1].split(os.sep)[0]) for p in paths],
+                pa.int32(),
+            )
+            batch = batch.drop_columns(["path"]).append_column(
+                "bucket", bucket
+            )
+            sup = ray.get(_ref)
+            if sup is None or not len(sup):
+                return batch
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, sup)
+            return batch.filter(pa.array(keep))
+
+        parts.append(
+            ray.data.read_parquet(
+                files, columns=["vec_id", "embedding"], include_paths=True
+            ).map_batches(drop_stale, batch_format="pyarrow")
+        )
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    ds.write_parquet(tmp, partition_cols=["bucket"])
+
+    n = 0
+    for f in glob.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True):
+        n += pq.ParquetFile(f).metadata.num_rows
+
+    # manifest-last swap: point the store at ONE generation again
+    for g in range(ngen):
+        shutil.rmtree(os.path.join(out, f"gen_{g:04d}.old"), ignore_errors=True)
+        os.rename(
+            os.path.join(out, f"gen_{g:04d}"),
+            os.path.join(out, f"gen_{g:04d}.old"),
+        )
+    os.rename(tmp, os.path.join(out, "gen_0000"))
+    meta["generations"] = 1
+    _write_store_meta(out, meta)
+    for g in range(ngen):
+        shutil.rmtree(os.path.join(out, f"gen_{g:04d}.old"), ignore_errors=True)
+    return {"generations_folded": ngen, "n_vectors": int(n)}

@@ -147,3 +147,55 @@ def test_cli_delete_and_maintain(cli_dirs, capsys):
     assert json.loads(out[-1])["n"] == 0
     out = _run(["query", "--chain", chain, "-k", "3", "clifresh"], capsys)
     assert len(out) == 3
+
+
+def test_cli_vecstore_lifecycle(ray_session, tmp_path, capsys):
+    """vecstore build/append/topk/compact round trip; topk results are
+    stable across the compaction fold."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    mat = rng.standard_normal((30, 6))
+
+    def emb(path, ids, m):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(list(ids), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, r)) for r in m],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            path,
+        )
+
+    base = str(tmp_path / "base.parquet")
+    delta = str(tmp_path / "delta.parquet")
+    emb(base, range(20), mat[:20])
+    emb(delta, list(range(20, 30)) + [4], np.vstack([mat[20:30], -mat[[4]]]))
+    store = str(tmp_path / "store")
+
+    out = _run(["vecstore", "build", "--store", store, "--embeddings", base,
+                "--kind", "ivf", "--n-centroids", "4"], capsys)
+    assert json.loads(out[-1])["generations"] == 1
+    out = _run(["vecstore", "append", "--store", store,
+                "--embeddings", delta], capsys)
+    assert json.loads(out[-1]) == {"generation": 1, "n_vectors": 11}
+    topk = [
+        json.loads(l)
+        for l in _run(["vecstore", "topk", "--store", store, "--embeddings",
+                       base, "--vec-id", "0", "-k", "5", "--nprobe", "2"],
+                      capsys)
+    ]
+    assert len(topk) == 5 and topk[0]["vec_id"] == 0
+    out = _run(["vecstore", "compact", "--store", store], capsys)
+    assert json.loads(out[-1]) == {"generations_folded": 2, "n_vectors": 30}
+    topk2 = [
+        json.loads(l)
+        for l in _run(["vecstore", "topk", "--store", store, "--embeddings",
+                       base, "--vec-id", "0", "-k", "5", "--nprobe", "2"],
+                      capsys)
+    ]
+    assert topk2 == topk

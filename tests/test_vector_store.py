@@ -13,6 +13,7 @@ from marginaliasearch_ray.pipelines.similarity import (
     _lsh_planes,
     append_vector_store,
     build_vector_store,
+    compact_vector_store,
     vector_store_topk,
 )
 
@@ -108,6 +109,25 @@ def test_ivf_store_append_newest_wins(ray_session, tmp_path, vecs):
     q2 = vecs[45]
     got2 = _got(vector_store_topk(out, q2, k=7, nprobe=2))
     assert got2 == _expected_ivf(current, cents, q2, 7, 2)
+
+    # compaction folds the chain into one generation: stale copies are
+    # physically dropped, buckets stay as assigned, queries unchanged
+    import json
+    import os
+
+    r = compact_vector_store(out)
+    assert r["generations_folded"] == 3
+    assert r["n_vectors"] == 60  # 60 live ids, stale copies purged
+    assert json.load(open(os.path.join(out, "store.json")))["generations"] == 1
+    assert not os.path.isdir(os.path.join(out, "gen_0001"))
+    assert _got(vector_store_topk(out, q, k=10, nprobe=3)) == got
+    assert _got(vector_store_topk(out, q2, k=7, nprobe=2)) == got2
+    # and the compacted store accepts further generations
+    append_vector_store(out, _emb_table([60], vecs[[20]] + 0.5))
+    current[60] = vecs[20] + 0.5
+    assert _got(vector_store_topk(out, q, k=10, nprobe=3)) == _expected_ivf(
+        current, cents, q, 10, 3
+    )
 
 
 def test_lsh_store_append(ray_session, tmp_path, vecs):
