@@ -144,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
     vf.add_argument("--deep", action="store_true",
                     help="recompute the journal sha256-XOR rollups "
                          "(distributed) and compare")
+    vf.add_argument("--vecstore", default=None,
+                    help="fsck an incremental vector store dir instead "
+                         "of an index segment (Ray-free)")
 
     q = sub.add_parser("query", help="search a segment chain")
     q.add_argument("--index", action="append", default=None,
@@ -188,6 +191,14 @@ def main(argv: list[str] | None = None) -> int:
             "segments": [str(s) for s in args.segment],
         }))
         return 0
+    if args.cmd == "verify" and args.vecstore:
+        if args.segment or args.chain or args.deep:
+            p.error("--vecstore stands alone (no --segment/--chain/--deep)")
+        from .state.verify import verify_vector_store
+
+        res = verify_vector_store(args.vecstore)
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
     if args.cmd == "verify" and not args.deep:
         # shallow fsck is manifest + pyarrow metadata only — it must run
         # on a recovery box with no reachable cluster (only --deep's

@@ -314,3 +314,138 @@ def verify_chain(segment_dirs: list[str], deep: bool = False) -> dict:
         "live_docs": live,
         "segments": segments,
     }
+
+
+def verify_vector_store(store_dir: str) -> dict:
+    """Fsck for the incremental vector store (pipelines.similarity
+    build/append/compact): store.json is the manifest of record, each
+    committed generation's ids.parquet must equal the vec_ids actually
+    sitting in its bucket files (sorted, unique), buckets must be valid
+    for the store kind, and IVF centroids must match n_centroids.
+    Generation dirs NOT referenced by store.json (a crashed append's
+    leftovers) are reported under ``checked['orphan_generations']`` but
+    are not failures — the manifest-last protocol makes them invisible
+    to readers and the next append reclaims them.  Ray-free: metadata +
+    single-column parquet reads only, usable on a recovery box."""
+    import glob
+    import json as _json
+    import re as _re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    store_dir = os.path.abspath(store_dir)
+    problems: list[str] = []
+    checked: dict = {"store": store_dir}
+
+    meta_path = os.path.join(store_dir, "store.json")
+    if not os.path.exists(meta_path):
+        return {
+            "ok": False,
+            "problems": ["store.json missing — not a vector store"],
+            "checked": checked,
+        }
+    try:
+        meta = _json.load(open(meta_path))
+    except Exception as exc:  # noqa: BLE001
+        return {
+            "ok": False,
+            "problems": [f"store.json unreadable: {exc}"],
+            "checked": checked,
+        }
+    kind = meta.get("kind")
+    ngen = int(meta.get("generations", 0))
+    checked.update({"kind": kind, "generations": ngen})
+    if kind not in ("ivf", "lsh"):
+        problems.append(f"unknown store kind {kind!r}")
+    if ngen < 1:
+        problems.append("no committed generations")
+
+    max_bucket = None
+    if kind == "ivf":
+        cpath = os.path.join(store_dir, "centroids.parquet")
+        try:
+            ncent = pq.ParquetFile(cpath).metadata.num_rows
+            if ncent != int(meta.get("n_centroids", -1)):
+                problems.append(
+                    f"centroids.parquet has {ncent} rows, store.json says "
+                    f"{meta.get('n_centroids')}"
+                )
+            max_bucket = ncent
+        except Exception as exc:  # noqa: BLE001 — corrupt parquet
+            problems.append(f"centroids.parquet unreadable: {exc}")
+    elif kind == "lsh":
+        max_bucket = 1 << int(meta.get("n_planes", 0))
+
+    def _gen_vec_ids(gdir: str) -> np.ndarray | None:
+        ids = []
+        for f in sorted(
+            glob.glob(os.path.join(gdir, "bucket=*", "*.parquet"))
+        ):
+            try:
+                ids.append(
+                    pq.read_table(f, columns=["vec_id"])["vec_id"]
+                    .to_numpy(zero_copy_only=False)
+                )
+            except Exception as exc:  # noqa: BLE001
+                problems.append(f"{f}: unreadable ({exc})")
+                return None
+        return (
+            np.concatenate(ids)
+            if ids
+            else np.empty(0, dtype=np.int64)
+        )
+
+    per_gen: list[int] = []
+    newest: dict[int, int] = {}
+    for g in range(ngen):
+        gdir = os.path.join(store_dir, f"gen_{g:04d}")
+        if not os.path.isdir(gdir):
+            problems.append(f"gen_{g:04d} missing")
+            per_gen.append(0)
+            continue
+        if max_bucket is not None:
+            for bdir in glob.glob(os.path.join(gdir, "bucket=*")):
+                b = int(bdir.rsplit("=", 1)[1])
+                if not 0 <= b < max_bucket:
+                    problems.append(
+                        f"gen_{g:04d}: bucket {b} out of range for "
+                        f"{kind} store (max {max_bucket - 1})"
+                    )
+        actual = _gen_vec_ids(gdir)
+        if actual is None:
+            per_gen.append(0)
+            continue
+        per_gen.append(len(actual))
+        s = np.sort(actual)
+        if len(s) != len(np.unique(s)):
+            problems.append(f"gen_{g:04d}: duplicate vec_ids inside one generation")
+        if g >= 1:
+            ipath = os.path.join(gdir, "ids.parquet")
+            try:
+                rec = pq.read_table(ipath)["vec_id"].to_numpy(
+                    zero_copy_only=False
+                )
+            except Exception as exc:  # noqa: BLE001
+                problems.append(f"gen_{g:04d}/ids.parquet unreadable: {exc}")
+                rec = None
+            if rec is not None and not np.array_equal(np.sort(rec), s):
+                problems.append(
+                    f"gen_{g:04d}: ids.parquet disagrees with bucket files "
+                    f"({len(rec)} recorded vs {len(s)} actual)"
+                )
+        for i in s.tolist():
+            newest[i] = g
+
+    checked["per_generation_vectors"] = per_gen
+    checked["live_vectors"] = len(newest)
+
+    orphans = sorted(
+        d
+        for d in os.listdir(store_dir)
+        if _re.fullmatch(r"gen_\d{4}", d)
+        and int(d.split("_")[1]) >= ngen
+    )
+    checked["orphan_generations"] = orphans
+
+    return {"ok": not problems, "problems": problems, "checked": checked}

@@ -192,3 +192,56 @@ def test_crashed_append_is_ignored_then_overwritten(
     got = _got(vector_store_topk(out, q, k=5, nprobe=2))
     assert got == _expected_ivf(current, cents, q, 5, 2)
     shutil.rmtree(out)
+
+
+def test_verify_vector_store_fsck(ray_session, tmp_path, vecs):
+    """verify_vector_store: clean store passes; tampering (dropped bucket
+    file, ids.parquet disagreement, out-of-range bucket) is reported;
+    orphan generation dirs are noted but not failures."""
+    import glob
+    import os
+    import shutil
+
+    from marginaliasearch_ray.state.verify import verify_vector_store
+
+    out = str(tmp_path / "vs_fsck")
+    build_vector_store(
+        _emb_table(range(30), vecs[:30]), out, kind="ivf", n_centroids=4
+    )
+    append_vector_store(out, _emb_table([30, 31, 5], vecs[[30, 31, 5]]))
+
+    res = verify_vector_store(out)
+    assert res["ok"], res["problems"]
+    assert res["checked"]["live_vectors"] == 32
+    assert res["checked"]["per_generation_vectors"] == [30, 3]
+
+    # orphan generation (crashed append): noted, not a failure
+    os.makedirs(os.path.join(out, "gen_0002", "bucket=0"), exist_ok=True)
+    res = verify_vector_store(out)
+    assert res["ok"] and res["checked"]["orphan_generations"] == ["gen_0002"]
+    shutil.rmtree(os.path.join(out, "gen_0002"))
+
+    # out-of-range bucket for a 4-centroid ivf store
+    bad = os.path.join(out, "gen_0001", "bucket=9")
+    os.makedirs(bad)
+    res = verify_vector_store(out)
+    assert not res["ok"] and any("out of range" in s for s in res["problems"])
+    shutil.rmtree(bad)
+
+    # drop one bucket file from gen 1 -> ids.parquet disagrees
+    victim = sorted(
+        glob.glob(os.path.join(out, "gen_0001", "bucket=*", "*.parquet"))
+    )[0]
+    backup = victim + ".bak"
+    os.rename(victim, backup)
+    res = verify_vector_store(out)
+    assert not res["ok"] and any(
+        "ids.parquet disagrees" in s for s in res["problems"]
+    )
+    os.rename(backup, victim)
+
+    # truncated parquet reported, not raised
+    with open(victim, "r+b") as f:
+        f.truncate(10)
+    res = verify_vector_store(out)
+    assert not res["ok"] and any("unreadable" in s for s in res["problems"])
