@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -148,6 +149,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="fsck an incremental vector store dir instead "
                          "of an index segment (Ray-free)")
 
+    st = sub.add_parser(
+        "stats",
+        help="print a segment's / chain's recorded build metrics + "
+             "lineage (Ray-free: reads only the committed manifests)",
+    )
+    st.add_argument("--segment", action="append", default=None,
+                    help="segment dir (repeat for a chain, oldest first)")
+    st.add_argument("--chain", default=None, help="pointer file")
+
     q = sub.add_parser("query", help="search a segment chain")
     q.add_argument("--index", action="append", default=None,
                    help="segment dir (repeat, oldest first)")
@@ -190,6 +200,53 @@ def main(argv: list[str] | None = None) -> int:
             "chain": mf.publish_chain(args.segment, args.chain),
             "segments": [str(s) for s in args.segment],
         }))
+        return 0
+    if args.cmd == "stats":  # pure file op — no Ray session needed
+        from .state import manifest as mf
+
+        if bool(args.segment) == bool(args.chain):
+            p.error("stats needs exactly one of --segment/--chain")
+        dirs = args.segment or mf.read_chain(args.chain)
+        out = []
+        for d in dirs:
+            seg: dict = {"segment": os.path.abspath(d)}
+            if not mf.is_committed(d, "root"):
+                seg["error"] = "root manifest missing (unfinished segment)"
+                out.append(seg)
+                continue
+            root = mf.read_manifest(d, "root")
+            seg["n_docs"] = root.get("n_docs")
+            seg["num_parts"] = root.get("num_parts")
+            phases: dict = {}
+            for ph in ("journal", "stats", "forward", "reverse", "prio",
+                       "delta"):
+                if not mf.is_committed(d, ph):
+                    continue
+                m = mf.read_manifest(d, ph)
+                e: dict = {"seconds": m.get("seconds")}
+                if "per_part_lineage" in m:
+                    e["per_part_docs"] = {
+                        k: v.get("docs")
+                        for k, v in m["per_part_lineage"].items()
+                    }
+                for k in ("per_part_postings", "per_part_docs",
+                          "tombstones", "prior_dirs", "compacted_from"):
+                    if k in m and k not in e:
+                        e[k] = m[k]
+                if "hot_terms" in m:
+                    ht = m["hot_terms"]
+                    e["n_hot_terms"] = len(ht) if isinstance(ht, list) else ht
+                if "files" in m:
+                    e["n_files"] = len(m["files"])
+                    e["bytes"] = sum(
+                        os.path.getsize(f)
+                        for f in m["files"]
+                        if os.path.exists(f)
+                    )
+                phases[ph] = e
+            seg["phases"] = phases
+            out.append(seg)
+        print(json.dumps(out))
         return 0
     if args.cmd == "verify" and args.vecstore:
         if args.segment or args.chain or args.deep:

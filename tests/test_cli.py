@@ -199,3 +199,22 @@ def test_cli_vecstore_lifecycle(ray_session, tmp_path, capsys):
                       capsys)
     ]
     assert topk2 == topk
+
+
+def test_cli_stats(cli_dirs, capsys):
+    """stats surfaces the committed manifests' lineage + metrics without
+    a Ray session (pure file op), for single segments and chains."""
+    root, _corpus, _delta = cli_dirs
+    out = _run(["stats", "--segment", str(root / "base"),
+                "--segment", str(root / "d1")], capsys)
+    segs = json.loads(out[-1])
+    assert len(segs) == 2
+    base, d1 = segs
+    assert base["n_docs"] == 40 and base["num_parts"] == 2
+    assert set(base["phases"]) >= {"journal", "stats", "forward",
+                                   "reverse", "prio"}
+    jl = base["phases"]["journal"]
+    assert sum(jl["per_part_docs"].values()) == 40 and jl["bytes"] > 0
+    # the delta records its tombstones + priors
+    assert "delta" in d1["phases"]
+    assert sum(d1["phases"]["delta"]["tombstones"].values()) == 6
