@@ -2150,11 +2150,53 @@ class IndexSearch:
         (state.manifest.publish_chain — the index-switch analog)."""
         from ..state import manifest as mf
 
-        return cls(mf.read_chain(chain_path), use_actors=use_actors)
+        idx = cls(mf.read_chain(chain_path), use_actors=use_actors)
+        idx._chain_path = chain_path
+        return idx
+
+    def maybe_reload(self) -> bool:
+        """StatefulIndex.switchIndex analog (StatefulIndex.java:46-96):
+        re-read the pointer file this handle was opened from; if it now
+        names a different chain, open the new chain and swap it in —
+        the old actor set is released to Ray's reference-counted GC (the
+        background close), the df caches reset with the chain.  Returns
+        True iff a swap happened.  Like the reference's write-locked
+        switch, this must not run concurrently with in-flight searches:
+        call it from the serving loop between queries/batches."""
+        from ..state import manifest as mf
+
+        if self._chain_path is None:
+            raise ValueError(
+                "maybe_reload() needs a handle opened via from_chain()"
+            )
+        new_dirs = [
+            os.path.abspath(d) for d in mf.read_chain(self._chain_path)
+        ]
+        with self._respawn_lock:
+            if new_dirs == self.segment_dirs:
+                return False
+            fresh = IndexSearch(new_dirs, use_actors=self.use_actors)
+            for attr in (
+                "out_dir",
+                "segment_dirs",
+                "total_docs",
+                "num_parts",
+                "_registry",
+                "parts",
+                "_seg_parts",
+                "searchers",
+                "_df_cache",
+                "_prio_df_cache",
+            ):
+                setattr(self, attr, getattr(fresh, attr))
+            if self.use_actors:
+                self._actor_cls = fresh._actor_cls
+            return True
 
     def __init__(self, out_dir, use_actors: bool = True):
         from ..state import manifest as mf
 
+        self._chain_path: str | None = None
         dirs = (
             [out_dir]
             if isinstance(out_dir, str)

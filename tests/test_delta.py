@@ -689,3 +689,27 @@ def test_maintain_chain_tiered(churn_chain, tmp_path_factory):
         assert _rows(s_f.search(k=20, **q)) == _rows(
             s_ref.search(k=20, **q)
         ), q
+
+
+def test_index_switch_reload(chain, tmp_path_factory):
+    """StatefulIndex.switchIndex analog: a handle opened from a pointer
+    file swaps to the new chain when the pointer flips (maybe_reload),
+    and the swapped-in chain answers identically (chain vs full-rebuild
+    parity)."""
+    base, ddir, ref = chain
+    ptr = str(tmp_path_factory.mktemp("switch") / "CURRENT.json")
+    mf.publish_chain([base, ddir], ptr)
+    idx = IndexSearch.from_chain(ptr, use_actors=False)
+    before = _rows(idx.search("return value", k=10))
+    assert idx.maybe_reload() is False  # pointer unchanged -> no-op
+
+    mf.publish_chain([ref], ptr)  # atomic flip to the rebuilt segment
+    assert idx.maybe_reload() is True
+    assert idx.segment_dirs == [os.path.abspath(ref)]
+    assert _rows(idx.search("return value", k=10)) == before
+    assert idx.maybe_reload() is False
+
+    # a handle not opened from a pointer can't reload
+    bare = IndexSearch(ref, use_actors=False)
+    with pytest.raises(ValueError, match="from_chain"):
+        bare.maybe_reload()
