@@ -203,6 +203,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "stats":  # pure file op — no Ray session needed
         from .state import manifest as mf
+        from .state.verify import _rebase
 
         if bool(args.segment) == bool(args.chain):
             p.error("stats needs exactly one of --segment/--chain")
@@ -215,6 +216,11 @@ def main(argv: list[str] | None = None) -> int:
                 out.append(seg)
                 continue
             root = mf.read_manifest(d, "root")
+            # manifests record build-time abspaths; rebase onto the
+            # segment's CURRENT location so a relocated/rsynced chain
+            # reports real sizes (verify.py's relocation rule)
+            recorded_root = os.path.abspath(root.get("out_dir", d))
+            actual_root = os.path.abspath(d)
             seg["n_docs"] = root.get("n_docs")
             seg["num_parts"] = root.get("num_parts")
             phases: dict = {}
@@ -237,12 +243,19 @@ def main(argv: list[str] | None = None) -> int:
                     ht = m["hot_terms"]
                     e["n_hot_terms"] = len(ht) if isinstance(ht, list) else ht
                 if "files" in m:
-                    e["n_files"] = len(m["files"])
+                    rebased = [
+                        _rebase(f, recorded_root, actual_root)
+                        for f in m["files"]
+                    ]
+                    e["n_files"] = len(rebased)
                     e["bytes"] = sum(
                         os.path.getsize(f)
-                        for f in m["files"]
+                        for f in rebased
                         if os.path.exists(f)
                     )
+                    missing = sum(1 for f in rebased if not os.path.exists(f))
+                    if missing:
+                        e["missing_files"] = missing
                 phases[ph] = e
             seg["phases"] = phases
             out.append(seg)
@@ -382,6 +395,11 @@ def main(argv: list[str] | None = None) -> int:
                     args.embeddings, columns=["vec_id", "embedding"],
                     filters=[("vec_id", "==", args.vec_id)],
                 )
+                if t.num_rows == 0:
+                    p.error(
+                        f"vec_id {args.vec_id} not found in "
+                        f"{args.embeddings}"
+                    )
                 qv = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
                 res = sim.vector_store_topk(
                     args.store, qv, k=args.k, nprobe=args.nprobe
@@ -407,10 +425,17 @@ def main(argv: list[str] | None = None) -> int:
                 with open(args.batch) as f:
                     batch = [ln.strip() for ln in f if ln.strip()]
                 kw = {"k": args.k, "decorate": args.decorate,
-                      "pruned": args.pruned}
+                      "pruned": args.pruned, "count_only": args.count}
                 tables = s.search_many([(qr, kw) for qr in batch])
                 for qr, t in zip(batch, tables):
-                    print(json.dumps({"query": qr, "results": t.to_pylist()}))
+                    if args.count:
+                        print(json.dumps(
+                            {"query": qr, "n": t["n"][0].as_py()}
+                        ))
+                    else:
+                        print(json.dumps(
+                            {"query": qr, "results": t.to_pylist()}
+                        ))
             elif args.count:
                 print(json.dumps({"n": s.count(args.query)}))
             else:

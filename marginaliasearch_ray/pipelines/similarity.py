@@ -674,7 +674,7 @@ def lsh_ann_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_planes: int = 8):
 # — later generations' delta-sized id sets suppress earlier copies at
 # query time, exactly like delta tombstones suppress prior posting rows.
 
-VECTOR_STORE_VERSION = 1
+VECTOR_STORE_VERSION = 2  # v2: store.json carries the gens list (atomic compaction)
 
 
 def _store_meta_path(out: str) -> str:
@@ -691,9 +691,10 @@ def _read_store_meta(out: str) -> dict:
 
 
 def _write_store_meta(out: str, meta: dict) -> None:
-    """Manifest-last commit: a crashed build/append leaves a generation
-    dir that store.json never references; readers ignore it and the next
-    append clears and rewrites it."""
+    """Manifest-last commit: store.json's ``gens`` list IS the store —
+    a crashed build/append/compact leaves generation dirs the manifest
+    never references; readers ignore them, ``verify_vector_store``
+    reports them as orphans, and maintenance reclaims them."""
     import json
     import os
 
@@ -701,6 +702,22 @@ def _write_store_meta(out: str, meta: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, _store_meta_path(out))
+
+
+MAX_LSH_PLANES = 24  # signature must fit the int32 bucket column
+
+
+def _lsh_sigs(mat: np.ndarray, n_planes: int) -> np.ndarray:
+    """Little-endian sign signatures over the fixed-seed planes — ALL
+    signature bytes combined, so n_planes in (8, 24] works (packbits
+    byte 0 alone would silently truncate routing to 8 planes while the
+    Hamming-1 probe flips the full bit range)."""
+    bits = np.packbits(
+        (mat @ _lsh_planes(mat.shape[1], n_planes) > 0).astype(np.uint8),
+        axis=1,
+        bitorder="little",
+    ).astype(np.int64)
+    return (bits * (1 << (8 * np.arange(bits.shape[1])))).sum(axis=1)
 
 
 def _assign_fn(meta: dict, cents: np.ndarray | None):
@@ -720,10 +737,7 @@ def _assign_fn(meta: dict, cents: np.ndarray | None):
 
         def assign(batch: pa.Table) -> pa.Table:
             _, mat = _batch_matrix(batch)
-            pl = _lsh_planes(mat.shape[1], n_planes)
-            sig = np.packbits(
-                (mat @ pl > 0).astype(np.uint8), axis=1, bitorder="little"
-            )[:, 0].astype(np.int32)
+            sig = _lsh_sigs(mat, n_planes).astype(np.int32)
             return batch.append_column("bucket", pa.array(sig, pa.int32()))
 
     return assign
@@ -771,6 +785,24 @@ def build_vector_store(
     import pyarrow.parquet as pq
 
     ds = _to_vec_dataset(src)
+    if kind == "lsh" and not 1 <= n_planes <= MAX_LSH_PLANES:
+        raise ValueError(
+            f"n_planes must be in [1, {MAX_LSH_PLANES}] (int32 buckets)"
+        )
+    # newest-wins needs unique identities inside a generation; the base
+    # is checked distributed (ids-only groupby), appends check their
+    # delta-sized id set on the driver
+    dup = (
+        ds.select_columns(["vec_id"])
+        .groupby("vec_id")
+        .count()
+        .filter(lambda r: r["count()"] > 1)
+        .take(1)
+    )
+    if dup:
+        raise ValueError(
+            f"base contains duplicate vec_ids (e.g. {dup[0]['vec_id']})"
+        )
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
@@ -798,11 +830,15 @@ def build_vector_store(
         "kind": kind,
         "n_centroids": n_centroids,
         "n_planes": n_planes,
+        # gens is the list of COMMITTED generation dir names, oldest
+        # first — the manifest of record; generations = len(gens)
+        "gens": [],
         "generations": 0,
     }
     ds.map_batches(
         _assign_fn(meta, cents), batch_format="pyarrow"
     ).write_parquet(os.path.join(out, "gen_0000"), partition_cols=["bucket"])
+    meta["gens"] = ["gen_0000"]
     meta["generations"] = 1
     _write_store_meta(out, meta)
     return meta
@@ -822,8 +858,9 @@ def append_vector_store(out: str, src) -> dict:
     import pyarrow.parquet as pq
 
     meta = _read_store_meta(out)
-    g = int(meta["generations"])
-    gdir = os.path.join(out, f"gen_{g:04d}")
+    gens = list(meta["gens"])
+    gname = f"gen_{len(gens):04d}"
+    gdir = os.path.join(out, gname)
     shutil.rmtree(gdir, ignore_errors=True)  # uncommitted crash leftover
 
     ds = _to_vec_dataset(src)
@@ -836,6 +873,11 @@ def append_vector_store(out: str, src) -> dict:
     import glob
 
     files = sorted(glob.glob(os.path.join(gdir, "**", "*.parquet"), recursive=True))
+    if not files:
+        # empty delta (an ingest cycle with nothing new): no-op, never
+        # commit an empty generation
+        shutil.rmtree(gdir, ignore_errors=True)
+        return {"generation": None, "n_vectors": 0}
     ids = pa.concat_tables(
         [pq.read_table(f, columns=["vec_id"]) for f in files]
     )
@@ -847,9 +889,10 @@ def append_vector_store(out: str, src) -> dict:
         raise ValueError("append batch contains duplicate vec_ids")
     pq.write_table(ids, os.path.join(gdir, "ids.parquet"))
 
-    meta["generations"] = g + 1
+    meta["gens"] = gens + [gname]
+    meta["generations"] = len(meta["gens"])
     _write_store_meta(out, meta)
-    return {"generation": g, "n_vectors": n}
+    return {"generation": len(gens), "n_vectors": n}
 
 
 def vector_store_topk(
@@ -869,7 +912,8 @@ def vector_store_topk(
     import ray.data
 
     meta = _read_store_meta(out)
-    ngen = int(meta["generations"])
+    gens = list(meta["gens"])
+    ngen = len(gens)
     if meta["kind"] == "ivf":
         cents = _store_centroids(out)
         probe = np.argsort(-(cents @ (q / np.linalg.norm(q))))[
@@ -877,18 +921,15 @@ def vector_store_topk(
         ].tolist()
     else:
         n_planes = int(meta["n_planes"])
-        planes = _lsh_planes(len(q), n_planes)
-        qsig = int(
-            np.packbits((q @ planes > 0).astype(np.uint8), bitorder="little")[0]
-        )
+        qsig = int(_lsh_sigs(q.reshape(1, -1), n_planes)[0])
         probe = sorted({qsig} | {qsig ^ (1 << i) for i in range(n_planes)})
 
     # ids of generations > g suppress generation g (loaded once, tiny)
     gen_ids = [
-        pq.read_table(os.path.join(out, f"gen_{g:04d}", "ids.parquet"))[
+        pq.read_table(os.path.join(out, gname, "ids.parquet"))[
             "vec_id"
         ].to_numpy(zero_copy_only=False)
-        for g in range(1, ngen)
+        for gname in gens[1:]
     ]
     q_ref = ray.put(q)
 
@@ -928,8 +969,8 @@ def vector_store_topk(
         return files
 
     parts = []
-    for g in range(ngen):
-        paths = _gen_bucket_files(os.path.join(out, f"gen_{g:04d}"))
+    for g, gname in enumerate(gens):
+        paths = _gen_bucket_files(os.path.join(out, gname))
         if not paths:
             continue
         later = (
@@ -973,7 +1014,10 @@ def vecstore_append_topk(
 
     import shutil
 
-    out = os.path.join(_ann_cache_dir(sf_dir), f"vstore_demo_ivf{n_centroids}")
+    out = os.path.join(
+        _ann_cache_dir(sf_dir),
+        f"vstore_demo_ivf{n_centroids}_v{VECTOR_STORE_VERSION}",
+    )
     done = os.path.join(out, "_DEMO_DONE")
     if not os.path.exists(done):
         # same crash/concurrency discipline as the ANN cache builders:
@@ -1024,25 +1068,33 @@ def compact_vector_store(out: str) -> dict:
     import ray
     import ray.data
 
+    import uuid
+
     meta = _read_store_meta(out)
-    ngen = int(meta["generations"])
+    gens = list(meta["gens"])
+    ngen = len(gens)
     if ngen <= 1:
         return {"generations_folded": ngen, "n_vectors": None}
 
     gen_ids = [
-        pq.read_table(os.path.join(out, f"gen_{g:04d}", "ids.parquet"))[
+        pq.read_table(os.path.join(out, gname, "ids.parquet"))[
             "vec_id"
         ].to_numpy(zero_copy_only=False)
-        for g in range(1, ngen)
+        for gname in gens[1:]
     ]
 
-    tmp = _staging_dir(os.path.join(out, "gen_0000"))
+    # the folded generation gets a FRESH name; the swap is then ONE
+    # atomic store.json write (gens = [new]) — a reader or a crash at
+    # any instant sees either the full old chain or the complete fold,
+    # never a half-renamed layout.  Old dirs are removed only after the
+    # manifest commit; a crash in between leaves them as orphans that
+    # verify_vector_store reports and the next compact re-clears.
+    fold = f"gen_c{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(out, fold)
     parts = []
-    for g in range(ngen):
+    for g, gname in enumerate(gens):
         files = sorted(
-            glob.glob(
-                os.path.join(out, f"gen_{g:04d}", "bucket=*", "*.parquet")
-            )
+            glob.glob(os.path.join(out, gname, "bucket=*", "*.parquet"))
         )
         if not files:
             continue
@@ -1082,16 +1134,10 @@ def compact_vector_store(out: str) -> dict:
     for f in glob.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True):
         n += pq.ParquetFile(f).metadata.num_rows
 
-    # manifest-last swap: point the store at ONE generation again
-    for g in range(ngen):
-        shutil.rmtree(os.path.join(out, f"gen_{g:04d}.old"), ignore_errors=True)
-        os.rename(
-            os.path.join(out, f"gen_{g:04d}"),
-            os.path.join(out, f"gen_{g:04d}.old"),
-        )
-    os.rename(tmp, os.path.join(out, "gen_0000"))
+    # the atomic flip, then garbage-collect the superseded dirs
+    meta["gens"] = [fold]
     meta["generations"] = 1
     _write_store_meta(out, meta)
-    for g in range(ngen):
-        shutil.rmtree(os.path.join(out, f"gen_{g:04d}.old"), ignore_errors=True)
+    for gname in gens:
+        shutil.rmtree(os.path.join(out, gname), ignore_errors=True)
     return {"generations_folded": ngen, "n_vectors": int(n)}

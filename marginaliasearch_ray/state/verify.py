@@ -354,12 +354,18 @@ def verify_vector_store(store_dir: str) -> dict:
             "checked": checked,
         }
     kind = meta.get("kind")
-    ngen = int(meta.get("generations", 0))
-    checked.update({"kind": kind, "generations": ngen})
+    gens = list(meta.get("gens", []))
+    ngen = len(gens)
+    checked.update({"kind": kind, "generations": ngen, "gens": gens})
     if kind not in ("ivf", "lsh"):
         problems.append(f"unknown store kind {kind!r}")
     if ngen < 1:
         problems.append("no committed generations")
+    if int(meta.get("generations", -1)) != ngen:
+        problems.append(
+            f"store.json generations={meta.get('generations')} disagrees "
+            f"with its gens list ({ngen} entries)"
+        )
 
     max_bucket = None
     if kind == "ivf":
@@ -398,10 +404,10 @@ def verify_vector_store(store_dir: str) -> dict:
 
     per_gen: list[int] = []
     newest: dict[int, int] = {}
-    for g in range(ngen):
-        gdir = os.path.join(store_dir, f"gen_{g:04d}")
+    for g, gname in enumerate(gens):
+        gdir = os.path.join(store_dir, gname)
         if not os.path.isdir(gdir):
-            problems.append(f"gen_{g:04d} missing")
+            problems.append(f"{gname} missing")
             per_gen.append(0)
             continue
         if max_bucket is not None:
@@ -409,7 +415,7 @@ def verify_vector_store(store_dir: str) -> dict:
                 b = int(bdir.rsplit("=", 1)[1])
                 if not 0 <= b < max_bucket:
                     problems.append(
-                        f"gen_{g:04d}: bucket {b} out of range for "
+                        f"{gname}: bucket {b} out of range for "
                         f"{kind} store (max {max_bucket - 1})"
                     )
         actual = _gen_vec_ids(gdir)
@@ -419,7 +425,7 @@ def verify_vector_store(store_dir: str) -> dict:
         per_gen.append(len(actual))
         s = np.sort(actual)
         if len(s) != len(np.unique(s)):
-            problems.append(f"gen_{g:04d}: duplicate vec_ids inside one generation")
+            problems.append(f"{gname}: duplicate vec_ids inside one generation")
         if g >= 1:
             ipath = os.path.join(gdir, "ids.parquet")
             try:
@@ -427,11 +433,11 @@ def verify_vector_store(store_dir: str) -> dict:
                     zero_copy_only=False
                 )
             except Exception as exc:  # noqa: BLE001
-                problems.append(f"gen_{g:04d}/ids.parquet unreadable: {exc}")
+                problems.append(f"{gname}/ids.parquet unreadable: {exc}")
                 rec = None
             if rec is not None and not np.array_equal(np.sort(rec), s):
                 problems.append(
-                    f"gen_{g:04d}: ids.parquet disagrees with bucket files "
+                    f"{gname}: ids.parquet disagrees with bucket files "
                     f"({len(rec)} recorded vs {len(s)} actual)"
                 )
         for i in s.tolist():
@@ -440,11 +446,13 @@ def verify_vector_store(store_dir: str) -> dict:
     checked["per_generation_vectors"] = per_gen
     checked["live_vectors"] = len(newest)
 
+    # any gen_* dir the manifest does not reference is a crash leftover
+    # (uncommitted append or superseded pre-compaction dirs) — invisible
+    # to readers, reclaimed by later maintenance, reported not failed
     orphans = sorted(
         d
         for d in os.listdir(store_dir)
-        if _re.fullmatch(r"gen_\d{4}", d)
-        and int(d.split("_")[1]) >= ngen
+        if _re.fullmatch(r"gen_\w+", d) and d not in gens
     )
     checked["orphan_generations"] = orphans
 

@@ -218,3 +218,32 @@ def test_cli_stats(cli_dirs, capsys):
     # the delta records its tombstones + priors
     assert "delta" in d1["phases"]
     assert sum(d1["phases"]["delta"]["tombstones"].values()) == 6
+
+
+def test_cli_stats_relocated_segment(cli_dirs, tmp_path, capsys):
+    """stats rebases the manifests' build-time paths onto the segment's
+    CURRENT location, so a copied/rsynced segment reports real sizes."""
+    import shutil
+
+    root, _corpus, _delta = cli_dirs
+    moved = str(tmp_path / "relocated_base")
+    shutil.copytree(str(root / "base"), moved)
+    out = _run(["stats", "--segment", moved], capsys)
+    seg = json.loads(out[-1])[0]
+    jl = seg["phases"]["journal"]
+    assert jl["bytes"] > 0 and "missing_files" not in jl
+
+
+def test_cli_batch_count(cli_dirs, capsys):
+    """query --batch --count prints one {query, n} per input line."""
+    root, _corpus, _delta = cli_dirs
+    qfile = root / "count_queries.txt"
+    qfile.write_text("clifresh\nreturn\n")
+    out = _run(
+        ["query", "--index", str(root / "base"), "--index", str(root / "d1"),
+         "--count", "--batch", str(qfile)],
+        capsys,
+    )
+    rows = [json.loads(l) for l in out]
+    assert [r["query"] for r in rows] == ["clifresh", "return"]
+    assert rows[0]["n"] == 6 and rows[1]["n"] > 0

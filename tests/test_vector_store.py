@@ -50,12 +50,13 @@ def _expected_lsh(current, q, k, n_planes):
     ids = np.array(sorted(current), dtype=np.int64)
     mat = np.array([current[i] for i in ids], dtype=np.float64)
     planes = _lsh_planes(mat.shape[1], n_planes)
-    sig = np.packbits(
-        (mat @ planes > 0).astype(np.uint8), axis=1, bitorder="little"
-    )[:, 0].astype(int)
-    qsig = int(
-        np.packbits((q @ planes > 0).astype(np.uint8), bitorder="little")[0]
-    )
+
+    def sig_of(v):  # little-endian bit int over ALL planes
+        bits = (v @ planes > 0).astype(int)
+        return int(sum(b << i for i, b in enumerate(bits)))
+
+    sig = np.array([sig_of(r) for r in mat])
+    qsig = sig_of(q)
     probe = {qsig} | {qsig ^ (1 << i) for i in range(n_planes)}
     keep = np.array([s in probe for s in sig])
     ids, mat = ids[keep], mat[keep]
@@ -177,6 +178,7 @@ def test_crashed_append_is_ignored_then_overwritten(
     import json
 
     meta = json.load(open(meta_path))
+    meta["gens"] = ["gen_0000"]
     meta["generations"] = 1
     json.dump(meta, open(meta_path, "w"))
     assert os.path.isdir(os.path.join(out, "gen_0001"))
@@ -245,3 +247,51 @@ def test_verify_vector_store_fsck(ray_session, tmp_path, vecs):
         f.truncate(10)
     res = verify_vector_store(out)
     assert not res["ok"] and any("unreadable" in s for s in res["problems"])
+
+
+def test_empty_append_is_a_noop(ray_session, tmp_path, vecs):
+    """An ingest cycle with nothing new never commits an empty
+    generation."""
+    import json
+    import os
+
+    out = str(tmp_path / "vs_empty")
+    build_vector_store(
+        _emb_table(range(10), vecs[:10]), out, kind="ivf", n_centroids=4
+    )
+    r = append_vector_store(out, _emb_table([], vecs[:0]))
+    assert r == {"generation": None, "n_vectors": 0}
+    meta = json.load(open(os.path.join(out, "store.json")))
+    assert meta["gens"] == ["gen_0000"]
+    # and the store still serves
+    got = _got(vector_store_topk(out, vecs[1], k=3, nprobe=2))
+    assert len(got) == 3
+
+
+def test_build_rejects_duplicate_ids(ray_session, tmp_path, vecs):
+    out = str(tmp_path / "vs_basedup")
+    with pytest.raises(ValueError, match="duplicate vec_ids"):
+        build_vector_store(
+            _emb_table([0, 1, 1], vecs[:3]), out, kind="ivf", n_centroids=2
+        )
+
+
+def test_lsh_store_wide_planes(ray_session, tmp_path, vecs):
+    """n_planes > 8 must route through ALL signature bytes — the full
+    12-bit Hamming-1 probe set finds what an 8-bit truncation would
+    drop."""
+    out = str(tmp_path / "vs_lsh12")
+    build_vector_store(
+        _emb_table(range(40), vecs[:40]), out, kind="lsh", n_planes=12
+    )
+    append_vector_store(out, _emb_table(range(40, 60), vecs[40:60]))
+    current = {i: vecs[i] for i in range(60)}
+    q = vecs[3]
+    got = _got(vector_store_topk(out, q, k=10))
+    assert got == _expected_lsh(current, q, 10, 12)
+    # int32 bucket cap enforced
+    with pytest.raises(ValueError, match="n_planes"):
+        build_vector_store(
+            _emb_table(range(5), vecs[:5]), str(tmp_path / "vs_bad"),
+            kind="lsh", n_planes=30,
+        )
