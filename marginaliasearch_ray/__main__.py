@@ -174,6 +174,17 @@ def main(argv: list[str] | None = None) -> int:
                         "positional query")
     q.add_argument("query", nargs="?", default=None)
 
+    srv = sub.add_parser(
+        "serve",
+        help="long-running query loop: one query per stdin line (plain "
+             "text or {\"query\":..., \"k\":..., \"count\":...} JSON), "
+             "NDJSON results on stdout; follows chain-pointer flips "
+             "between queries (StatefulIndex switch analog)",
+    )
+    srv.add_argument("--chain", required=True, help="pointer file")
+    srv.add_argument("-k", type=int, default=10)
+    srv.add_argument("--decorate", action="store_true")
+
     vs = sub.add_parser(
         "vecstore",
         help="incrementally-maintained embedding store "
@@ -365,6 +376,50 @@ def main(argv: list[str] | None = None) -> int:
                 "folded": new_chain
                 != [_os.path.abspath(d) for d in dirs],
             }))
+        elif args.cmd == "serve":
+            from .pipelines.query import IndexSearch
+
+            s = IndexSearch.from_chain(args.chain, use_actors=True)
+            for line in sys.stdin:
+                line = line.strip()
+                if not line:
+                    continue
+                req = (
+                    json.loads(line)
+                    if line.startswith("{")
+                    else {"query": line}
+                )
+                # pick up a published pointer flip before answering
+                if s.maybe_reload():
+                    print(
+                        json.dumps(
+                            {"event": "reloaded",
+                             "segments": s.segment_dirs}
+                        ),
+                        flush=True,
+                    )
+                if req.get("count"):
+                    print(
+                        json.dumps(
+                            {"query": req["query"],
+                             "n": s.count(req["query"])}
+                        ),
+                        flush=True,
+                    )
+                    continue
+                t = s.search(
+                    req["query"],
+                    k=int(req.get("k", args.k)),
+                    decorate=bool(req.get("decorate", args.decorate)),
+                )
+                print(
+                    json.dumps(
+                        {"query": req["query"], "results": t.to_pylist()}
+                    ),
+                    flush=True,
+                )
+            s.shutdown()
+
         elif args.cmd == "vecstore":
             from .pipelines import similarity as sim
 

@@ -247,3 +247,38 @@ def test_cli_batch_count(cli_dirs, capsys):
     rows = [json.loads(l) for l in out]
     assert [r["query"] for r in rows] == ["clifresh", "return"]
     assert rows[0]["n"] == 6 and rows[1]["n"] > 0
+
+
+def test_cli_serve_follows_pointer_flip(cli_dirs, capsys, monkeypatch):
+    """serve answers stdin queries and picks up a chain-pointer flip
+    BETWEEN queries (the long-running StatefulIndex switch story): the
+    same query re-asked after the flip answers from the new chain, and
+    a reloaded event is emitted."""
+    import io
+    import sys as _sys
+
+    from marginaliasearch_ray.state import manifest as mf
+
+    root, _corpus, _delta = cli_dirs
+    chain = str(root / "SERVE.json")
+    mf.publish_chain([str(root / "base"), str(root / "d1")], chain)
+
+    class FlippingStdin:
+        """Yields 3 query lines, republishing the pointer to the
+        compacted segment after the first one."""
+
+        def __iter__(self):
+            yield "clifresh\n"
+            mf.publish_chain([str(root / "c")], chain)
+            yield '{"query": "clifresh", "k": 3}\n'
+            yield '{"query": "clifresh", "count": true}\n'
+
+    monkeypatch.setattr(_sys, "stdin", FlippingStdin())
+    out = _run(["serve", "--chain", chain, "-k", "3"], capsys)
+    rows = [json.loads(l) for l in out]
+    assert [r["combined_id"] for r in rows[0]["results"]] == [
+        r["combined_id"] for r in rows[2]["results"]
+    ]
+    assert rows[1] == {"event": "reloaded",
+                       "segments": [str(root / "c")]}
+    assert rows[3]["n"] == 6
