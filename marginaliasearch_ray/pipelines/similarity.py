@@ -1141,3 +1141,74 @@ def compact_vector_store(out: str) -> dict:
     for gname in gens:
         shutil.rmtree(os.path.join(out, gname), ignore_errors=True)
     return {"generations_folded": ngen, "n_vectors": int(n)}
+
+
+def maintain_vector_store(
+    out: str,
+    *,
+    max_generations: int = 4,
+    max_stale_frac: float = 0.25,
+) -> dict:
+    """Scheduled maintenance for the incremental store (the
+    maintain_chain shape on the embedding side): fold when the
+    generation chain is long (``len(gens) > max_generations``) or when
+    stale suppressed copies exceed ``max_stale_frac`` of the stored
+    rows.  No trigger -> no-op, cheap to call on a schedule."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta = _read_store_meta(out)
+    gens = list(meta["gens"])
+    if len(gens) <= 1:
+        return {"folded": False, "reason": "single generation"}
+
+    if len(gens) > max_generations:
+        return {"folded": True, "reason": "length", **compact_vector_store(out)}
+
+    # stale fraction: ids re-ingested by later generations still sitting
+    # in earlier ones.  Count from the delta-sized id sets alone:
+    # every id in generation g's set that also appears in an EARLIER
+    # generation (or the base) is one suppressed stale row.
+    import glob
+
+    base_rows = 0
+    for f in glob.glob(os.path.join(out, gens[0], "bucket=*", "*.parquet")):
+        base_rows += pq.ParquetFile(f).metadata.num_rows
+    seen: np.ndarray | None = None
+    stale = 0
+    total = base_rows
+    for gname in gens[1:]:
+        ids = pq.read_table(os.path.join(out, gname, "ids.parquet"))[
+            "vec_id"
+        ].to_numpy(zero_copy_only=False)
+        total += len(ids)
+        if seen is None:
+            # base ids load lazily, once, and only when deltas exist —
+            # a single int64 column scan; delta id sets are delta-sized
+            parts = []
+            for f in sorted(
+                glob.glob(
+                    os.path.join(out, gens[0], "bucket=*", "*.parquet")
+                )
+            ):
+                parts.append(
+                    pq.read_table(f, columns=["vec_id"])["vec_id"]
+                    .to_numpy(zero_copy_only=False)
+                )
+            seen = (
+                np.unique(np.concatenate(parts))
+                if parts
+                else np.empty(0, dtype=np.int64)
+            )
+        stale += int(np.isin(ids, seen).sum())
+        seen = np.union1d(seen, ids)
+    if total and stale / total > max_stale_frac:
+        return {
+            "folded": True,
+            "reason": "stale_frac",
+            "stale_rows": stale,
+            **compact_vector_store(out),
+        }
+    return {"folded": False, "reason": "under thresholds",
+            "stale_rows": stale}

@@ -295,3 +295,78 @@ def test_lsh_store_wide_planes(ray_session, tmp_path, vecs):
             _emb_table(range(5), vecs[:5]), str(tmp_path / "vs_bad"),
             kind="lsh", n_planes=30,
         )
+
+
+def test_maintain_vector_store_policies(ray_session, tmp_path, vecs):
+    """Length trigger folds a long chain; stale-fraction trigger folds a
+    churn-heavy short chain; an under-threshold chain is untouched."""
+    from marginaliasearch_ray.pipelines.similarity import (
+        maintain_vector_store,
+    )
+
+    out = str(tmp_path / "vs_maint")
+    build_vector_store(
+        _emb_table(range(20), vecs[:20]), out, kind="ivf", n_centroids=4
+    )
+    # fresh-only appends: under both thresholds -> no-op
+    append_vector_store(out, _emb_table([20, 21], vecs[20:22]))
+    r = maintain_vector_store(out, max_generations=4)
+    assert r == {"folded": False, "reason": "under thresholds",
+                 "stale_rows": 0}
+
+    # churn: re-ingest half the base -> stale fraction over 0.25
+    append_vector_store(out, _emb_table(range(10), -vecs[:10]))
+    r = maintain_vector_store(out, max_generations=4)
+    assert r["folded"] and r["reason"] == "stale_frac"
+    assert r["n_vectors"] == 22  # live ids after fold
+
+    # length: three more appends on the fold -> > max_generations
+    for j in range(3):
+        append_vector_store(out, _emb_table([30 + j], vecs[[30 + j]]))
+    r = maintain_vector_store(out, max_generations=3)
+    assert r["folded"] and r["reason"] == "length"
+    assert r["n_vectors"] == 25
+
+
+def test_vector_store_random_churn_property(ray_session, tmp_path, vecs):
+    """Randomized generations (fresh + update mix) against the
+    newest-wins numpy oracle, with a mid-sequence compaction — the
+    hypothesis-style fuzz for the store lifecycle (seeded, 3 scenarios
+    to keep Dataset round trips affordable)."""
+    rng = np.random.RandomState(123)
+    dim = 8
+    for trial in range(3):
+        out = str(tmp_path / f"vs_prop{trial}")
+        pool = rng.standard_normal((200, dim))
+        nbase = int(rng.randint(10, 40))
+        current = {i: pool[i] for i in range(nbase)}
+        build_vector_store(
+            _emb_table(sorted(current), [current[i] for i in sorted(current)]),
+            out, kind="ivf", n_centroids=4,
+        )
+        cents = pool[:4] / np.linalg.norm(pool[:4], axis=1, keepdims=True)
+        next_id = nbase
+        for gen in range(int(rng.randint(1, 4))):
+            n_fresh = int(rng.randint(0, 6))
+            fresh = list(range(next_id, next_id + n_fresh))
+            next_id += n_fresh
+            n_upd = int(rng.randint(0, min(5, len(current))))
+            upd = list(
+                rng.choice(sorted(current), size=n_upd, replace=False)
+            )
+            ids = fresh + [int(u) for u in upd]
+            if not ids:
+                continue
+            mats = []
+            for i in ids:
+                v = pool[i % 200] + rng.standard_normal(dim) * 0.1
+                mats.append(v)
+                current[int(i)] = v
+            append_vector_store(out, _emb_table(ids, np.array(mats)))
+            if gen == 1:
+                compact_vector_store(out)
+        q = pool[int(rng.randint(0, 200))]
+        got = _got(vector_store_topk(out, q, k=8, nprobe=2))
+        assert got == _expected_ivf(current, cents, q, 8, 2), (
+            f"trial {trial} diverged from the newest-wins oracle"
+        )
