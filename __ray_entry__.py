@@ -657,6 +657,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer merge -table", count_only=True
     )
 
+    # facet counting (per-domain result counting generalized to the full
+    # match set, IndexQueryExecution:159-178): per-partition (key, count)
+    # partials summed on the driver, keys resolved via the registry
+    q["facet_repo"] = lambda sf: _index_for(sf).facets("customer", by="repo")
+    q["facet_year"] = lambda sf: _index_for(sf).facets(
+        "customer merge", by="year"
+    )
+
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
     q["bm25_conj"] = lambda sf: _search(sf, "customer merge table")
@@ -1185,6 +1193,9 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_delete_purge",
     # tiered maintenance: fold + rebase is a scoring no-op
     "bm25_delta_maintained",
+    # NEW: full-match-set facet counting (repo / year keys)
+    "facet_repo",
+    "facet_year",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -1220,11 +1231,11 @@ _DRIVER_WINDOW_FIRST = [
     "doc_length_histogram",
     "repo_stats",
     "term_df_top100",
-    "lang_id",
-    "ann_cosine_top10",
     # quality_scores + events_tumbling_1h stay at the tail (driver-green
     # earlier, unchanged); simhash64 (rows-only) and the *_off twins
-    # defer to in-window siblings that share their machinery.
+    # defer to in-window siblings that share their machinery.  lang_id +
+    # ann_cosine_top10 yield their slots to the new facet entries (both
+    # r01/r02-green, unchanged, re-verified locally by driver_check).
 ]
 
 
@@ -1900,6 +1911,45 @@ def oracle_sql() -> dict[str, str]:
               AND (list_contains(toks, 'merge')
                    OR list_contains(synth, 'merge'))
               AND NOT list_contains(toks, 'table')
+        """,
+        # facet counting: counts of ALL matching docs grouped by repo /
+        # year (engine orders n DESC then key ASC, top-20)
+        "facet_repo": f"""
+            WITH tok AS (
+              SELECT doc_id, source, {_tok()} AS toks,
+                     ['site:' || source,
+                      CASE WHEN doc_id % 7 = 3 THEN 'generator:wiki'
+                           ELSE 'generator:docs' END]
+                       || list_filter({sql_artifact_expr('toks')},
+                                      a -> NOT list_contains(toks, a)) AS synth
+              FROM documents
+            )
+            SELECT source AS repo, count(*)::BIGINT AS n FROM tok
+            WHERE (list_contains(toks, 'customer')
+                   OR list_contains(synth, 'customer'))
+            GROUP BY source
+            ORDER BY n DESC, repo ASC
+            LIMIT 20
+        """,
+        "facet_year": f"""
+            WITH tok AS (
+              SELECT doc_id, (1996 + doc_id % 30) AS year,
+                     {_tok()} AS toks,
+                     ['site:' || source,
+                      CASE WHEN doc_id % 7 = 3 THEN 'generator:wiki'
+                           ELSE 'generator:docs' END]
+                       || list_filter({sql_artifact_expr('toks')},
+                                      a -> NOT list_contains(toks, a)) AS synth
+              FROM documents
+            )
+            SELECT year::BIGINT AS year, count(*)::BIGINT AS n FROM tok
+            WHERE (list_contains(toks, 'customer')
+                   OR list_contains(synth, 'customer'))
+              AND (list_contains(toks, 'merge')
+                   OR list_contains(synth, 'merge'))
+            GROUP BY year
+            ORDER BY n DESC, year ASC
+            LIMIT 20
         """,
         "bm25_filter_spec": _bm25_sql(
             ["scan", "filter"],

@@ -168,6 +168,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--pruned", action="store_true")
     q.add_argument("--count", action="store_true",
                    help="print the total match count instead of top-k")
+    q.add_argument("--facet", choices=["repo", "year"], default=None,
+                   help="print full-match-set counts grouped by this key "
+                        "instead of top-k")
+    q.add_argument("--facet-k", type=int, default=20)
     q.add_argument("--batch", default=None, metavar="FILE",
                    help="serve newline-delimited queries from FILE "
                         "concurrently (8 in flight) instead of one "
@@ -407,6 +411,20 @@ def main(argv: list[str] | None = None) -> int:
                         flush=True,
                     )
                     continue
+                if req.get("facet"):
+                    t = s.facets(
+                        req["query"],
+                        by=req["facet"],
+                        k=int(req.get("facet_k", 20)),
+                    )
+                    print(
+                        json.dumps(
+                            {"query": req["query"],
+                             "facets": t.to_pylist()}
+                        ),
+                        flush=True,
+                    )
+                    continue
                 t = s.search(
                     req["query"],
                     k=int(req.get("k", args.k)),
@@ -493,6 +511,10 @@ def main(argv: list[str] | None = None) -> int:
                         ))
             elif args.count:
                 print(json.dumps({"n": s.count(args.query)}))
+            elif args.facet:
+                t = s.facets(args.query, by=args.facet, k=args.facet_k)
+                for row in t.to_pylist():
+                    print(json.dumps(row))
             else:
                 t = s.search(
                     args.query, k=args.k, decorate=args.decorate,

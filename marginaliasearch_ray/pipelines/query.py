@@ -1178,6 +1178,7 @@ class SearcherLogic:
             bool(plan.get("pruned"))
             and seg.has_blocks
             and not plan.get("count_only")
+            and not plan.get("facet")
         )
 
         def _pl(t: int, against: np.ndarray) -> np.ndarray:
@@ -1263,6 +1264,15 @@ class SearcherLogic:
             # total-hit counting (ResultPriorityQueue size analog): the
             # full candidate set post-filters, no scoring
             return {"match_count": int(len(cand))}
+
+        if plan.get("facet"):
+            # facet counting (per-domain result counting generalized,
+            # IndexQueryExecution:159-178 domain-count analog): counts of
+            # the FULL post-filter candidate set grouped by a per-doc key,
+            # no scoring.  Partials merge by summation on the driver;
+            # tombstone suppression already happened at decode time, so a
+            # delta chain facets exactly like a rebuilt corpus.
+            return self._facet_partial(seg, cand, plan["facet"])
 
         if len(cand) == 0:
             return _empty_partition_result()
@@ -1742,6 +1752,34 @@ class SearcherLogic:
                     mask &= v == val
             cand = cand[mask]
         return cand
+
+    @staticmethod
+    def _facet_partial(seg: "_Segment", cand: np.ndarray, by: str) -> dict:
+        """Per-partition facet partial: unique (key, count) pairs over the
+        candidate set.  ``repo`` keys are domain ids straight out of the
+        combined id (no forward lookup); ``year`` decodes the packed doc
+        meta year byte the same way the meta-limit filter does."""
+        if by == "repo":
+            keys = idcodec.get_domain_id(cand)
+        elif by == "year":
+            from ..functions.metadata import (
+                PUBDATE_ENCODING_OFFSET,
+                decode_year_byte,
+            )
+
+            fi = np.searchsorted(seg.fwd_ids, cand)
+            keys = PUBDATE_ENCODING_OFFSET + decode_year_byte(
+                seg.fwd_meta[fi]
+            )
+        else:
+            raise ValueError(f"unknown facet key {by!r}")
+        uniq, cnt = np.unique(
+            np.asarray(keys, dtype=np.int64), return_counts=True
+        )
+        return {
+            "facet_keys": uniq.tolist(),
+            "facet_counts": cnt.tolist(),
+        }
 
     @staticmethod
     def _plan_scoring_is_bm25_only(plan: dict) -> bool:
@@ -2348,6 +2386,8 @@ class IndexSearch:
         pruned: bool = False,
         filter_spec: dict | None = None,
         count_only: bool = False,
+        facet: str | None = None,
+        facet_k: int = 20,
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -2367,6 +2407,8 @@ class IndexSearch:
         if cq.repo is not None:
             ent = self._registry.get(cq.repo)
             if ent is None:
+                if facet is not None:
+                    return _facet_table(facet, [])
                 return (
                     pa.table({"n": pa.array([0], pa.int64())})
                     if count_only
@@ -2439,6 +2481,8 @@ class IndexSearch:
                             idcodec.domain_id_range(int(rank), int(dom))
                         )
                 if not ranges:
+                    if facet is not None:
+                        return _facet_table(facet, [])
                     return (
                     pa.table({"n": pa.array([0], pa.int64())})
                     if count_only
@@ -2541,6 +2585,29 @@ class IndexSearch:
             counts = self._call("search", plan, global_df, self.total_docs)
             total = sum(int(r.get("match_count", 0)) for r in counts)
             return pa.table({"n": pa.array([total], pa.int64())})
+        if facet is not None:
+            # facet counting: per-partition (key, count) partials summed on
+            # the driver (domain ids never leave as raw candidates), repo
+            # keys resolved to names via the broadcast registry; ordering
+            # is n DESC then key ASC, truncated to facet_k.
+            plan["facet"] = facet
+            partials = self._call("search", plan, global_df, self.total_docs)
+            agg: dict[int, int] = {}
+            for r in partials:
+                for key, c in zip(
+                    r.get("facet_keys", ()), r.get("facet_counts", ())
+                ):
+                    agg[int(key)] = agg.get(int(key), 0) + int(c)
+            if facet == "repo":
+                inv = {
+                    int(d): rname
+                    for rname, (d, _rk, _p) in self._registry.items()
+                }
+                named = [(inv.get(d, str(d)), n) for d, n in agg.items()]
+            else:
+                named = list(agg.items())
+            named.sort(key=lambda kv: (-kv[1], kv[0]))
+            return _facet_table(facet, named[:facet_k])
         results = self._call("search", plan, global_df, self.total_docs)
         ids = np.concatenate(
             [np.asarray(r["combined_id"], dtype=np.int64) for r in results]
@@ -2596,6 +2663,14 @@ class IndexSearch:
         """Total matching documents (no scoring, exhaustive candidates)."""
         return int(self.search(query, count_only=True, **kw)["n"][0].as_py())
 
+    def facets(self, query: str, by: str = "repo", k: int = 20, **kw) -> pa.Table:
+        """Counts of ALL matching documents grouped by a per-doc key
+        (``repo`` or ``year``) — the per-domain result counting of
+        IndexQueryExecution:159-178 generalized to a full-match-set
+        facet.  Exhaustive candidates, no scoring; exact over delta
+        chains (tombstoned docs are already filtered at decode)."""
+        return self.search(query, facet=by, facet_k=k, **kw)
+
     def search_many(
         self,
         queries: list[str | tuple[str, dict]],
@@ -2631,6 +2706,18 @@ class IndexSearch:
             for s in self.searchers:
                 ray.kill(s)
         self.searchers = []
+
+
+def _facet_table(by: str, rows: list[tuple]) -> pa.Table:
+    """(key, n) rows -> the facet result table, ``repo`` keyed by name."""
+    key_col = (
+        pa.array([r[0] for r in rows], pa.string())
+        if by == "repo"
+        else pa.array([int(r[0]) for r in rows], pa.int64())
+    )
+    return pa.table(
+        {by: key_col, "n": pa.array([int(r[1]) for r in rows], pa.int64())}
+    )
 
 
 def _result_table(
