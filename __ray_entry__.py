@@ -664,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["facet_year"] = lambda sf: _index_for(sf).facets(
         "customer merge", by="year"
     )
+    q["facet_lang"] = lambda sf: _index_for(sf).facets("merge", by="lang")
 
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
@@ -1949,6 +1950,23 @@ def oracle_sql() -> dict[str, str]:
                    OR list_contains(synth, 'merge'))
             GROUP BY year
             ORDER BY n DESC, year ASC
+            LIMIT 20
+        """,
+        "facet_lang": f"""
+            WITH tok AS (
+              SELECT doc_id, lang, {_tok()} AS toks,
+                     ['site:' || source,
+                      CASE WHEN doc_id % 7 = 3 THEN 'generator:wiki'
+                           ELSE 'generator:docs' END]
+                       || list_filter({sql_artifact_expr('toks')},
+                                      a -> NOT list_contains(toks, a)) AS synth
+              FROM documents
+            )
+            SELECT lang, count(*)::BIGINT AS n FROM tok
+            WHERE (list_contains(toks, 'merge')
+                   OR list_contains(synth, 'merge'))
+            GROUP BY lang
+            ORDER BY n DESC, lang ASC
             LIMIT 20
         """,
         "bm25_filter_spec": _bm25_sql(

@@ -168,7 +168,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--pruned", action="store_true")
     q.add_argument("--count", action="store_true",
                    help="print the total match count instead of top-k")
-    q.add_argument("--facet", choices=["repo", "year"], default=None,
+    q.add_argument("--facet", choices=["repo", "year", "lang"], default=None,
                    help="print full-match-set counts grouped by this key "
                         "instead of top-k")
     q.add_argument("--facet-k", type=int, default=20)

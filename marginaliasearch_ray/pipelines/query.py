@@ -956,6 +956,18 @@ class _Segment:
             self._lang_ids[lang] = cached
         return cached
 
+    def langs(self) -> list[str]:
+        """Languages present in this part's lang index (dir listing of the
+        hive partition keys — no data read)."""
+        d = os.path.join(self.out_dir, "lang_index", f"part={self.part}")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            e.split("=", 1)[1]
+            for e in os.listdir(d)
+            if e.startswith("lang=")
+        )
+
     def prio_postings(self, tid: int) -> np.ndarray:
         """Sorted combined ids of the term's priority (flagged) postings."""
         cached = self._prio_decoded.get(tid)
@@ -1771,6 +1783,17 @@ class SearcherLogic:
             keys = PUBDATE_ENCODING_OFFSET + decode_year_byte(
                 seg.fwd_meta[fi]
             )
+        elif by == "lang":
+            # lang keys live in the per-part lang index, not the combined
+            # id: one sorted-membership count per language present
+            keys_l: list[str] = []
+            cnt_l: list[int] = []
+            for lg in seg.langs():
+                c = int(_membership(cand, seg.lang_ids(lg)).sum())
+                if c:
+                    keys_l.append(lg)
+                    cnt_l.append(c)
+            return {"facet_keys": keys_l, "facet_counts": cnt_l}
         else:
             raise ValueError(f"unknown facet key {by!r}")
         uniq, cnt = np.unique(
@@ -2592,18 +2615,20 @@ class IndexSearch:
             # is n DESC then key ASC, truncated to facet_k.
             plan["facet"] = facet
             partials = self._call("search", plan, global_df, self.total_docs)
-            agg: dict[int, int] = {}
+            agg: dict = {}
             for r in partials:
                 for key, c in zip(
                     r.get("facet_keys", ()), r.get("facet_counts", ())
                 ):
-                    agg[int(key)] = agg.get(int(key), 0) + int(c)
+                    agg[key] = agg.get(key, 0) + int(c)
             if facet == "repo":
                 inv = {
                     int(d): rname
                     for rname, (d, _rk, _p) in self._registry.items()
                 }
-                named = [(inv.get(d, str(d)), n) for d, n in agg.items()]
+                named = [
+                    (inv.get(int(d), str(d)), n) for d, n in agg.items()
+                ]
             else:
                 named = list(agg.items())
             named.sort(key=lambda kv: (-kv[1], kv[0]))
@@ -2665,7 +2690,7 @@ class IndexSearch:
 
     def facets(self, query: str, by: str = "repo", k: int = 20, **kw) -> pa.Table:
         """Counts of ALL matching documents grouped by a per-doc key
-        (``repo`` or ``year``) — the per-domain result counting of
+        (``repo``, ``year`` or ``lang``) — the per-domain result counting of
         IndexQueryExecution:159-178 generalized to a full-match-set
         facet.  Exhaustive candidates, no scoring; exact over delta
         chains (tombstoned docs are already filtered at decode)."""
@@ -2709,10 +2734,11 @@ class IndexSearch:
 
 
 def _facet_table(by: str, rows: list[tuple]) -> pa.Table:
-    """(key, n) rows -> the facet result table, ``repo`` keyed by name."""
+    """(key, n) rows -> the facet result table; ``repo``/``lang`` keys
+    are strings, ``year`` is int64."""
     key_col = (
         pa.array([r[0] for r in rows], pa.string())
-        if by == "repo"
+        if by in ("repo", "lang")
         else pa.array([int(r[0]) for r in rows], pa.int64())
     )
     return pa.table(

@@ -20,7 +20,7 @@ def _divisor_corpus() -> pa.Table:
         rows["repo"].append(f"repo{i % 4}")
         rows["path"].append(f"doc_{i}.txt")
         rows["commit"].append("0" * 40)
-        rows["lang"].append("py")
+        rows["lang"].append("py" if i % 3 else "js")
         rows["content"].append(" ".join(words))
         rows["ordinal"].append(i)
     return pa.table(
@@ -90,6 +90,15 @@ def test_facet_year_counts(facet_index):
     got = list(zip(t["year"].to_pylist(), t["n"].to_pylist()))
     want = _expected_facets(
         _matching(["w2", "w3"]), lambda i: 1996 + i % 30
+    )
+    assert got == want
+
+
+def test_facet_lang_counts(facet_index):
+    t = facet_index.facets("w2", by="lang")
+    got = list(zip(t["lang"].to_pylist(), t["n"].to_pylist()))
+    want = _expected_facets(
+        _matching(["w2"]), lambda i: "py" if i % 3 else "js"
     )
     assert got == want
 
