@@ -121,6 +121,20 @@ def test_chain_count_and_filter_spec(chain):
     assert got == want
 
 
+def test_chain_facets_match_full_rebuild(chain):
+    """Facet counting composes with segment suppression: chain facets ==
+    facets over the rebuilt corpus-with-replacement (tombstoned copies
+    never counted, delta copies counted once)."""
+    base, ddir, ref = chain
+    s_chain = IndexSearch([base, ddir], use_actors=False)
+    s_ref = IndexSearch(ref, use_actors=False)
+    for q in ("return", "return value", "delta_token_0", "buffer -return"):
+        for by in ("repo", "year", "lang"):
+            got = s_chain.facets(q, by=by, k=100).to_pylist()
+            want = s_ref.facets(q, by=by, k=100).to_pylist()
+            assert got == want, (q, by)
+
+
 def test_updated_doc_content_wins(chain):
     base, ddir, _ = chain
     s = IndexSearch([base, ddir], use_actors=False)
