@@ -254,6 +254,21 @@ def run_bench() -> dict:
         nc / timings["query_set_concurrent"], 1
     )
 
+    # 3b''') facet counting (exhaustive candidates + per-partition
+    # (key, count) partials): heavier than top-k by design — the full
+    # match set is counted, never scored or shipped
+    def run_facets():
+        n = 0
+        for _ in range(3):
+            for q in ("license import", "copyright the", "merge_buffer"):
+                for by in ("repo", "year"):
+                    idx.facets(q, by=by)
+                    n += 1
+        return n
+
+    nf = timed("facet_set", run_facets)
+    extras["facet_queries_per_s"] = round(nf / timings["facet_set"], 1)
+
     # 3c) per-query latency percentiles (PerfTestMain.java:44-67,150-199
     # protocol: warmup pass, then a timed run, percentiles over
     # individual query latencies)
