@@ -2693,7 +2693,12 @@ class IndexSearch:
         (``repo``, ``year`` or ``lang``) — the per-domain result counting of
         IndexQueryExecution:159-178 generalized to a full-match-set
         facet.  Exhaustive candidates, no scoring; exact over delta
-        chains (tombstoned docs are already filtered at decode)."""
+        chains (tombstoned docs are already filtered at decode).
+
+        Scale note: partials are pre-aggregated (key, count) pairs, so
+        the driver merge is O(#distinct keys) — the same order as the
+        driver-held domain registry, not the match count.  ``year`` and
+        ``lang`` key spaces are trivially small."""
         return self.search(query, facet=by, facet_k=k, **kw)
 
     def search_many(

@@ -249,6 +249,41 @@ def test_cli_batch_count(cli_dirs, capsys):
     assert rows[0]["n"] == 6 and rows[1]["n"] > 0
 
 
+def test_cli_facet(cli_dirs, capsys):
+    """query --facet prints (key, n) rows ordered n DESC, key ASC; the
+    chain facet equals the sum over the same base+delta candidates."""
+    root, _corpus, _delta = cli_dirs
+    out = _run(
+        ["query", "--index", str(root / "base"), "--index", str(root / "d1"),
+         "--facet", "repo", "clifresh"],
+        capsys,
+    )
+    rows = [json.loads(l) for l in out]
+    assert sum(r["n"] for r in rows) == 6
+    assert rows == sorted(rows, key=lambda r: (-r["n"], r["repo"]))
+
+
+def test_cli_serve_facet(cli_dirs, capsys, monkeypatch):
+    """serve answers a facet request line."""
+    import sys as _sys
+
+    from marginaliasearch_ray.state import manifest as mf
+
+    root, _corpus, _delta = cli_dirs
+    chain = str(root / "SERVE_FACET.json")
+    mf.publish_chain([str(root / "base"), str(root / "d1")], chain)
+
+    class OneLine:
+        def __iter__(self):
+            yield '{"query": "clifresh", "facet": "repo", "facet_k": 2}\n'
+
+    monkeypatch.setattr(_sys, "stdin", OneLine())
+    out = _run(["serve", "--chain", chain], capsys)
+    rows = [json.loads(l) for l in out]
+    assert len(rows[0]["facets"]) <= 2
+    assert all({"repo", "n"} <= set(f) for f in rows[0]["facets"])
+
+
 def test_cli_serve_follows_pointer_flip(cli_dirs, capsys, monkeypatch):
     """serve answers stdin queries and picks up a chain-pointer flip
     BETWEEN queries (the long-running StatefulIndex switch story): the
