@@ -287,7 +287,10 @@ def _search(sf_dir: str, query: str, k: int = 10, **kw):
     t = idx.search(query, k=k, **kw)
     cols = ["doc_id", "score_r"]
     if kw.get("decorate"):
-        cols = ["doc_id", "score_r", "repo", "path", "data_hash"]
+        cols = [
+            "doc_id", "score_r", "repo", "path", "title", "description",
+            "data_hash",
+        ]
     if kw.get("positions_mask"):
         cols.append("positions_mask")
     return t.select(cols)
@@ -1609,12 +1612,21 @@ fdf AS (
                 fl, fdf_t, "(SELECT n FROM n)", "any_value(c.dl)"
             )
             fp_expr += f" + {flags_weight} * 0.5 * ({contrib})"
-    deco_cols = (
-        ", any_value(c.source) AS repo, 'doc_' || c.doc_id AS path,"
-        " any_value(c.data_hash) AS data_hash"
-        if decorate
-        else ""
-    )
+    if decorate:
+        # docdb decoration parity: title = path basename (synth paths have
+        # no directory part), description = first line truncated to 128
+        tok_extra += (
+            ", substr(split_part(text, chr(10), 1), 1, 128) AS descr"
+        )
+        cand_bonus += ", t.descr AS descr"
+        deco_cols = (
+            ", any_value(c.source) AS repo, 'doc_' || c.doc_id AS path,"
+            " 'doc_' || c.doc_id AS title,"
+            " any_value(c.descr) AS description,"
+            " any_value(c.data_hash) AS data_hash"
+        )
+    else:
+        deco_cols = ""
     if priority_org is not None and not multiplicative_priority:
         from marginaliasearch_ray.pipelines.query import PRIORITY_DOMAIN_WEIGHT
 
@@ -1736,7 +1748,9 @@ scored AS (
   FROM contrib ct JOIN cand c ON c.doc_id = ct.doc_id
   GROUP BY c.doc_id
 )"""
-    deco_sel = ", repo, path, data_hash" if decorate else ""
+    deco_sel = (
+        ", repo, path, title, description, data_hash" if decorate else ""
+    )
     if positions_mask:
         deco_sel += ", positions_mask"
     if domain_cap is not None:

@@ -739,12 +739,16 @@ class _Segment:
         # aligned with fwd_ids order
         dm = pq.read_table(
             os.path.join(out_dir, "journal", f"part={part}"),
-            columns=["combined_id", "repo", "path", "title", "data_hash"],
+            columns=[
+                "combined_id", "repo", "path", "title", "description",
+                "data_hash",
+            ],
         )
         dmo = np.argsort(dm["combined_id"].to_numpy(zero_copy_only=False))
         self.dm_repo = dm["repo"].take(pa.array(dmo))
         self.dm_path = dm["path"].take(pa.array(dmo))
         self.dm_title = dm["title"].take(pa.array(dmo))
+        self.dm_description = dm["description"].take(pa.array(dmo))
         self.dm_hash = dm["data_hash"].take(pa.array(dmo))
 
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -1684,6 +1688,7 @@ class SearcherLogic:
             "repo": seg.dm_repo.take(pa.array(fi)).to_pylist(),
             "path": seg.dm_path.take(pa.array(fi)).to_pylist(),
             "title": seg.dm_title.take(pa.array(fi)).to_pylist(),
+            "description": seg.dm_description.take(pa.array(fi)).to_pylist(),
             "data_hash": seg.dm_hash.take(pa.array(fi)).to_pylist(),
         }
         if plan.get("positions_mask"):
@@ -2149,6 +2154,7 @@ def _empty_partition_result() -> dict:
         "repo": [],
         "path": [],
         "title": [],
+        "description": [],
         "data_hash": [],
         "positions_mask": [],
     }
@@ -2640,7 +2646,7 @@ class IndexSearch:
         scores = np.concatenate(
             [np.asarray(r["score_r"], dtype=np.float64) for r in results]
         )
-        deco_cols = ["repo", "path", "title", "data_hash"]
+        deco_cols = ["repo", "path", "title", "description", "data_hash"]
         if positions_mask:
             deco_cols.append("positions_mask")
         deco = {col: sum((r[col] for r in results), []) for col in deco_cols}
@@ -2672,7 +2678,7 @@ class IndexSearch:
 
         out_cols: dict[str, list] = {}
         if decorate:
-            for col in ("repo", "path", "title", "data_hash"):
+            for col in ("repo", "path", "title", "description", "data_hash"):
                 out_cols[col] = [deco[col][j] for j in keep]
         if positions_mask:
             out_cols["positions_mask"] = [
@@ -2761,7 +2767,7 @@ def _result_table(
         "score_r": pa.array(scores, pa.float64()),
     }
     if deco is not None:
-        for col in ("repo", "path", "title", "data_hash"):
+        for col in ("repo", "path", "title", "description", "data_hash"):
             if col in deco:
                 cols[col] = pa.array(deco[col], pa.string())
         if "positions_mask" in deco:
