@@ -1195,6 +1195,7 @@ class SearcherLogic:
             and seg.has_blocks
             and not plan.get("count_only")
             and not plan.get("facet")
+            and not plan.get("facet_with")
         )
 
         def _pl(t: int, against: np.ndarray) -> np.ndarray:
@@ -1290,8 +1291,21 @@ class SearcherLogic:
             # delta chain facets exactly like a rebuilt corpus.
             return self._facet_partial(seg, cand, plan["facet"])
 
+        # combined results+facets: piggyback the facet partial on the
+        # top-k pass (one fan-out, one candidate enumeration — the
+        # reference's count-while-collecting shape).  facet_with forces
+        # pruned off at the driver so cand here is the FULL match set.
+        facet_extra = (
+            self._facet_partial(seg, cand, plan["facet_with"])
+            if plan.get("facet_with")
+            else None
+        )
+
         if len(cand) == 0:
-            return _empty_partition_result()
+            out = _empty_partition_result()
+            if facet_extra is not None:
+                out.update(facet_extra)
+            return out
 
         # BM25 over included terms, global idf (Bm25GraphVisitor formulas).
         # head_tf_weight > 0 switches to tag-weighted counts (UnorderedMatches
@@ -1668,7 +1682,10 @@ class SearcherLogic:
             if normalize:
                 score = normalize_score(score, np.maximum(0.0, -bonus))
 
-        return self._package(seg, cand, score, plan)
+        out = self._package(seg, cand, score, plan)
+        if facet_extra is not None:
+            out.update(facet_extra)
+        return out
 
     @staticmethod
     def _package(seg: "_Segment", cand: np.ndarray, score: np.ndarray,
@@ -2417,6 +2434,7 @@ class IndexSearch:
         count_only: bool = False,
         facet: str | None = None,
         facet_k: int = 20,
+        facet_with: str | None = None,
     ) -> pa.Table:
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -2438,6 +2456,11 @@ class IndexSearch:
             if ent is None:
                 if facet is not None:
                     return _facet_table(facet, [])
+                if facet_with is not None:
+                    return (
+                        _result_table([], [], None),
+                        _facet_table(facet_with, []),
+                    )
                 return (
                     pa.table({"n": pa.array([0], pa.int64())})
                     if count_only
@@ -2478,6 +2501,9 @@ class IndexSearch:
             # block-max pruned execution (exact; requires a v10+ index
             # with blk_* side columns — silently exhaustive otherwise)
             "pruned": pruned,
+            # combined results+facets in one fan-out; forces exhaustive
+            # candidates partition-side (pruned disabled there)
+            "facet_with": facet_with,
             # partitions return enough headroom for pagination
             # (IndexClient.executeQueries sort + sublist, :162-173)
             "k": k + offset,
@@ -2512,6 +2538,11 @@ class IndexSearch:
                 if not ranges:
                     if facet is not None:
                         return _facet_table(facet, [])
+                    if facet_with is not None:
+                        return (
+                            _result_table([], [], None),
+                            _facet_table(facet_with, []),
+                        )
                     return (
                     pa.table({"n": pa.array([0], pa.int64())})
                     if count_only
@@ -2621,24 +2652,7 @@ class IndexSearch:
             # is n DESC then key ASC, truncated to facet_k.
             plan["facet"] = facet
             partials = self._call("search", plan, global_df, self.total_docs)
-            agg: dict = {}
-            for r in partials:
-                for key, c in zip(
-                    r.get("facet_keys", ()), r.get("facet_counts", ())
-                ):
-                    agg[key] = agg.get(key, 0) + int(c)
-            if facet == "repo":
-                inv = {
-                    int(d): rname
-                    for rname, (d, _rk, _p) in self._registry.items()
-                }
-                named = [
-                    (inv.get(int(d), str(d)), n) for d, n in agg.items()
-                ]
-            else:
-                named = list(agg.items())
-            named.sort(key=lambda kv: (-kv[1], kv[0]))
-            return _facet_table(facet, named[:facet_k])
+            return self._merge_facet_partials(partials, facet, facet_k)
         results = self._call("search", plan, global_df, self.total_docs)
         ids = np.concatenate(
             [np.asarray(r["combined_id"], dtype=np.int64) for r in results]
@@ -2684,15 +2698,59 @@ class IndexSearch:
             out_cols["positions_mask"] = [
                 int(deco["positions_mask"][j]) for j in keep
             ]
-        return _result_table(
+        res = _result_table(
             [int(ids[j]) for j in keep],
             [float(scores[j]) for j in keep],
             out_cols or None,
         )
+        if facet_with is not None:
+            return res, self._merge_facet_partials(
+                results, facet_with, facet_k
+            )
+        return res
 
     def count(self, query: str, **kw) -> int:
         """Total matching documents (no scoring, exhaustive candidates)."""
         return int(self.search(query, count_only=True, **kw)["n"][0].as_py())
+
+    def _merge_facet_partials(
+        self, partials: list[dict], facet: str, facet_k: int
+    ) -> pa.Table:
+        """Sum per-partition (key, count) facet partials, resolve repo
+        names via the registry, order n DESC then key ASC, cut to k."""
+        agg: dict = {}
+        for r in partials:
+            for key, c in zip(
+                r.get("facet_keys", ()), r.get("facet_counts", ())
+            ):
+                agg[key] = agg.get(key, 0) + int(c)
+        if facet == "repo":
+            inv = {
+                int(d): rname
+                for rname, (d, _rk, _p) in self._registry.items()
+            }
+            named = [(inv.get(int(d), str(d)), n) for d, n in agg.items()]
+        else:
+            named = list(agg.items())
+        named.sort(key=lambda kv: (-kv[1], kv[0]))
+        return _facet_table(facet, named[:facet_k])
+
+    def search_with_facets(
+        self,
+        query: str,
+        by: str = "repo",
+        k: int = 10,
+        facet_k: int = 20,
+        **kw,
+    ) -> tuple[pa.Table, pa.Table]:
+        """Top-k results AND full-match-set facet counts from ONE fan-out
+        (the reference's count-while-collecting shape generalized): each
+        partition piggybacks its (key, count) facet partial on the top-k
+        pass, so the candidate enumeration happens once instead of twice.
+        Identical to calling search() + facets() separately (pytest);
+        block-max pruning is disabled for the call since facets need the
+        exhaustive candidate set."""
+        return self.search(query, k=k, facet_with=by, facet_k=facet_k, **kw)
 
     def facets(self, query: str, by: str = "repo", k: int = 20, **kw) -> pa.Table:
         """Counts of ALL matching documents grouped by a per-doc key

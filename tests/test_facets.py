@@ -119,6 +119,17 @@ def test_facet_no_hits_and_unknown_repo(facet_index):
     assert t2.num_rows == 0
 
 
+def test_search_with_facets_matches_separate_calls(facet_index):
+    # one fan-out == search() + facets() run separately
+    for q, by in (("w2", "repo"), ("w3 -w4", "year"), ("w2 w3", "lang")):
+        res, fac = facet_index.search_with_facets(q, by=by, k=10)
+        assert res.to_pylist() == facet_index.search(q, k=10).to_pylist()
+        assert fac.to_pylist() == facet_index.facets(q, by=by).to_pylist()
+    # no-hit query still returns the tuple shape
+    res, fac = facet_index.search_with_facets("nosuchword", by="repo")
+    assert res.num_rows == 0 and fac.num_rows == 0
+
+
 def test_facet_matches_count(facet_index):
     # sum of facet counts == the count_only total for the same query
     t = facet_index.facets("w2", by="repo", k=1000)
