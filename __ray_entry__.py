@@ -871,6 +871,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         documents_corpus_dataset(sf), k=100
     )
     q["exact_dedup"] = lambda sf: textops.exact_dedup(documents_corpus_dataset(sf))
+    # stratified deterministic sampling (balanced data mixing): smallest
+    # (sha256, ordinal) per key, two-level combiner top-n
+    q["sample_per_lang"] = lambda sf: textops.sample_per_key(
+        documents_corpus_dataset(sf), key="lang", n=50
+    )
+    q["sample_per_repo"] = lambda sf: textops.sample_per_key(
+        documents_corpus_dataset(sf), key="repo", n=5
+    )
     q["important_words"] = lambda sf: textops.important_words(
         documents_corpus_dataset(sf), k=6
     )
@@ -2223,6 +2231,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS data_hash, min(doc_id) AS doc_id "
             "FROM documents GROUP BY sha256(text)"
         ),
+        "sample_per_lang": """
+            SELECT lang, doc_id::BIGINT AS doc_id FROM (
+              SELECT lang, doc_id, row_number() OVER (
+                PARTITION BY lang ORDER BY sha256(text), doc_id) AS rn
+              FROM documents) WHERE rn <= 50
+        """,
+        "sample_per_repo": """
+            SELECT source AS repo, doc_id::BIGINT AS doc_id FROM (
+              SELECT source, doc_id, row_number() OVER (
+                PARTITION BY source ORDER BY sha256(text), doc_id) AS rn
+              FROM documents) WHERE rn <= 5
+        """,
         "doc_length_histogram": f"""
             SELECT (len({_tok()}) // 10) * 10 AS bucket, count(*) AS n_docs
             FROM documents GROUP BY 1

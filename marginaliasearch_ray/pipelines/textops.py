@@ -246,6 +246,72 @@ def exact_dedup(corpus_ds):
     )
 
 
+def _topn_per_key(keys: np.ndarray, hs: np.ndarray, ords: np.ndarray,
+                  n: int) -> np.ndarray:
+    """Indices of the n smallest (hash, ordinal) rows per key —
+    vectorized group-rank over one lexsort."""
+    if len(keys) == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((ords, hs, keys))
+    ks = keys[order]
+    new_grp = np.r_[True, ks[1:] != ks[:-1]]
+    grp_id = np.cumsum(new_grp) - 1
+    starts = np.flatnonzero(new_grp)
+    rank = np.arange(len(ks)) - starts[grp_id]
+    return order[rank < n]
+
+
+def sample_per_key(corpus_ds, key: str = "lang", n: int = 50):
+    """Stratified deterministic sample — balanced data mixing for
+    training pipelines: the n docs with the smallest (sha256(content),
+    ordinal) per key.  Two-level top-n: each batch keeps at most n rows
+    per key it contains (combiner), then a per-key group merge re-ranks
+    the partials — raw documents never shuffle and no group ever holds
+    more than n rows per upstream batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = np.asarray(batch[key].to_pylist(), dtype=str)
+        hs = np.asarray(
+            [
+                hashlib.sha256(t.encode("utf-8")).hexdigest()
+                for t in batch["content"].to_pylist()
+            ],
+            dtype=str,
+        )
+        ords = batch["ordinal"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sel = _topn_per_key(ks, hs, ords, n)
+        return pa.table(
+            {
+                key: pa.array(ks[sel].tolist(), pa.string()),
+                "h": pa.array(hs[sel].tolist(), pa.string()),
+                "doc_id": pa.array(ords[sel], pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        ks = np.asarray(group[key].to_pylist(), dtype=str)
+        hs = np.asarray(group["h"].to_pylist(), dtype=str)
+        ords = group["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sel = _topn_per_key(ks, hs, ords, n)
+        return pa.table(
+            {
+                key: pa.array(ks[sel].tolist(), pa.string()),
+                "doc_id": pa.array(ords[sel], pa.int64()),
+            }
+        )
+
+    return (
+        corpus_ds.select_columns([key, "content", "ordinal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # language id + quality scoring (SQL-expressible heuristics)
 

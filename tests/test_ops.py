@@ -433,3 +433,46 @@ def test_session_windows_bucket_boundary_merge(ray_session, tmp_path):
         (2, 250, 450, 4),
         (2, 900, 900, 1),
     ]
+
+
+def test_sample_per_key_two_level_topn(ray_session):
+    """Stratified sample == brute-force smallest (sha256, ordinal) per
+    key, across batch boundaries, with a key smaller than n and hash
+    ties (duplicate contents) broken by ordinal."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.textops import sample_per_key
+
+    rows = []
+    for i in range(200):
+        # 'big' has 180 rows (> n), 'tiny' only 20 (< n); every 10th
+        # content is a duplicate to force hash ties
+        key = "big" if i % 10 else "tiny"
+        content = f"doc body {i if i % 7 else 'dup'}"
+        rows.append((key, content, i))
+    t = pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "content": pa.array([r[1] for r in rows], pa.string()),
+            "ordinal": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)  # force multi-batch
+    got = sorted(
+        (r["lang"], r["doc_id"])
+        for r in sample_per_key(ds, key="lang", n=15).take_all()
+    )
+
+    def brute(key):
+        members = [
+            (hashlib.sha256(c.encode()).hexdigest(), i)
+            for k, c, i in rows
+            if k == key
+        ]
+        return [(key, i) for _, i in sorted(members)[:15]]
+
+    want = sorted(brute("big") + brute("tiny"))
+    assert got == want
