@@ -402,40 +402,34 @@ def main(argv: list[str] | None = None) -> int:
                         ),
                         flush=True,
                     )
-                if req.get("count"):
-                    print(
-                        json.dumps(
-                            {"query": req["query"],
-                             "n": s.count(req["query"])}
-                        ),
-                        flush=True,
-                    )
-                    continue
-                if req.get("facet"):
-                    t = s.facets(
-                        req["query"],
-                        by=req["facet"],
-                        k=int(req.get("facet_k", 20)),
-                    )
-                    print(
-                        json.dumps(
-                            {"query": req["query"],
-                             "facets": t.to_pylist()}
-                        ),
-                        flush=True,
-                    )
-                    continue
-                t = s.search(
-                    req["query"],
-                    k=int(req.get("k", args.k)),
-                    decorate=bool(req.get("decorate", args.decorate)),
-                )
-                print(
-                    json.dumps(
-                        {"query": req["query"], "results": t.to_pylist()}
-                    ),
-                    flush=True,
-                )
+                try:
+                    if req.get("count"):
+                        out = {"query": req["query"],
+                               "n": s.count(req["query"])}
+                    elif req.get("facet"):
+                        t = s.facets(
+                            req["query"],
+                            by=req["facet"],
+                            k=int(req.get("facet_k", 20)),
+                        )
+                        out = {"query": req["query"],
+                               "facets": t.to_pylist()}
+                    else:
+                        t = s.search(
+                            req["query"],
+                            k=int(req.get("k", args.k)),
+                            decorate=bool(
+                                req.get("decorate", args.decorate)
+                            ),
+                        )
+                        out = {"query": req["query"],
+                               "results": t.to_pylist()}
+                except (ValueError, KeyError) as ex:
+                    # a malformed request must not kill the long-running
+                    # serve loop — reply with an error line instead
+                    out = {"query": req.get("query"),
+                           "error": f"{type(ex).__name__}: {ex}"}
+                print(json.dumps(out), flush=True)
             s.shutdown()
 
         elif args.cmd == "vecstore":
@@ -494,6 +488,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
             if bool(args.batch) == bool(args.query):
                 p.error("query needs exactly one of --batch/positional query")
+            if args.facet and (args.count or args.batch):
+                p.error("--facet cannot be combined with --count or --batch")
             if args.batch:
                 with open(args.batch) as f:
                     batch = [ln.strip() for ln in f if ln.strip()]

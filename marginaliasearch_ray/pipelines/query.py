@@ -937,6 +937,17 @@ class _Segment:
         i = np.searchsorted(self.fwd_ids, ids)
         return self.fwd_size[i]
 
+    def doc_years(self, ids: np.ndarray) -> np.ndarray:
+        """Publication year per doc from the packed doc meta — the ONE
+        decode shared by the meta-limit filter and the year facet."""
+        from ..functions.metadata import (
+            PUBDATE_ENCODING_OFFSET,
+            decode_year_byte,
+        )
+
+        i = np.searchsorted(self.fwd_ids, ids)
+        return PUBDATE_ENCODING_OFFSET + decode_year_byte(self.fwd_meta[i])
+
     def lang_ids(self, lang: str) -> np.ndarray:
         """Sorted combined ids of one language — a PRUNED read: only this
         part's ``lang_index/part=p/lang=<lang>`` dir is listed (per-language
@@ -1761,17 +1772,12 @@ class SearcherLogic:
             # year> / rank< / q< limits on the packed document meta
             # (ParamMatchingQueryFilter.validateParameters' year/rank/
             # quality branches)
-            from ..functions.metadata import (
-                PUBDATE_ENCODING_OFFSET,
-                decode_quality,
-                decode_rank,
-                decode_year_byte,
-            )
+            from ..functions.metadata import decode_quality, decode_rank
 
             fi = np.searchsorted(seg.fwd_ids, cand)
             metas = seg.fwd_meta[fi]
             fields = {
-                "year": PUBDATE_ENCODING_OFFSET + decode_year_byte(metas),
+                "year": seg.doc_years(cand),
                 "rank": decode_rank(metas),
                 "quality": decode_quality(metas),
             }
@@ -1796,15 +1802,7 @@ class SearcherLogic:
         if by == "repo":
             keys = idcodec.get_domain_id(cand)
         elif by == "year":
-            from ..functions.metadata import (
-                PUBDATE_ENCODING_OFFSET,
-                decode_year_byte,
-            )
-
-            fi = np.searchsorted(seg.fwd_ids, cand)
-            keys = PUBDATE_ENCODING_OFFSET + decode_year_byte(
-                seg.fwd_meta[fi]
-            )
+            keys = seg.doc_years(cand)
         elif by == "lang":
             # lang keys live in the per-part lang index, not the combined
             # id: one sorted-membership count per language present
@@ -2271,6 +2269,7 @@ class IndexSearch:
                 "searchers",
                 "_df_cache",
                 "_prio_df_cache",
+                "_repo_by_dom",
             ):
                 setattr(self, attr, getattr(fresh, attr))
             if self.use_actors:
@@ -2345,6 +2344,11 @@ class IndexSearch:
         # search_many threads.
         self._df_cache: dict[int, int] = {}
         self._prio_df_cache: dict[int, int] = {}
+        # domain id -> repo name, inverted once per open chain (the
+        # registry is immutable like the df caches) for repo-facet merges
+        self._repo_by_dom = {
+            int(d): rname for rname, (d, _rk, _p) in self._registry.items()
+        }
         if use_actors:
             self._actor_cls = _make_searcher_actor()
             self.searchers = [
@@ -2435,12 +2439,23 @@ class IndexSearch:
         facet: str | None = None,
         facet_k: int = 20,
         facet_with: str | None = None,
-    ) -> pa.Table:
+    ) -> "pa.Table | tuple[pa.Table, pa.Table]":
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
         :159-178); ``dedup_by_hash`` drops later results with a seen
         sha256 (ResultConverter dataHash dedup, :512-524); ``decorate``
-        adds repo/path/title/data_hash columns (docdb decoration join)."""
+        adds repo/path/title/description/data_hash columns (docdb
+        decoration join).  Returns a (results, facets) tuple when
+        ``facet_with`` is set."""
+        # validate facet keys on the DRIVER, before any fan-out or
+        # candidate enumeration — a typo'd key from a serve-loop request
+        # must not crash partition actors mid-query
+        for val in (facet, facet_with):
+            if val is not None and val not in _FACET_KEYS:
+                raise ValueError(
+                    f"unknown facet key {val!r}; expected one of "
+                    f"{_FACET_KEYS}"
+                )
         cq = compile_query(
             query,
             expand=expand,
@@ -2454,18 +2469,7 @@ class IndexSearch:
         if cq.repo is not None:
             ent = self._registry.get(cq.repo)
             if ent is None:
-                if facet is not None:
-                    return _facet_table(facet, [])
-                if facet_with is not None:
-                    return (
-                        _result_table([], [], None),
-                        _facet_table(facet_with, []),
-                    )
-                return (
-                    pa.table({"n": pa.array([0], pa.int64())})
-                    if count_only
-                    else _result_table([], [], None)
-                )
+                return _empty_search_result(count_only, facet, facet_with)
             dom, rank, _part = ent
             domain_range = idcodec.domain_id_range(int(rank), int(dom))
 
@@ -2536,18 +2540,9 @@ class IndexSearch:
                             idcodec.domain_id_range(int(rank), int(dom))
                         )
                 if not ranges:
-                    if facet is not None:
-                        return _facet_table(facet, [])
-                    if facet_with is not None:
-                        return (
-                            _result_table([], [], None),
-                            _facet_table(facet_with, []),
-                        )
-                    return (
-                    pa.table({"n": pa.array([0], pa.int64())})
-                    if count_only
-                    else _result_table([], [], None)
-                )
+                    return _empty_search_result(
+                        count_only, facet, facet_with
+                    )
                 plan["domain_ranges"] = ranges
 
         if cq.priority_orgs:
@@ -2725,15 +2720,12 @@ class IndexSearch:
             ):
                 agg[key] = agg.get(key, 0) + int(c)
         if facet == "repo":
-            inv = {
-                int(d): rname
-                for rname, (d, _rk, _p) in self._registry.items()
-            }
+            inv = self._repo_by_dom
             named = [(inv.get(int(d), str(d)), n) for d, n in agg.items()]
         else:
             named = list(agg.items())
         named.sort(key=lambda kv: (-kv[1], kv[0]))
-        return _facet_table(facet, named[:facet_k])
+        return _facet_table(facet, named[: max(0, facet_k)])
 
     def search_with_facets(
         self,
@@ -2800,6 +2792,23 @@ class IndexSearch:
             for s in self.searchers:
                 ray.kill(s)
         self.searchers = []
+
+
+_FACET_KEYS = ("repo", "year", "lang")
+
+
+def _empty_search_result(
+    count_only: bool, facet: str | None, facet_with: str | None
+):
+    """The zero-match result in whatever shape the call asked for —
+    shared by every early-return site in IndexSearch.search."""
+    if facet is not None:
+        return _facet_table(facet, [])
+    if facet_with is not None:
+        return _result_table([], [], None), _facet_table(facet_with, [])
+    if count_only:
+        return pa.table({"n": pa.array([0], pa.int64())})
+    return _result_table([], [], None)
 
 
 def _facet_table(by: str, rows: list[tuple]) -> pa.Table:

@@ -273,15 +273,22 @@ def test_cli_serve_facet(cli_dirs, capsys, monkeypatch):
     chain = str(root / "SERVE_FACET.json")
     mf.publish_chain([str(root / "base"), str(root / "d1")], chain)
 
-    class OneLine:
+    class Lines:
         def __iter__(self):
             yield '{"query": "clifresh", "facet": "repo", "facet_k": 2}\n'
+            # malformed requests must get error replies, not kill serve
+            yield '{"query": "clifresh", "facet": "repos"}\n'
+            yield '{"facet": "repo"}\n'
+            yield '{"query": "clifresh", "count": true}\n'
 
-    monkeypatch.setattr(_sys, "stdin", OneLine())
+    monkeypatch.setattr(_sys, "stdin", Lines())
     out = _run(["serve", "--chain", chain], capsys)
     rows = [json.loads(l) for l in out]
     assert len(rows[0]["facets"]) <= 2
     assert all({"repo", "n"} <= set(f) for f in rows[0]["facets"])
+    assert "unknown facet key" in rows[1]["error"]
+    assert "error" in rows[2]
+    assert rows[3]["n"] == 6  # loop survived the bad requests
 
 
 def test_cli_serve_follows_pointer_flip(cli_dirs, capsys, monkeypatch):

@@ -130,6 +130,16 @@ def test_search_with_facets_matches_separate_calls(facet_index):
     assert res.num_rows == 0 and fac.num_rows == 0
 
 
+def test_facet_invalid_key_and_negative_k(facet_index):
+    # typo'd key raises on the DRIVER, before any fan-out
+    with pytest.raises(ValueError, match="unknown facet key"):
+        facet_index.facets("w2", by="repos")
+    with pytest.raises(ValueError, match="unknown facet key"):
+        facet_index.search_with_facets("w2", by="yearz")
+    # negative k clamps to empty instead of negative-slice surprises
+    assert facet_index.facets("w2", by="repo", k=-1).num_rows == 0
+
+
 def test_facet_matches_count(facet_index):
     # sum of facet counts == the count_only total for the same query
     t = facet_index.facets("w2", by="repo", k=1000)
