@@ -1205,9 +1205,13 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_delete_purge",
     # tiered maintenance: fold + rebase is a scoring no-op
     "bm25_delta_maintained",
-    # NEW: full-match-set facet counting (repo / year keys)
+    # NEW: full-match-set facet counting (repo / year / lang keys)
     "facet_repo",
     "facet_year",
+    "facet_lang",
+    # NEW: stratified deterministic sampling (balanced data mixing)
+    "sample_per_lang",
+    "sample_per_repo",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -1226,7 +1230,6 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_lang",
     "bm25_meta_year",
     "bm25_meta_rank",
-    "bm25_meta_quality",
     "bm25_ngram_all",
     "bm25_advice",
     "bm25_page2",
@@ -1234,8 +1237,6 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_verbatim_tags_opt",
     "bm25_prox_all",
     "bm25_doc_bonus",
-    "bm25_proximity",
-    "bm25_verbatim",
     "bm25_first_position",
     "bm25_head_weighted",
     "bm25_nested",
@@ -1248,6 +1249,10 @@ _DRIVER_WINDOW_FIRST = [
     # defer to in-window siblings that share their machinery.  lang_id +
     # ann_cosine_top10 yield their slots to the new facet entries (both
     # r01/r02-green, unchanged, re-verified locally by driver_check).
+    # bm25_proximity / bm25_verbatim / bm25_meta_quality yield to the
+    # never-certified facet_lang + sample_per_* — each keeps an in-window
+    # sibling on the same machinery (bm25_prox_all, bm25_verbatim_tags*,
+    # bm25_meta_year/rank).
 ]
 
 
