@@ -293,6 +293,14 @@ def _search(sf_dir: str, query: str, k: int = 10, **kw):
         ]
     if kw.get("positions_mask"):
         cols.append("positions_mask")
+    if kw.get("explain"):
+        from marginaliasearch_ray.pipelines.query import (
+            FX_PARAM_COLS,
+            FX_SCORE_COLS,
+        )
+
+        cols.extend(FX_SCORE_COLS)
+        cols.extend(FX_PARAM_COLS)
     return t.select(cols)
 
 
@@ -725,6 +733,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # document-bonus family + final normalize() transform
     q["bm25_doc_bonus"] = lambda sf: _search(
         sf, "customer merge", document_bonus_weight=1.0
+    )
+    # ranking-factor breakdown (DebugRankingFactors analog): every enabled
+    # component as its own fx_* column + decoded documentParam fields;
+    # score_r must equal the sum of the fx score factors
+    q["bm25_explain"] = lambda sf: _search(
+        sf, "customer merge ?account", explain=True,
+        first_position_weight=1.0, proximity_weight=1.0,
+        verbatim_weight=1.0, flags_weight=1.0, document_bonus_weight=1.0,
     )
     q["bm25_doc_bonus_recent"] = lambda sf: _search(
         sf, "customer merge", document_bonus_weight=1.0, temporal_bias="recent"
@@ -1212,12 +1228,14 @@ _DRIVER_WINDOW_FIRST = [
     # NEW: stratified deterministic sampling (balanced data mixing)
     "sample_per_lang",
     "sample_per_repo",
+    # NEW: ranking-factor breakdown (DebugRankingFactors analog); its
+    # 2-term conjunctive seed also covers bm25_single/bm25_conj machinery
+    "bm25_explain",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
     # bm25_heading_off, bm25_doc_bonus_recent, media_features,
     # events_sliding_1h_15m, bm25_or_top, simhash64 (rows-only).
-    "bm25_single",
     "bm25_conj",
     "bm25_exclude",
     "bm25_phrase",
@@ -1350,15 +1368,30 @@ def _bm25_sql(
     verbatim_tag_weight: float = 0.0,
     multiplicative_priority: bool = False,
     positions_mask: bool = False,
+    explain: bool = False,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
     groups = groups or []
     meta_limits = meta_limits or []
+    # explain (DebugRankingFactors analog): emit per-factor fx_* columns
+    # mirroring SearcherLogic's checkpoint deltas.  Score fragments are
+    # collected per factor as they are appended to the total; the packed
+    # documentParam fields replicate the engine's decode_* outputs.
+    assert not (explain and (normalize or multiplicative_priority)), (
+        "explain oracle covers the additive composition only"
+    )
+    fx_frag = {
+        "fx_first_position": "",
+        "fx_verbatim": "",
+        "fx_proximity": "",
+        "fx_flags": "",
+        "fx_priority": "",
+    }
     # document-bonus family (calculateDocumentBonus defaults) — extra
     # per-doc columns in tok + a scalar bonus column in cand, mirroring
     # marginaliasearch_ray.functions.metadata.document_bonus exactly
-    need_bonus = document_bonus_weight > 0 or normalize
+    need_bonus = document_bonus_weight > 0 or normalize or explain
     tok_extra = ""
     cand_bonus = ""
     if lang is not None:
@@ -1407,6 +1440,9 @@ def _bm25_sql(
             " + 0.2 * ln(1 + t.topo)"
             f"{temporal} AS bonus"
         )
+        if explain:
+            # raw packed-meta fields for the documentParam.* fx columns
+            cand_bonus += ", t.rnk AS rnk, t.topo AS topo, t.yrb AS yrb, t.nl AS nl"
     # grp <= 0 contributions are SUMMED; grp >= 1 take the MAX over their
     # members (CompiledQueryAggregates intMaxSum shape)
     rows = [f"('{t}', 1.0, 0)" for t in terms]
@@ -1458,6 +1494,7 @@ def _bm25_sql(
         )
         great = f"greatest({fps})" if len(terms) > 1 else fps
         fp_expr = f" + {first_position_weight} / sqrt({great})"
+        fx_frag["fx_first_position"] += fp_expr
     if proximity_weight > 0 and len(terms) == 2:
         t1, t2 = terms
 
@@ -1467,11 +1504,13 @@ def _bm25_sql(
                 f" if any_value(c.toks)[i] = '{t}']"
             )
 
-        fp_expr += (
+        frag = (
             f" + {proximity_weight} * 2.0 / (0.1 + sqrt(list_min(flatten("
             f"[[abs(a - b)::DOUBLE for b in {plist(t2)}] for a in {plist(t1)}]"
             f"))))"
         )
+        fp_expr += frag
+        fx_frag["fx_proximity"] += frag
     if verbatim_weight > 0 and len(terms) >= 2:
         from marginaliasearch_ray.stages.tokenize import HEAD_SPAN_TOKENS
 
@@ -1482,11 +1521,13 @@ def _bm25_sql(
             f"[i for i in generate_series(1,"
             f" len(any_value(c.toks)) - {len(terms) - 1}) if {conds}]"
         )
-        fp_expr += (
+        frag = (
             f" + CASE WHEN len({starts}) = 0 THEN 0.0"
             f" WHEN list_min({starts}) <= {HEAD_SPAN_TOKENS}"
             f" THEN {verbatim_weight * 1.5} ELSE {verbatim_weight} END"
         )
+        fp_expr += frag
+        fx_frag["fx_verbatim"] += frag
     def _tok_positions(t: str, offset: int) -> str:
         return (
             f"[i - {offset} for i in generate_series(1, len(any_value(c.toks)))"
@@ -1507,11 +1548,13 @@ def _bm25_sql(
         for _ in range(kL - 1):
             expr = f"flatten({expr})"
         md = f"list_min({expr})"
-        fp_expr += (
+        frag = (
             f" + CASE WHEN {md} > 0 AND {md} < {kL + 8}"
             f" THEN {proximity_all_weight} * 2.0 / (0.1 + sqrt({md}))"
             f" ELSE 0.0 END"
         )
+        fp_expr += frag
+        fx_frag["fx_proximity"] += frag
         # all-terms-in-title(=head) bonus: each keyword once in the head
         # span and no full verbatim match there
         he = "least(16, len(any_value(c.toks)))"
@@ -1527,12 +1570,14 @@ def _bm25_sql(
             f" len(any_value(c.toks)) - {kL - 1})"
             f" if ({vb_conds}) AND i + {kL - 1} <= {he}])"
         )
-        fp_expr += (
+        frag = (
             f" + CASE WHEN ({obs}) = {kL} AND {vb_cnt} = 0"
             f" THEN {proximity_all_weight} * ({obs})"
             f" * (2.5 + 2.0 / greatest(1, {he}))"
             f" ELSE 0.0 END"
         )
+        fp_expr += frag
+        fx_frag["fx_proximity"] += frag
 
     def _starts_sql(seq: list[str]) -> str:
         conds = " AND ".join(
@@ -1574,7 +1619,9 @@ def _bm25_sql(
 
             scale = math.sqrt(len(phrase) / len(terms))
             vt += " + " + _vt_group(list(phrase), 2.25, 0.5, scale, False)
-        fp_expr += f" + {verbatim_tag_weight} * ({vt})"
+        frag = f" + {verbatim_tag_weight} * ({vt})"
+        fp_expr += frag
+        fx_frag["fx_verbatim"] += frag
 
     head_tf = ""
     if head_tf_weight > 0:
@@ -1624,7 +1671,9 @@ fdf AS (
             contrib = sql_bm25_term_expr(
                 fl, fdf_t, "(SELECT n FROM n)", "any_value(c.dl)"
             )
-            fp_expr += f" + {flags_weight} * 0.5 * ({contrib})"
+            frag = f" + {flags_weight} * 0.5 * ({contrib})"
+            fp_expr += frag
+            fx_frag["fx_flags"] += frag
     if decorate:
         # docdb decoration parity: title = path basename (synth paths have
         # no directory part), description = first line truncated to 128
@@ -1643,10 +1692,12 @@ fdf AS (
     if priority_org is not None and not multiplicative_priority:
         from marginaliasearch_ray.pipelines.query import PRIORITY_DOMAIN_WEIGHT
 
-        fp_expr += (
+        frag = (
             f" + CASE WHEN starts_with(any_value(c.source), '{priority_org}')"
             f" THEN {PRIORITY_DOMAIN_WEIGHT} ELSE 0.0 END"
         )
+        fp_expr += frag
+        fx_frag["fx_priority"] += frag
     # multiplicative composition: Σscores * exp(priorityTermAdjustment/5)
     # with 1.0 per present ?term + 1.0 per priority-domain match
     # (IndexResultRankingService.java:145-156; rankingAdjustment = 1.0)
@@ -1754,10 +1805,43 @@ contrib AS (
             f" mv -> (1::BIGINT << (CAST(floor(sqrt(mv)) AS INT) & 63))))), 0)"
             f" AS BIGINT) AS positions_mask"
         )
+    fx_cols = ""
+    if explain:
+        # factor columns mirror SearcherLogic's checkpoint deltas exactly:
+        # fx_bm25 = grp>=0 contrib (main terms + OR groups), fx_priority =
+        # grp<0 contrib (?terms) + the ?org: additive boost, fragments for
+        # the rest; documentParam fields replicate metadata.decode_*
+        q_c = (
+            "CASE WHEN len(any_value(c.toks)) = 0 THEN 0 ELSE least(15,"
+            " (16 * (len(any_value(c.toks)) -"
+            " len(list_distinct(any_value(c.toks)))))"
+            " // len(any_value(c.toks))) END"
+        )
+        fx_cols = (
+            f",\n         round(coalesce(sum(ct.contrib)"
+            f" FILTER (WHERE ct.grp >= 0), 0), 6) AS fx_bm25"
+            f",\n         round(0.0{fx_frag['fx_first_position']}, 6)"
+            f" AS fx_first_position"
+            f",\n         round(0.0{fx_frag['fx_verbatim']}, 6) AS fx_verbatim"
+            f",\n         round(0.0{fx_frag['fx_proximity']}, 6) AS fx_proximity"
+            f",\n         round(0.0{fx_frag['fx_flags']}, 6) AS fx_flags"
+            f",\n         round(coalesce(sum(ct.contrib)"
+            f" FILTER (WHERE ct.grp < 0), 0){fx_frag['fx_priority']}, 6)"
+            f" AS fx_priority"
+            f",\n         round(0.0{bonus_add}, 6) AS fx_doc_bonus"
+            f",\n         CAST(4 * any_value(c.rnk) AS BIGINT) AS fx_rank"
+            f",\n         CAST(least(3, any_value(c.dl) // any_value(c.nl))"
+            f" AS BIGINT) AS fx_asl"
+            f",\n         CAST({q_c} AS BIGINT) AS fx_quality"
+            f",\n         CAST(5 * least(255, greatest(1, any_value(c.dl) // 5))"
+            f" AS BIGINT) AS fx_size"
+            f",\n         CAST(any_value(c.topo) AS BIGINT) AS fx_topology"
+            f",\n         CAST(1996 + any_value(c.yrb) AS BIGINT) AS fx_year"
+        )
     scored = f"""{scored}
 scored AS (
   SELECT c.doc_id, any_value(c.source) AS src,
-         {score_sel}{deco_cols}{mask_col}
+         {score_sel}{deco_cols}{mask_col}{fx_cols}
   FROM contrib ct JOIN cand c ON c.doc_id = ct.doc_id
   GROUP BY c.doc_id
 )"""
@@ -1766,6 +1850,12 @@ scored AS (
     )
     if positions_mask:
         deco_sel += ", positions_mask"
+    if explain:
+        deco_sel += (
+            ", fx_bm25, fx_first_position, fx_verbatim, fx_proximity,"
+            " fx_flags, fx_priority, fx_doc_bonus, fx_rank, fx_asl,"
+            " fx_quality, fx_size, fx_topology, fx_year"
+        )
     if domain_cap is not None:
         return f"""{scored}
 SELECT doc_id, score_r{deco_sel} FROM (
@@ -2043,6 +2133,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or_top": _bm25_nested_sql("scan filter | customer merge"),
         "bm25_doc_bonus": _bm25_sql(
             ["customer", "merge"], document_bonus_weight=1.0
+        ),
+        "bm25_explain": _bm25_sql(
+            ["customer", "merge"], priority=["account"], explain=True,
+            first_position_weight=1.0, proximity_weight=1.0,
+            verbatim_weight=1.0, flags_weight=1.0, document_bonus_weight=1.0,
         ),
         "bm25_doc_bonus_recent": _bm25_sql(
             ["customer", "merge"], document_bonus_weight=1.0,

@@ -172,6 +172,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="print full-match-set counts grouped by this key "
                         "instead of top-k")
     q.add_argument("--facet-k", type=int, default=20)
+    q.add_argument("--explain", action="store_true",
+                   help="add per-result ranking-factor columns (fx_*) — "
+                        "the DebugRankingFactors breakdown")
     q.add_argument("--batch", default=None, metavar="FILE",
                    help="serve newline-delimited queries from FILE "
                         "concurrently (8 in flight) instead of one "
@@ -421,6 +424,7 @@ def main(argv: list[str] | None = None) -> int:
                             decorate=bool(
                                 req.get("decorate", args.decorate)
                             ),
+                            explain=bool(req.get("explain", False)),
                         )
                         out = {"query": req["query"],
                                "results": t.to_pylist()}
@@ -514,7 +518,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 t = s.search(
                     args.query, k=args.k, decorate=args.decorate,
-                    pruned=args.pruned,
+                    pruned=args.pruned, explain=args.explain,
                 )
                 for row in t.to_pylist():
                     print(json.dumps(row))

@@ -241,6 +241,30 @@ VERBATIM_SINGLE_TITLE_BONUS = 4.0  # single-word title == query -> +4
 # SearchContext.priorityDomainIds, IndexResultRankingService.java:150-153)
 PRIORITY_DOMAIN_WEIGHT = 0.5
 
+# ranking-factor breakdown columns for search(explain=True) — the
+# DebugRankingFactors surface (DebugRankingFactors.java:10-40;
+# IndexResultRankingService.java:173-177 score.* document factors and
+# :334-338 documentParam.* factors).  Score factors are the per-component
+# deltas of the additive score; param factors are the decoded packed
+# document metadata fields.
+FX_SCORE_COLS = (
+    "fx_bm25",
+    "fx_first_position",
+    "fx_verbatim",
+    "fx_proximity",
+    "fx_flags",
+    "fx_priority",
+    "fx_doc_bonus",
+)
+FX_PARAM_COLS = (
+    "fx_rank",
+    "fx_asl",
+    "fx_quality",
+    "fx_size",
+    "fx_topology",
+    "fx_year",
+)
+
 
 def _membership(cand: np.ndarray, docs: np.ndarray) -> np.ndarray:
     """Boolean mask: which sorted-unique cand ids appear in sorted docs
@@ -1207,6 +1231,10 @@ class SearcherLogic:
             and not plan.get("count_only")
             and not plan.get("facet")
             and not plan.get("facet_with")
+            # explain needs the generic scorer's factor checkpoints, not
+            # the block-max early-exit paths (debug runs full evaluation,
+            # like the reference's debugRankingFactors != null path)
+            and not plan.get("explain")
         )
 
         def _pl(t: int, against: np.ndarray) -> np.ndarray:
@@ -1324,6 +1352,19 @@ class SearcherLogic:
         # head span count (1 + w) instead of 1.
         sizes = seg.doc_sizes(cand).astype(np.float64)
         score = np.zeros(len(cand), dtype=np.float64)
+        # explain mode (DebugRankingFactors analog): checkpoint the
+        # additive score after every component block and attribute the
+        # delta to a named factor.  fx arrays stay aligned with cand.
+        explain = bool(plan.get("explain"))
+        fx: dict[str, np.ndarray] = {}
+        fx_last = np.zeros(len(cand), dtype=np.float64) if explain else None
+
+        def _fx_take(name: str, cur: np.ndarray) -> None:
+            nonlocal fx_last
+            d = cur - fx_last
+            fx[name] = fx[name] + d if name in fx else d
+            fx_last = cur.astype(np.float64, copy=True)
+
         head_tf_weight = plan.get("head_tf_weight", 0.0)
         from ..stages.tokenize import HEAD_SPAN_TOKENS
 
@@ -1381,6 +1422,8 @@ class SearcherLogic:
         # nested tree aggregate: sum over AND, max over OR on the tree
         if tree is not None:
             score += _tree_score(seg, tree, cand, sizes, global_df, total_docs)
+        if explain:
+            _fx_take("fx_bm25", score)
 
         # first-position component: w / sqrt(max over include terms of the
         # term's first occurrence) — IndexResultRankingService:133,595
@@ -1393,6 +1436,8 @@ class SearcherLogic:
                 ix = np.searchsorted(docs, cand)
                 fp = np.maximum(fp, firsts[ix].astype(np.float64))
             score += first_position_weight / np.sqrt(np.maximum(fp, 1.0))
+        if explain:
+            _fx_take("fx_first_position", score)
 
         # exact-adjacency keys of the include sequence, computed at most
         # ONCE per query and shared by the verbatim v1 / verbatim-tags /
@@ -1423,6 +1468,8 @@ class SearcherLogic:
                     has, verbatim_weight * np.where(inh, 1.5, 1.0), 0.0
                 )
             score += vbonus
+        if explain:
+            _fx_take("fx_verbatim", score)
 
         # proximity component (2-term queries): w * 2/(0.1 + sqrt(minDist))
         # over the terms' position lists — IndexResultRankingService
@@ -1473,6 +1520,8 @@ class SearcherLogic:
                     )
                 dist[lo + sel] = dmin
             score += proximity_weight * 2.0 / (0.1 + np.sqrt(dist.astype(np.float64)))
+        if explain:
+            _fx_take("fx_proximity", score)
 
         # k-term proximity (getProximitiyFac:373-383 for >2 terms): the
         # minimal covering range over one offset position per term; only a
@@ -1529,6 +1578,8 @@ class SearcherLogic:
                 0.0,
             )
             score += proximity_all_weight * fac
+        if explain:
+            _fx_take("fx_proximity", score)
 
         # all-keywords-in-a-heading bonus (getProximitiyFac:394-400): when
         # the total observation count inside HEADING spans equals the
@@ -1562,6 +1613,8 @@ class SearcherLogic:
             score += np.where(
                 hit, heading_bonus_weight * obs_c.astype(np.float64), 0.0
             )
+        if explain:
+            _fx_take("fx_proximity", score)
 
         # tag-weighted verbatim (VerbatimMatches full analog): per-tag
         # weight table + attenuation + head-boundary bonus + single-word
@@ -1591,6 +1644,8 @@ class SearcherLogic:
                         float(np.sqrt(len(p) / max(L, 1))), False,
                     )
             score += verbatim_tag_weight * v2
+        if explain:
+            _fx_take("fx_verbatim", score)
 
         # bFlags component (TermFlagsGraphVisitor analog, score_bFlags =
         # 0.5 x flag-presence BM25, IndexResultRankingService:139-141):
@@ -1608,6 +1663,8 @@ class SearcherLogic:
                         total_docs, prio_df.get(t, 0), fl, sizes
                     )
                 )
+        if explain:
+            _fx_take("fx_flags", score)
 
         # ?priority terms. Two compositions:
         #  - additive (default, legacy): PRIORITY_WEIGHT x the term's BM25
@@ -1663,6 +1720,10 @@ class SearcherLogic:
             # bFlags), before the document-bonus family — mirroring the
             # reference where documentBonus only feeds normalize's penalty
             score = score * np.exp(prio_adj / 5.0)
+        if explain:
+            # additive ?term/?org: contributions, plus (in multiplicative
+            # mode) the whole exp(adj/5) rescaling delta
+            _fx_take("fx_priority", score)
 
         # document rank bonus (calculateDocumentBonus:281-358 subset):
         # w * (255 - rank_field)/100, rank from the packed document meta
@@ -1690,20 +1751,28 @@ class SearcherLogic:
             )
             if document_bonus_weight > 0:
                 score += document_bonus_weight * bonus
+            if explain:
+                # checkpoint BEFORE normalize: the normalize transform is
+                # not additive, so with normalize_score on, score_r is
+                # normalize(sum of fx factors, penalty) rather than the sum
+                _fx_take("fx_doc_bonus", score)
             if normalize:
                 score = normalize_score(score, np.maximum(0.0, -bonus))
+        elif explain:
+            _fx_take("fx_doc_bonus", score)  # rank_bonus_weight path
 
-        out = self._package(seg, cand, score, plan)
+        out = self._package(seg, cand, score, plan, fx if explain else None)
         if facet_extra is not None:
             out.update(facet_extra)
         return out
 
     @staticmethod
     def _package(seg: "_Segment", cand: np.ndarray, score: np.ndarray,
-                 plan: dict) -> dict:
+                 plan: dict, fx: dict | None = None) -> dict:
         """Round, pick the partition's (2k+8)-deep top (ResultPriorityQueue
         2x-limit heap analog) and decorate — shared by the generic path and
-        the block-max early-exit path."""
+        the block-max early-exit path.  ``fx`` (explain mode) adds the
+        per-factor score columns + decoded documentParam.* fields."""
         k = plan["k"]
         score_r = np.round(score, 6)
         ordinals = idcodec.get_ordinal(cand)
@@ -1722,6 +1791,21 @@ class SearcherLogic:
         if plan.get("positions_mask"):
             out["positions_mask"] = SearcherLogic._positions_mask(
                 seg, cand[top], plan["include_ids"]
+            ).tolist()
+        if fx is not None:
+            from ..functions import metadata as mdmod
+
+            z = np.zeros(len(cand), dtype=np.float64)
+            for name in FX_SCORE_COLS:
+                out[name] = np.round(fx.get(name, z)[top], 6).tolist()
+            metas = seg.fwd_meta[fi]
+            out["fx_rank"] = mdmod.decode_rank(metas).tolist()
+            out["fx_asl"] = mdmod.decode_asl(metas).tolist()
+            out["fx_quality"] = mdmod.decode_quality(metas).tolist()
+            out["fx_size"] = mdmod.decode_size(metas).tolist()
+            out["fx_topology"] = mdmod.decode_topology(metas).tolist()
+            out["fx_year"] = (
+                mdmod.PUBDATE_ENCODING_OFFSET + mdmod.decode_year_byte(metas)
             ).tolist()
         return out
 
@@ -2439,6 +2523,7 @@ class IndexSearch:
         facet: str | None = None,
         facet_k: int = 20,
         facet_with: str | None = None,
+        explain: bool = False,
     ) -> "pa.Table | tuple[pa.Table, pa.Table]":
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -2508,6 +2593,9 @@ class IndexSearch:
             # combined results+facets in one fan-out; forces exhaustive
             # candidates partition-side (pruned disabled there)
             "facet_with": facet_with,
+            # ranking-factor breakdown (DebugRankingFactors analog):
+            # fx_* score-component + documentParam columns on each result
+            "explain": explain,
             # partitions return enough headroom for pagination
             # (IndexClient.executeQueries sort + sublist, :162-173)
             "k": k + offset,
@@ -2659,6 +2747,11 @@ class IndexSearch:
         if positions_mask:
             deco_cols.append("positions_mask")
         deco = {col: sum((r[col] for r in results), []) for col in deco_cols}
+        if explain:
+            # empty partitions short-circuit before _package and carry no
+            # fx keys — but also no combined_ids, so .get stays aligned
+            for nm in FX_SCORE_COLS + FX_PARAM_COLS:
+                deco[nm] = sum((r.get(nm, []) for r in results), [])
         ordinals = idcodec.get_ordinal(ids)
         order = np.lexsort((ordinals, scores if normalize_score else -scores))
 
@@ -2693,6 +2786,11 @@ class IndexSearch:
             out_cols["positions_mask"] = [
                 int(deco["positions_mask"][j]) for j in keep
             ]
+        if explain:
+            for nm in FX_SCORE_COLS:
+                out_cols[nm] = [float(deco[nm][j]) for j in keep]
+            for nm in FX_PARAM_COLS:
+                out_cols[nm] = [int(deco[nm][j]) for j in keep]
         res = _result_table(
             [int(ids[j]) for j in keep],
             [float(scores[j]) for j in keep],
@@ -2839,4 +2937,10 @@ def _result_table(
                 cols[col] = pa.array(deco[col], pa.string())
         if "positions_mask" in deco:
             cols["positions_mask"] = pa.array(deco["positions_mask"], pa.int64())
+        for col in FX_SCORE_COLS:
+            if col in deco:
+                cols[col] = pa.array(deco[col], pa.float64())
+        for col in FX_PARAM_COLS:
+            if col in deco:
+                cols[col] = pa.array(deco[col], pa.int64())
     return pa.table(cols)

@@ -713,3 +713,72 @@ def test_mask_from_keys_java_wrap_semantics():
     for ci, positions in enumerate(cases):
         want = java_mask(sorted(positions))
         assert int(got[ci]) == want, (ci, positions, int(got[ci]), want)
+
+
+def test_explain_factor_decomposition(index_dir, oracle, ray_session):
+    """search(explain=True) — the DebugRankingFactors surface
+    (DebugRankingFactors.java:10-40, IndexResultRankingService.java:
+    173-177,334-338): the fx_* score factors must sum to score_r for the
+    additive composition, the ranking must be identical to the
+    explain-off twin, and the documentParam fields must match the packed
+    metadata decodes."""
+    from marginaliasearch_ray.functions.wordpattern import tokenize as _tok
+    from marginaliasearch_ray.pipelines.query import (
+        FX_PARAM_COLS,
+        FX_SCORE_COLS,
+    )
+
+    s = IndexSearch(index_dir, use_actors=False)
+    kw = dict(
+        k=10,
+        first_position_weight=1.0,
+        proximity_weight=1.0,
+        verbatim_weight=1.0,
+        flags_weight=1.0,
+        document_bonus_weight=1.0,
+    )
+    t_on = s.search("license import ?treeread", explain=True, **kw)
+    t_off = s.search("license import ?treeread", **kw)
+    assert t_on["combined_id"].to_pylist() == t_off["combined_id"].to_pylist()
+    assert t_on["score_r"].to_pylist() == t_off["score_r"].to_pylist()
+    for col in FX_SCORE_COLS + FX_PARAM_COLS:
+        assert col in t_on.column_names
+        assert col not in t_off.column_names
+
+    total = np.zeros(t_on.num_rows)
+    for col in FX_SCORE_COLS:
+        total += np.asarray(t_on[col].to_pylist())
+    assert np.allclose(np.round(total, 5),
+                       np.round(np.asarray(t_on["score_r"].to_pylist()), 5))
+
+    # the enabled components must actually attribute something somewhere
+    assert any(v > 0 for v in t_on["fx_bm25"].to_pylist())
+
+    # documentParam fields vs a from-scratch decode of the corpus
+    by_cid = {d["cid"]: d for d in oracle["docs"]}
+    for row in t_on.to_pylist():
+        d = by_cid[row["combined_id"]]
+        n_tok = len(d["toks"])
+        assert row["fx_size"] == 5 * min(255, max(1, n_tok // 5))
+        assert 0 <= row["fx_asl"] <= 3
+        assert 0 <= row["fx_quality"] <= 15
+        assert row["fx_year"] == 1996 + d["ordinal"] % 30
+        assert row["fx_rank"] % 4 == 0  # 6-bit repo rank << 2
+
+    # priority factor: the ?term contributes to fx_priority only
+    hit = [r for r in t_on.to_pylist()
+           if "treeread" in by_cid[r["combined_id"]]["tf"]]
+    miss = [r for r in t_on.to_pylist()
+            if "treeread" not in by_cid[r["combined_id"]]["tf"]]
+    assert all(r["fx_priority"] > 0 for r in hit)
+    assert all(r["fx_priority"] == 0 for r in miss)
+
+    # non-additive compositions still explain (score_r is the transformed
+    # value; factors stay the pre-transform deltas)
+    t_norm = s.search(
+        "license import ?treeread", explain=True, normalize_score=True,
+        multiplicative_priority=True, **kw
+    )
+    for col in FX_SCORE_COLS:
+        assert np.isfinite(t_norm[col].to_pylist()).all()
+    s.shutdown()
