@@ -304,6 +304,88 @@ def _search(sf_dir: str, query: str, k: int = 10, **kw):
     return t.select(cols)
 
 
+# ---------------------------------------------------------------------------
+# domain ranking (PageRankDomainRanker / DomainRankings / RankingSearchSet)
+
+# the personalization seed (SearchSetsService.recalculateNormal passes the
+# ranking set's configured domain list); fixed so the oracle can replicate
+PAGERANK_INFLUENCE = ["src0", "src3"]
+PAGERANK_ITERS = 15  # oracle pins iterations (tolerance=0 fixed-iteration
+PAGERANK_DEPTH = 10  # mode); engine default elsewhere stays 100 / 1e-4
+PAGERANK_MMR = 20  # DomainRankings MAX_MEANINGFUL_RANK, corpus-sized so
+#                    positions scale to DISTINCT 1..255 bytes (the 50_000
+#                    default maps every position of a 20-repo corpus to 1)
+
+_LINK_GRAPH_CACHE: dict[str, tuple[list, "pa.Table"]] = {}
+
+
+def _link_graph(sf_dir: str):
+    """(sorted repos, aggregated (src,dst,weight) edge table) for the
+    deterministic synthetic link graph over documents.parquet — see
+    pipelines/ranking.link_edges for the derivation contract."""
+    if sf_dir not in _LINK_GRAPH_CACHE:
+        import ray.data
+
+        from marginaliasearch_ray.pipelines import ranking
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        repos = ranking.corpus_repos(ds)
+        _LINK_GRAPH_CACHE[sf_dir] = (repos, ranking.link_edges(ds, repos))
+    return _LINK_GRAPH_CACHE[sf_dir]
+
+
+def _pagerank_table(
+    sf_dir: str,
+    influence: list[str] | None = None,
+    weighted: bool = False,
+) -> "pa.Table":
+    """Top-PAGERANK_DEPTH (repo, pr, pos, rank_scaled) — the
+    PageRankDomainRanker.calculate output with each position's
+    DomainRankings scaled byte alongside."""
+    import pyarrow as pa
+
+    from marginaliasearch_ray.pipelines import ranking
+
+    repos, edges = _link_graph(sf_dir)
+    scores = ranking.pagerank(
+        edges,
+        repos,
+        max_iterations=PAGERANK_ITERS,
+        tolerance=0.0,
+        influence=influence,
+        weighted=weighted,
+    )
+    rows = ranking.rank_positions(repos, scores, PAGERANK_DEPTH)
+    return pa.table(
+        {
+            "repo": pa.array([r for r, _s, _p in rows], pa.string()),
+            "pr": pa.array([s for _r, s, _p in rows], pa.float64()),
+            "pos": pa.array([p for _r, _s, p in rows], pa.int64()),
+            "rank_scaled": pa.array(
+                [ranking.scale_rank(p, PAGERANK_MMR) for _r, _s, p in rows],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _ranked_search_set(sf_dir: str):
+    """BM25 search restricted to the top-5 PageRank repos — the
+    RankingSearchSet restriction composed via filter_spec (the engine's
+    contains() analog is the repos -> combined-id-range filter)."""
+    from marginaliasearch_ray.pipelines import ranking
+
+    repos, edges = _link_graph(sf_dir)
+    scores = ranking.pagerank(
+        edges, repos, max_iterations=PAGERANK_ITERS, tolerance=0.0
+    )
+    top = ranking.ranking_search_set(repos, scores, 5)
+    return _search(sf_dir, "customer merge", filter_spec={"repos": top})
+
+
 _HEADING_HANDLES: dict[str, Any] = {}
 
 
@@ -1178,6 +1260,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sliding_1h_15m"] = lambda sf: events_ops.sliding_window(sf, 3600, 900)
     q["events_sessions"] = lambda sf: events_ops.session_windows(sf, 1800)
 
+    # domain ranking: PageRank / personalized / weighted over the derived
+    # link graph + the RankingSearchSet search restriction
+    # (domainranking/PageRankDomainRanker.java, index/searchset/*)
+    q["link_graph_edges"] = lambda sf: _link_graph(sf)[1]
+    q["pagerank_domains"] = lambda sf: _pagerank_table(sf)
+    q["pagerank_personalized"] = lambda sf: _pagerank_table(
+        sf, influence=PAGERANK_INFLUENCE
+    )
+    q["pagerank_weighted"] = lambda sf: _pagerank_table(sf, weighted=True)
+    q["ranked_search_set"] = _ranked_search_set
+
     return _driver_window_order(q)
 
 
@@ -1231,6 +1324,13 @@ _DRIVER_WINDOW_FIRST = [
     # NEW: ranking-factor breakdown (DebugRankingFactors analog); its
     # 2-term conjunctive seed also covers bm25_single/bm25_conj machinery
     "bm25_explain",
+    # NEW: domain ranking — PageRank / personalized / weighted over the
+    # derived link graph + the RankingSearchSet repo restriction
+    "link_graph_edges",
+    "pagerank_domains",
+    "pagerank_personalized",
+    "pagerank_weighted",
+    "ranked_search_set",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -1254,14 +1354,9 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_verbatim_tags",
     "bm25_verbatim_tags_opt",
     "bm25_prox_all",
-    "bm25_doc_bonus",
-    "bm25_first_position",
     "bm25_head_weighted",
     "bm25_nested",
     "exact_dedup",
-    "doc_length_histogram",
-    "repo_stats",
-    "term_df_top100",
     # quality_scores + events_tumbling_1h stay at the tail (driver-green
     # earlier, unchanged); simhash64 (rows-only) and the *_off twins
     # defer to in-window siblings that share their machinery.  lang_id +
@@ -1270,7 +1365,12 @@ _DRIVER_WINDOW_FIRST = [
     # bm25_proximity / bm25_verbatim / bm25_meta_quality yield to the
     # never-certified facet_lang + sample_per_* — each keeps an in-window
     # sibling on the same machinery (bm25_prox_all, bm25_verbatim_tags*,
-    # bm25_meta_year/rank).
+    # bm25_meta_year/rank).  bm25_doc_bonus + bm25_first_position yield
+    # to the never-certified pagerank family: the in-window bm25_explain
+    # certifies BOTH components value-exactly via its fx_doc_bonus /
+    # fx_first_position factor columns.  doc_length_histogram /
+    # repo_stats / term_df_top100 (trivial aggregates, r01-green,
+    # re-verified locally every sweep) also yield to the pagerank family.
 ]
 
 
@@ -1346,6 +1446,7 @@ def _bm25_sql(
     phrase: list[str] | None = None,
     source: str | None = None,
     sources: list[str] | None = None,
+    sources_sql: str | None = None,
     priority: list[str] | None = None,
     groups: list[list[str]] | None = None,
     size_gt: int | None = None,
@@ -1474,6 +1575,9 @@ def _bm25_sql(
     if sources:
         vals_in = ", ".join(f"'{s}'" for s in sources)
         extra.append(f"c.source IN ({vals_in})")
+    if sources_sql:
+        # repo restriction computed by a subquery (RankingSearchSet path)
+        extra.append(f"c.source IN ({sources_sql})")
     if lang is not None:
         extra.append(f"c.lang = '{lang}'")
     for t in advice or []:
@@ -1971,6 +2075,123 @@ SELECT doc_a, doc_b, jaccard_r FROM (
 """
 
 
+def _pagerank_sql(mode: str) -> str:
+    """SQL replica of the domain-ranking pipeline: the deterministic
+    link-graph derivation (pipelines/ranking.link_edges), the exact
+    jgrapht PageRank iteration unrolled PAGERANK_ITERS times as chained
+    CTEs (tolerance=0 fixed-iteration mode on the engine side), and the
+    PageRankDomainRanker sort/limit/position + DomainRankings scaling.
+
+    ``mode``: 'edges' (the aggregated edge list), 'plain',
+    'personalized', 'weighted' (top-PAGERANK_DEPTH rank tables), or
+    'search_set' (top-5 repo names, to embed as a bm25 repo filter).
+    """
+    d = 0.85
+    # Java computes (1d - dampingFactor) at runtime; repr() keeps the
+    # float64 subtraction artifact (0.15000000000000002) bit-identical
+    one_minus_d = repr(1.0 - d)
+    infl = ", ".join(f"'{r}'" for r in PAGERANK_INFLUENCE)
+    n_infl = len(PAGERANK_INFLUENCE)
+
+    def eraw_leg(j: int) -> str:
+        return f"""
+  SELECT s.repo AS src, t.repo AS dst
+  FROM documents d
+  JOIN repos s ON s.repo = d.source
+  JOIN nrepo ON TRUE
+  JOIN repos t
+    ON t.idx = (s.idx + 1 + (d.doc_id * 7 + 13 * {j} + d.n_chars)
+                % (1 + s.idx % 7)) % nrepo.n"""
+
+    prefix = f"""WITH repos AS (
+  SELECT repo, row_number() OVER (ORDER BY repo) - 1 AS idx
+  FROM (SELECT DISTINCT source AS repo FROM documents)
+),
+nrepo AS (SELECT count(*) AS n FROM repos),
+eraw AS ({eraw_leg(1)}
+  UNION ALL{eraw_leg(2)}
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, count(*)::BIGINT AS weight
+  FROM eraw WHERE src <> dst GROUP BY src, dst
+)"""
+    if mode == "edges":
+        return prefix + "\nSELECT src, dst, weight FROM edges"
+
+    if mode == "weighted":
+        contrib = f"sum({d} * p.score * e.weight / p.wsum)"
+    else:
+        contrib = f"sum({d} * p.score / p.outdeg)"
+    ctes = [
+        """verts AS MATERIALIZED (
+  SELECT r.repo AS node,
+         coalesce(o.outdeg, 0) AS outdeg,
+         coalesce(o.wsum, 0.0) AS wsum
+  FROM repos r
+  LEFT JOIN (
+    SELECT src, count(*)::BIGINT AS outdeg, sum(weight)::DOUBLE AS wsum
+    FROM edges GROUP BY src
+  ) o ON o.src = r.repo
+)""",
+        "pr0 AS MATERIALIZED (SELECT node, outdeg, wsum,"
+        " 1.0 / (SELECT n FROM nrepo) AS score FROM verts)",
+    ]
+    for k in range(1, PAGERANK_ITERS + 1):
+        if mode == "personalized":
+            # teleProp (PersonalizedPageRank.java:352-365): (1-d) per
+            # influence vertex with out-edges, else its current score,
+            # over |influenceSet|; added to influence vertices only
+            tele = f"""CASE WHEN v.node IN ({infl}) THEN
+           (SELECT sum(CASE WHEN p.outdeg > 0 THEN {one_minus_d}
+                            ELSE p.score END) / {n_infl}.0
+            FROM pr{k - 1} p WHERE p.node IN ({infl}))
+         ELSE 0.0 END"""
+        else:
+            # stock jgrapht PageRank: uniform teleport from the current
+            # mass, dangling vertices contribute their full score
+            tele = f"""(SELECT sum(CASE WHEN p.outdeg > 0
+                             THEN {one_minus_d} * p.score
+                             ELSE p.score END) / (SELECT n FROM nrepo)
+          FROM pr{k - 1} p)"""
+        ctes.append(f"""pr{k} AS MATERIALIZED (
+  SELECT v.node, v.outdeg, v.wsum,
+         {tele}
+         + coalesce(c.contrib, 0.0) AS score
+  FROM pr{k - 1} v
+  LEFT JOIN (
+    SELECT e.dst AS node, {contrib} AS contrib
+    FROM edges e JOIN pr{k - 1} p ON p.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = v.node
+)""")
+    last = f"pr{PAGERANK_ITERS}"
+    if mode == "personalized":
+        # remove influence factor from the final scores (:307-311)
+        ctes.append(f"""prf AS MATERIALIZED (
+  SELECT node, score - CASE WHEN node IN ({infl}) THEN
+           (SELECT sum(CASE WHEN p.outdeg > 0 THEN {one_minus_d}
+                            ELSE p.score END) / {n_infl}.0
+            FROM {last} p WHERE p.node IN ({infl}))
+         ELSE 0.0 END AS score
+  FROM {last}
+)""")
+        last = "prf"
+    ctes.append(f"""ranked AS (
+  SELECT node AS repo, round(score, 6) AS pr,
+         row_number() OVER (ORDER BY round(score, 6) DESC, node ASC) - 1
+           AS pos
+  FROM {last}
+)""")
+    body = prefix + ",\n" + ",\n".join(ctes)
+    if mode == "search_set":
+        return body + "\nSELECT repo FROM ranked WHERE pos < 5"
+    return body + f"""
+SELECT repo, pr, pos,
+       CAST(trunc(least(255.0, greatest(1.0,
+            (255.0 / {PAGERANK_MMR}) * pos))) AS BIGINT) AS rank_scaled
+FROM ranked WHERE pos < {PAGERANK_DEPTH} ORDER BY pos"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
     sqls: dict[str, str] = {
@@ -2091,6 +2312,15 @@ def oracle_sql() -> dict[str, str]:
             exclude=["customer"],
             priority=["merge"],
             sources=["src1", "src3"],
+        ),
+        # domain ranking (PageRankDomainRanker / DomainRankings /
+        # RankingSearchSet analogs): exact unrolled-iteration replicas
+        "link_graph_edges": _pagerank_sql("edges"),
+        "pagerank_domains": _pagerank_sql("plain"),
+        "pagerank_personalized": _pagerank_sql("personalized"),
+        "pagerank_weighted": _pagerank_sql("weighted"),
+        "ranked_search_set": _bm25_sql(
+            ["customer", "merge"], sources_sql=_pagerank_sql("search_set")
         ),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),

@@ -312,6 +312,22 @@ def run_bench() -> dict:
         lambda: events_ops.tumbling_window(SF_DIR, 3600).materialize(),
     )
 
+    def _pagerank():
+        import ray.data
+
+        from marginaliasearch_ray.pipelines import ranking
+
+        ds = ray.data.read_parquet(
+            os.path.join(SF_DIR, "documents.parquet"),
+            columns=["doc_id", "source", "n_chars"],
+        )
+        repos = ranking.corpus_repos(ds)
+        edges = ranking.link_edges(ds, repos)
+        return ranking.pagerank(edges, repos)
+
+    # domain ranking: distributed edge extraction + driver iteration
+    timed("pagerank", _pagerank)
+
     ray.shutdown()
 
     return {

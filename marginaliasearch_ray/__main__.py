@@ -210,6 +210,31 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("-k", type=int, default=10)
     vs.add_argument("--nprobe", type=int, default=4)
 
+    rk = sub.add_parser(
+        "rank",
+        help="domain ranking over the corpus link graph (PageRank / "
+             "personalized PageRank; the SearchSetsService recalculate "
+             "analog) — NDJSON (repo, pr, pos, rank_scaled) on stdout",
+    )
+    rk.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, source, n_chars)")
+    rk.add_argument("--influence", action="append", default=None,
+                    help="personalization seed repo (repeat)")
+    rk.add_argument("--weighted", action="store_true",
+                    help="use link multiplicities as edge weights")
+    rk.add_argument("--invert", action="store_true",
+                    help="rank over the inverted link graph")
+    rk.add_argument("--depth", type=int, default=100,
+                    help="keep the top N ranked repos")
+    rk.add_argument("--iters", type=int, default=100)
+    rk.add_argument("--tolerance", type=float, default=1e-4,
+                    help="0 = run exactly --iters iterations")
+    rk.add_argument("--max-meaningful-rank", type=int, default=50_000,
+                    help="DomainRankings position scale denominator")
+    rk.add_argument("--search-set", default=None, metavar="FILE",
+                    help="also write the top repos, one per line, as a "
+                         "RankingSearchSet usable via query filter specs")
+
     args = p.parse_args(argv)
     if args.cmd == "publish":  # pure file op — no Ray session needed
         from .state import manifest as mf
@@ -477,6 +502,34 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for row in res.take_all():
                     print(json.dumps(row))
+
+        elif args.cmd == "rank":
+            import ray.data
+
+            from .pipelines import ranking
+
+            ds = ray.data.read_parquet(
+                args.documents, columns=["doc_id", "source", "n_chars"]
+            )
+            repos = ranking.corpus_repos(ds)
+            edges = ranking.link_edges(ds, repos, invert=args.invert)
+            scores = ranking.pagerank(
+                edges, repos,
+                max_iterations=args.iters, tolerance=args.tolerance,
+                influence=args.influence, weighted=args.weighted,
+            )
+            rows = ranking.rank_positions(repos, scores, args.depth)
+            for repo, pr, pos in rows:
+                print(json.dumps({
+                    "repo": repo, "pr": pr, "pos": pos,
+                    "rank_scaled": ranking.scale_rank(
+                        pos, args.max_meaningful_rank
+                    ),
+                }))
+            if args.search_set:
+                with open(args.search_set, "w") as f:
+                    for repo in sorted(r for r, _s, _p in rows):
+                        f.write(repo + "\n")
 
         elif args.cmd == "query":
             from .pipelines.query import IndexSearch

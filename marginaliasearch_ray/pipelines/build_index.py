@@ -102,6 +102,13 @@ class BuildConfig:
     # early-terminate plain top-k scans (block-max WAND).  0 disables.
     posting_block: int = 128
     extra_journal: dict = field(default_factory=dict)
+    # repo -> 6-bit rank (0..63) to inject into combined ids and packed
+    # document metadata instead of the synthetic default — the
+    # DomainRankings path (PageRank positions scaled + >>2, see
+    # pipelines/ranking.rankings_to_overrides; ForwardIndexConverter.java
+    # :104-110 / IndexConstructorMain DocIdRewriter).  None = the
+    # deterministic repo_rank hash the oracles replicate.
+    rank_overrides: dict | None = None
 
 
 def _clear_dir(path: str) -> None:
@@ -409,7 +416,9 @@ def build_index(
     if not mf.is_committed(out_dir, "journal"):
         t_phase = time.time()
         if registry is None:
-            registry = build_domain_registry(corpus_raw, cfg.num_parts)
+            registry = build_domain_registry(
+                corpus_raw, cfg.num_parts, cfg.rank_overrides
+            )
         reg_ref = ray.put(registry)
         journal = corpus_ds.map_batches(
             _tokenize_task,

@@ -36,11 +36,24 @@ class DomainRegistry:
     order DB ids but reproducible); part = domain_id % num_parts keeps a
     repo's documents in one shared-nothing index partition."""
 
-    def __init__(self, repos: list[str], num_parts: int):
+    def __init__(
+        self,
+        repos: list[str],
+        num_parts: int,
+        rank_overrides: dict[str, int] | None = None,
+    ):
+        """``rank_overrides``: repo -> 6-bit rank (0..63) injected instead
+        of the synthetic default — the DomainRankings path (a PageRank
+        result fed to the DocIdRewriter, IndexConstructorMain.java:210-218
+        / ForwardIndexConverter.java:104-110).  See
+        pipelines/ranking.rankings_to_overrides."""
         self.num_parts = num_parts
         self.repos = sorted(set(repos))
+        ov = rank_overrides or {}
+        self._rank_overrides = dict(ov)
         self._map = {
-            r: (i, repo_rank(r), i % num_parts) for i, r in enumerate(self.repos)
+            r: (i, int(ov.get(r, repo_rank(r))), i % num_parts)
+            for i, r in enumerate(self.repos)
         }
 
     @classmethod
@@ -55,6 +68,7 @@ class DomainRegistry:
         reg.num_parts = num_parts
         reg._map = dict(mapping)
         reg.repos = sorted(reg._map)
+        reg._rank_overrides = {}
         return reg
 
     def extended(self, new_repos, num_parts: int | None = None) -> "DomainRegistry":
@@ -62,9 +76,10 @@ class DomainRegistry:
         (sorted for determinism); existing repos keep their ids."""
         num_parts = num_parts or self.num_parts
         mapping = dict(self._map)
+        ov = getattr(self, "_rank_overrides", {})
         nxt = 1 + max((v[0] for v in mapping.values()), default=-1)
         for r in sorted(set(new_repos) - set(mapping)):
-            mapping[r] = (nxt, repo_rank(r), nxt % num_parts)
+            mapping[r] = (nxt, int(ov.get(r, repo_rank(r))), nxt % num_parts)
             nxt += 1
         return DomainRegistry.from_mapping(mapping, num_parts)
 
@@ -91,8 +106,10 @@ class DomainRegistry:
         return len(self.repos)
 
 
-def build_domain_registry(corpus_ds, num_parts: int) -> DomainRegistry:
+def build_domain_registry(
+    corpus_ds, num_parts: int, rank_overrides: dict[str, int] | None = None
+) -> DomainRegistry:
     """One small shuffle: distinct repo names.  The result is tiny (one
     row per repo) and is broadcast to all tokenize actors."""
     repos = corpus_ds.select_columns(["repo"]).unique("repo")
-    return DomainRegistry(list(repos), num_parts)
+    return DomainRegistry(list(repos), num_parts, rank_overrides)

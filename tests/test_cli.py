@@ -324,3 +324,51 @@ def test_cli_serve_follows_pointer_flip(cli_dirs, capsys, monkeypatch):
     assert rows[1] == {"event": "reloaded",
                        "segments": [str(root / "c")]}
     assert rows[3]["n"] == 6
+
+
+def test_cli_rank(ray_session, tmp_path, capsys):
+    """`rank` — the SearchSetsService.recalculate analog: NDJSON rank
+    rows over a documents-shaped parquet + a RankingSearchSet file."""
+    import numpy as np
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "source": pa.array(
+                [f"r{str(i % 6)}" for i in range(60)], pa.string()
+            ),
+            "n_chars": pa.array([13 * i % 47 for i in range(60)], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+    set_file = str(tmp_path / "set.txt")
+    out = _run(
+        ["rank", "--documents", path, "--depth", "4",
+         "--max-meaningful-rank", "6", "--iters", "15",
+         "--tolerance", "0", "--search-set", set_file],
+        capsys,
+    )
+    rows = [json.loads(l) for l in out]
+    assert [r["pos"] for r in rows] == [0, 1, 2, 3]
+    prs = [r["pr"] for r in rows]
+    assert prs == sorted(prs, reverse=True) and len(set(prs)) > 1
+    assert rows[0]["rank_scaled"] == 1
+    assert rows[1]["rank_scaled"] == int(255 / 6)
+    with open(set_file) as f:
+        names = [l.strip() for l in f]
+    assert names == sorted(r["repo"] for r in rows)
+
+    # numpy twin over the same derivation
+    from marginaliasearch_ray.pipelines.ranking import (
+        link_edges,
+        pagerank,
+        rank_positions,
+    )
+    import ray.data
+
+    repos = sorted(set(docs["source"].to_pylist()))
+    edges = link_edges(ray.data.from_arrow(docs), repos)
+    scores = pagerank(edges, repos, max_iterations=15, tolerance=0.0)
+    want = rank_positions(repos, scores, 4)
+    assert [(r["repo"], r["pr"], r["pos"]) for r in rows] == want
