@@ -372,6 +372,34 @@ def _pagerank_table(
     )
 
 
+CONNECTIVITY_HOT = 2  # seed-adjacency hot threshold — the reference's 5
+#                       never fires with a 2-repo seed (max count = 4)
+
+
+def _connectivity_table(sf_dir: str) -> "pa.Table":
+    """(repo, conn, rank_value) for every repo — ConnectivitySets
+    classification + ConnectivityView.emulateRankData values, seeded by
+    PAGERANK_INFLUENCE."""
+    import pyarrow as pa
+
+    from marginaliasearch_ray.pipelines import ranking
+
+    repos, edges = _link_graph(sf_dir)
+    classes = ranking.connectivity_sets(
+        edges, repos, PAGERANK_INFLUENCE, hot_threshold=CONNECTIVITY_HOT
+    )
+    ranks = ranking.connectivity_rank_data(classes)
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "conn": pa.array([classes[r] for r in repos], pa.string()),
+            "rank_value": pa.array(
+                [ranks[r] for r in repos], pa.int64()
+            ),
+        }
+    )
+
+
 def _ranked_search_set(sf_dir: str):
     """BM25 search restricted to the top-5 PageRank repos — the
     RankingSearchSet restriction composed via filter_spec (the engine's
@@ -1270,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["pagerank_weighted"] = lambda sf: _pagerank_table(sf, weighted=True)
     q["ranked_search_set"] = _ranked_search_set
+    q["connectivity_sets"] = _connectivity_table
 
     return _driver_window_order(q)
 
@@ -1331,6 +1360,7 @@ _DRIVER_WINDOW_FIRST = [
     "pagerank_personalized",
     "pagerank_weighted",
     "ranked_search_set",
+    "connectivity_sets",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -1356,7 +1386,9 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_prox_all",
     "bm25_head_weighted",
     "bm25_nested",
-    "exact_dedup",
+    # exact_dedup yields to the never-certified connectivity_sets: its
+    # groupby-first-wins dedup machinery stays certified in-window via
+    # export_shards, and the near-dup family is r03-green.
     # quality_scores + events_tumbling_1h stay at the tail (driver-green
     # earlier, unchanged); simhash64 (rows-only) and the *_off twins
     # defer to in-window siblings that share their machinery.  lang_id +
@@ -2192,6 +2224,61 @@ SELECT repo, pr, pos,
 FROM ranked WHERE pos < {PAGERANK_DEPTH} ORDER BY pos"""
 
 
+def _connectivity_sql() -> str:
+    """SQL replica of ConnectivitySets.recalculate (:55-137): one-hop
+    reachable/linking/bidi sets around the seed, seed-adjacency counts
+    gating the *_HOT classes, first-match priority, emulateRankData
+    values."""
+    seed = ", ".join(f"'{r}'" for r in PAGERANK_INFLUENCE)
+    rank_case = " ".join(
+        f"WHEN '{name}' THEN {val}"
+        for name, val in [
+            ("DIRECT", 0), ("BIDI_HOT", 16), ("REACHABLE_HOT", 32),
+            ("LINKING_HOT", 48), ("BIDI", 64), ("REACHABLE", 80),
+            ("LINKING", 96), ("UNREACHABLE", 255),
+        ]
+    )
+    return _pagerank_sql("edges").replace(
+        "\nSELECT src, dst, weight FROM edges",
+        f""",
+reach AS (
+  SELECT DISTINCT dst AS node FROM edges
+  WHERE src IN ({seed}) AND dst NOT IN ({seed})
+),
+linking AS (
+  SELECT DISTINCT src AS node FROM edges
+  WHERE dst IN ({seed}) AND src NOT IN ({seed})
+),
+cnt AS (
+  SELECT node, sum(c) AS c FROM (
+    SELECT dst AS node, count(*) AS c FROM edges
+    WHERE src IN ({seed}) GROUP BY dst
+    UNION ALL
+    SELECT src AS node, count(*) AS c FROM edges
+    WHERE dst IN ({seed}) GROUP BY src
+  ) GROUP BY node
+)
+SELECT r.repo,
+  CASE WHEN r.repo IN ({seed}) THEN 'DIRECT'
+       WHEN re.node IS NOT NULL AND li.node IS NOT NULL
+            AND coalesce(c.c, 0) >= {CONNECTIVITY_HOT} THEN 'BIDI_HOT'
+       WHEN re.node IS NOT NULL
+            AND coalesce(c.c, 0) >= {CONNECTIVITY_HOT} THEN 'REACHABLE_HOT'
+       WHEN li.node IS NOT NULL
+            AND coalesce(c.c, 0) >= {CONNECTIVITY_HOT} THEN 'LINKING_HOT'
+       WHEN re.node IS NOT NULL AND li.node IS NOT NULL THEN 'BIDI'
+       WHEN re.node IS NOT NULL THEN 'REACHABLE'
+       WHEN li.node IS NOT NULL THEN 'LINKING'
+       ELSE 'UNREACHABLE' END AS conn,
+  CAST(CASE conn {rank_case} END AS BIGINT) AS rank_value
+FROM repos r
+LEFT JOIN reach re ON re.node = r.repo
+LEFT JOIN linking li ON li.node = r.repo
+LEFT JOIN cnt c ON c.node = r.repo
+ORDER BY r.repo""",
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
     sqls: dict[str, str] = {
@@ -2322,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
         "ranked_search_set": _bm25_sql(
             ["customer", "merge"], sources_sql=_pagerank_sql("search_set")
         ),
+        "connectivity_sets": _connectivity_sql(),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

@@ -288,6 +288,89 @@ def rankings_to_overrides(rankings: dict[str, int]) -> dict[str, int]:
     return {repo: min(63, int(v) >> 2) for repo, v in rankings.items()}
 
 
+# connectivity classification (index/searchset/connectivity/
+# DomainSetConnectivity.java:3-20 — names -> emulateRankData rank values;
+# ordinal order is the on-disk contract, priority order is the
+# putIfAbsent sequence in ConnectivitySets.recalculate:126-137)
+CONNECTIVITY_RANK = {
+    "DIRECT": 0,
+    "BIDI_HOT": 16,
+    "REACHABLE_HOT": 32,
+    "LINKING_HOT": 48,
+    "BIDI": 64,
+    "REACHABLE": 80,
+    "LINKING": 96,
+    "UNREACHABLE": 255,
+}
+HOT_LINK_COUNT = 5  # ConnectivitySets.recalculate:121-123
+
+
+def connectivity_sets(
+    edges: pa.Table,
+    vertices: list[str],
+    seed: list[str],
+    hot_threshold: int = HOT_LINK_COUNT,
+) -> dict[str, str]:
+    """Classify every vertex by one-hop connectivity to a seed set —
+    ConnectivitySets.recalculate:55-137.  Semantics (the reference's
+    variable names are swapped; behavior is):
+
+    - REACHABLE: out-neighbors of the seed (minus the seed itself)
+    - LINKING:   in-neighbors of the seed (minus the seed itself)
+    - BIDI:      both
+    - *_HOT:     the same with seed-adjacency count >= ``hot_threshold``
+      (one count per (seed, direction) adjacency, :100-105)
+    - DIRECT:    seed members; everything else UNREACHABLE
+
+    First matching class in DIRECT > BIDI_HOT > REACHABLE_HOT >
+    LINKING_HOT > BIDI > REACHABLE > LINKING order wins (:126-137).
+    """
+    sset = set(seed)
+    src = edges["src"].to_pylist()
+    dst = edges["dst"].to_pylist()
+    reach: set[str] = set()
+    linking: set[str] = set()
+    count: dict[str, int] = {}
+    for s, t in zip(src, dst):
+        if s in sset:
+            reach.add(t)
+            count[t] = count.get(t, 0) + 1
+        if t in sset:
+            linking.add(s)
+            count[s] = count.get(s, 0) + 1
+    reach -= sset
+    linking -= sset
+    out = {}
+    for v in vertices:
+        hot = count.get(v, 0) >= hot_threshold
+        if v in sset:
+            c = "DIRECT"
+        elif v in reach and v in linking and hot:
+            c = "BIDI_HOT"
+        elif v in reach and hot:
+            c = "REACHABLE_HOT"
+        elif v in linking and hot:
+            c = "LINKING_HOT"
+        elif v in reach and v in linking:
+            c = "BIDI"
+        elif v in reach:
+            c = "REACHABLE"
+        elif v in linking:
+            c = "LINKING"
+        else:
+            c = "UNREACHABLE"
+        out[v] = c
+    return out
+
+
+def connectivity_rank_data(classes: dict[str, str]) -> dict[str, int]:
+    """class map -> repo rank values (ConnectivityView.emulateRankData:
+    35-41) — SearchSetsService.updateMainDomainRankings prefers this over
+    PageRank when connectivity data exists (:195-199).  The 0..255 values
+    compose with rankings_to_overrides for id-codec injection."""
+    return {v: CONNECTIVITY_RANK[c] for v, c in classes.items()}
+
+
 def ranking_search_set(
     vertices: list[str], scores: np.ndarray, depth: int
 ) -> list[str]:

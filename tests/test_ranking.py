@@ -268,3 +268,51 @@ def test_rank_overrides_injection(ray_session, tmp_path):
         # metadata.decode_rank returns the packed byte = 6-bit rank << 2
         assert row["fx_rank"] == 4 * overrides[row["repo"]]
     s.shutdown()
+
+
+def test_connectivity_sets_all_classes():
+    """ConnectivitySets.recalculate (:55-137): every class reachable,
+    first-match priority, hot threshold boundary, emulateRankData values
+    (DomainSetConnectivity.java rank values)."""
+    from marginaliasearch_ray.pipelines.ranking import (
+        connectivity_rank_data,
+        connectivity_sets,
+    )
+
+    # seeds s1, s2.  With hot_threshold=2:
+    #  bh: s1->bh, bh->s2, s2->bh  (reach+linking, count 3 -> BIDI_HOT)
+    #  rh: s1->rh, s2->rh          (reach only, count 2   -> REACHABLE_HOT)
+    #  lh: lh->s1, lh->s2          (linking only, count 2 -> LINKING_HOT)
+    #  bi: s1->bi, bi->s1 would count 2 -> need count < 2?  impossible for
+    #      BIDI (two directed edges to/from the seed = count 2) unless the
+    #      threshold is higher — so test BIDI with hot_threshold=3
+    #  re: s1->re                  (count 1 -> REACHABLE)
+    #  li: li->s2                  (count 1 -> LINKING)
+    #  un: no seed adjacency       -> UNREACHABLE
+    verts = ["s1", "s2", "bh", "rh", "lh", "bi", "re", "li", "un"]
+    edges = _edges_table(
+        [
+            ("s1", "bh", 1), ("bh", "s2", 1), ("s2", "bh", 1),
+            ("s1", "rh", 1), ("s2", "rh", 1),
+            ("lh", "s1", 1), ("lh", "s2", 1),
+            ("s1", "bi", 1), ("bi", "s1", 1),
+            ("s1", "re", 1),
+            ("li", "s2", 1),
+            ("un", "re", 1),  # non-seed adjacency never counts
+            ("s1", "s2", 1),  # seed-to-seed stays DIRECT
+        ]
+    )
+    got = connectivity_sets(edges, verts, ["s1", "s2"], hot_threshold=2)
+    assert got == {
+        "s1": "DIRECT", "s2": "DIRECT", "bh": "BIDI_HOT",
+        "rh": "REACHABLE_HOT", "lh": "LINKING_HOT", "bi": "BIDI_HOT",
+        "re": "REACHABLE", "li": "LINKING", "un": "UNREACHABLE",
+    }
+    # raise the bar: bi (count 2) drops to plain BIDI, rh/lh drop too
+    got3 = connectivity_sets(edges, verts, ["s1", "s2"], hot_threshold=3)
+    assert got3["bi"] == "BIDI" and got3["bh"] == "BIDI_HOT"
+    assert got3["rh"] == "REACHABLE" and got3["lh"] == "LINKING"
+
+    ranks = connectivity_rank_data(got3)
+    assert ranks["s1"] == 0 and ranks["bh"] == 16 and ranks["bi"] == 64
+    assert ranks["re"] == 80 and ranks["li"] == 96 and ranks["un"] == 255
