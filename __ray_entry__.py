@@ -414,6 +414,73 @@ def _ranked_search_set(sf_dir: str):
     return _search(sf_dir, "customer merge", filter_spec={"repos": top})
 
 
+# ---------------------------------------------------------------------------
+# document classification (classifier-net / NsfwDocumentFilter analog)
+
+# fixed unigram+bigram vocabulary over the corpus word pool
+# (ClassifierVocabulary shape: "a_b" entries are bigrams)
+CLS_VOCAB = [
+    "customer", "merge", "table", "scan", "filter", "window", "stream",
+    "batch", "data", "query", "sort", "join", "hash", "key", "order",
+    "group", "slow", "fast", "small", "big", "value", "line", "column",
+    "row", "part", "vector", "spark", "agg",
+    "customer_merge", "fast_table", "merge_sort", "window_stream",
+]
+CLS_HIDDEN = 6
+
+
+def _classifier_model():
+    from marginaliasearch_ray.functions.classifier import (
+        BinaryClassifierModel,
+    )
+
+    # deterministic Random(451) He/Glorot init — the exact weights the
+    # reference's forTraining() starts from, shared with the SQL oracle
+    return BinaryClassifierModel.for_training(
+        len(CLS_VOCAB), CLS_HIDDEN, "counted"
+    )
+
+
+def _classifier_featurized(sf_dir: str):
+    import ray.data
+
+    from marginaliasearch_ray.pipelines import classify
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return classify.featurize(ds, CLS_VOCAB)
+
+
+def _classifier_features_table(sf_dir: str):
+    """Exploded (doc_id, feature, cnt) featurization rows."""
+    import pyarrow as pa
+
+    rows = _classifier_featurized(sf_dir).take_all()
+    did, feat, cnt = [], [], []
+    for r in rows:
+        for f, c in zip(r["features"], r["counts"]):
+            did.append(int(r["doc_id"]))
+            feat.append(int(f))
+            cnt.append(int(c))
+    return pa.table(
+        {
+            "doc_id": pa.array(did, pa.int64()),
+            "feature": pa.array(feat, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        }
+    )
+
+
+def _classifier_scores_table(sf_dir: str):
+    from marginaliasearch_ray.pipelines import classify
+
+    scored = classify.classify(
+        _classifier_featurized(sf_dir), _classifier_model()
+    )
+    return scored.sort("doc_id")
+
+
 _HEADING_HANDLES: dict[str, Any] = {}
 
 
@@ -1300,6 +1367,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ranked_search_set"] = _ranked_search_set
     q["connectivity_sets"] = _connectivity_table
 
+    # document classification (classifier-net / NsfwDocumentFilter):
+    # distributed unigram+bigram featurization + actor-pool forward pass
+    # with the deterministic Random(451)-initialized model
+    q["classifier_features"] = _classifier_features_table
+    q["classifier_scores"] = _classifier_scores_table
+
     return _driver_window_order(q)
 
 
@@ -1361,6 +1434,9 @@ _DRIVER_WINDOW_FIRST = [
     "pagerank_weighted",
     "ranked_search_set",
     "connectivity_sets",
+    # NEW: document classification (classifier-net / NSFW-filter analog)
+    "classifier_features",
+    "classifier_scores",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -1384,8 +1460,10 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_verbatim_tags",
     "bm25_verbatim_tags_opt",
     "bm25_prox_all",
-    "bm25_head_weighted",
-    "bm25_nested",
+    # bm25_head_weighted + bm25_nested yield to the never-certified
+    # classifier entries: nested-tree aggregation stays certified via
+    # the in-window bm25_or_group (and bm25_or_flat, r03-green); head-tf
+    # weighting keeps its pytest vectors and the local sweep.
     # exact_dedup yields to the never-certified connectivity_sets: its
     # groupby-first-wins dedup machinery stays certified in-window via
     # export_shards, and the near-dup family is r03-green.
@@ -2279,6 +2357,84 @@ ORDER BY r.repo""",
     )
 
 
+def _cls_count_exprs() -> list[str]:
+    """Per-vocab-index count expressions over whitespace tokens — the
+    ClassifierVocabulary.countedFeatures replica (corpus tokens are
+    already lowercase/trimmed, so trimTerm is inert here; the pytest
+    suite covers trimming separately)."""
+    out = []
+    for j, term in enumerate(CLS_VOCAB):
+        if "_" in term:
+            a, b = term.split("_", 1)
+            out.append(
+                f"len([i for i in generate_series(1, len(toks) - 1)"
+                f" if toks[i] = '{a}' AND toks[i + 1] = '{b}'])"
+            )
+        else:
+            out.append(f"len(list_filter(toks, x -> x = '{term}'))")
+    return out
+
+
+def _classifier_sql(mode: str) -> str:
+    """SQL replica of the classifier pipeline: featurization counts and
+    the full forward pass (relu hidden + sigmoid output) with the
+    deterministic Random(451) initial weights inlined as literals —
+    BinaryClassifierModel.java:87-117 over ClassifierVocabulary counted
+    features with act = 1 - 2^(-cnt/2)."""
+    cnts = _cls_count_exprs()
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    if mode == "features":
+        legs = "\n      UNION ALL\n".join(
+            f"      SELECT doc_id, {j} AS feature, c{j} AS cnt"
+            f" FROM cnt WHERE c{j} > 0"
+            for j in range(len(CLS_VOCAB))
+        )
+        cols = ",\n       ".join(
+            f"{e} AS c{j}" for j, e in enumerate(cnts)
+        )
+        return f"""WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+cnt AS MATERIALIZED (
+  SELECT doc_id,
+       {cols}
+  FROM tk
+)
+SELECT doc_id, feature, cnt FROM (
+{legs}
+)"""
+    m = _classifier_model()
+    acts = ", ".join(
+        f"1.0 - power(2.0, -({e}) / 2.0) AS a{j}"
+        for j, e in enumerate(cnts)
+    )
+    total = " + ".join(f"({e})" for e in cnts)
+    zs = []
+    for i in range(m.m_hidden):
+        terms = " + ".join(
+            f"{m.w1[i, j]!r} * a{j}" for j in range(len(CLS_VOCAB))
+        )
+        zs.append(f"greatest(0.0, {m.b1[i]!r} + {terms}) AS h{i}")
+    z2 = " + ".join(f"{m.w2[i]!r} * h{i}" for i in range(m.m_hidden))
+    return f"""WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+act AS MATERIALIZED (
+  SELECT doc_id, {total} AS total, {acts}
+  FROM tk
+),
+hid AS MATERIALIZED (
+  SELECT doc_id, total, {", ".join(zs)}
+  FROM act
+),
+out AS (
+  SELECT doc_id, total,
+         1.0 / (1.0 + exp(-({m.b2!r} + {z2}))) AS y
+  FROM hid
+)
+SELECT doc_id,
+       round(CASE WHEN total = 0 THEN 0.0 ELSE y END, 6) AS score,
+       CAST(CASE WHEN total > 0 AND y > 0.5 THEN 1 ELSE 0 END
+            AS BIGINT) AS flagged
+FROM out ORDER BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
     sqls: dict[str, str] = {
@@ -2410,6 +2566,8 @@ def oracle_sql() -> dict[str, str]:
             ["customer", "merge"], sources_sql=_pagerank_sql("search_set")
         ),
         "connectivity_sets": _connectivity_sql(),
+        "classifier_features": _classifier_sql("features"),
+        "classifier_scores": _classifier_sql("scores"),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

@@ -210,6 +210,33 @@ def main(argv: list[str] | None = None) -> int:
     vs.add_argument("-k", type=int, default=10)
     vs.add_argument("--nprobe", type=int, default=4)
 
+    cl = sub.add_parser(
+        "classify",
+        help="document classification (classifier-net / NSFW-filter "
+             "analog): train a single-hidden-layer model from labeled "
+             "documents, or score a corpus with a saved model",
+    )
+    cl.add_argument("action", choices=["train", "score"])
+    cl.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, text)")
+    cl.add_argument("--vocab", required=True,
+                    help="vocabulary file: one term per line, 'a_b' for "
+                         "bigrams, # comments (ClassifierVocabulary "
+                         "format)")
+    cl.add_argument("--model", required=True,
+                    help="model parquet (output for train, input for "
+                         "score)")
+    cl.add_argument("--labels", default=None,
+                    help="train: parquet with (doc_id, label 0/1)")
+    cl.add_argument("--epochs", type=int, default=2000)
+    cl.add_argument("--lr", type=float, default=0.01)
+    cl.add_argument("--hidden", type=int, default=None,
+                    help="hidden layer size (default #samples/#vocab)")
+    cl.add_argument("--threshold", type=float, default=0.5)
+    cl.add_argument("--out", default=None,
+                    help="score: write (doc_id, score, flagged) parquet "
+                         "here instead of NDJSON on stdout")
+
     rk = sub.add_parser(
         "rank",
         help="domain ranking over the corpus link graph (PageRank / "
@@ -502,6 +529,75 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for row in res.take_all():
                     print(json.dumps(row))
+
+        elif args.cmd == "classify":
+            import ray.data
+
+            from .functions.classifier import BinaryClassifierModel
+            from .pipelines import classify as clf
+
+            with open(args.vocab) as f:
+                vocab = [
+                    ln.strip() for ln in f
+                    if ln.strip() and not ln.strip().startswith("#")
+                ]
+            ds = ray.data.read_parquet(
+                args.documents, columns=["doc_id", "text"]
+            )
+            feat = clf.featurize(ds, vocab)
+            if args.action == "train":
+                if not args.labels:
+                    p.error("classify train needs --labels")
+                import pyarrow.parquet as pq_
+
+                labels = {
+                    int(r["doc_id"]): float(r["label"])
+                    for r in pq_.read_table(
+                        args.labels, columns=["doc_id", "label"]
+                    ).to_pylist()
+                }
+                rows = [r for r in feat.sort("doc_id").take_all()
+                        if int(r["doc_id"]) in labels]
+                import pyarrow as pa_
+
+                labeled = pa_.table(
+                    {
+                        "features": pa_.array(
+                            [r["features"] for r in rows],
+                            pa_.list_(pa_.int64()),
+                        ),
+                        "counts": pa_.array(
+                            [r["counts"] for r in rows],
+                            pa_.list_(pa_.int64()),
+                        ),
+                        "label": pa_.array(
+                            [labels[int(r["doc_id"])] for r in rows],
+                            pa_.float64(),
+                        ),
+                    }
+                )
+                model = clf.train_classifier(
+                    labeled, len(vocab), m_hidden=args.hidden,
+                    epochs=args.epochs, lr=args.lr,
+                )
+                model.save(args.model)
+                print(json.dumps({
+                    "model": args.model, "samples": labeled.num_rows,
+                    "vocab": len(vocab), "hidden": model.m_hidden,
+                }))
+            else:  # score
+                model = BinaryClassifierModel.load(args.model)
+                scored = clf.classify(feat, model, threshold=args.threshold)
+                if args.out:
+                    scored.write_parquet(args.out)
+                    print(json.dumps({"out": args.out}))
+                else:
+                    for row in scored.sort("doc_id").take_all():
+                        print(json.dumps({
+                            "doc_id": int(row["doc_id"]),
+                            "score": float(row["score"]),
+                            "flagged": int(row["flagged"]),
+                        }))
 
         elif args.cmd == "rank":
             import ray.data
