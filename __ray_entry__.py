@@ -481,6 +481,91 @@ def _classifier_scores_table(sf_dir: str):
     return scored.sort("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# website adjacencies (export-task adjacencies process +
+# SimilarDomainsService) — co-citation cosine over the link graph
+
+# sf-scale parameters: the ring link graph's incident-source vectors
+# have 4-5 members (reference MIN_QUERY_CARDINALITY=10 would be vacuous
+# here — pytest covers the default), and at 0.1 every candidate passes
+# (0.35 exercises both cosine gates: ~1/3 of pairs are filtered)
+ADJ_MIN_CARD = 3
+ADJ_THRESHOLD = 0.35
+ADJ_COUNT = 25
+
+
+def _adj_neighbors(sf_dir: str):
+    from marginaliasearch_ray.pipelines import adjacencies
+
+    _repos, edges = _link_graph(sf_dir)
+    return adjacencies.domain_neighbors(
+        edges, min_card=ADJ_MIN_CARD, threshold=ADJ_THRESHOLD
+    )
+
+
+def _adj_pick_domain(edges) -> str:
+    """The deterministic service-query subject: the repo with the
+    largest incident-source vector (tie: name ascending) — replicated
+    in SQL by the oracle."""
+    card: dict[str, set] = {}
+    for s, d in zip(edges["src"].to_pylist(), edges["dst"].to_pylist()):
+        card.setdefault(d, {d}).add(s)
+    return min(card, key=lambda d: (-len(card[d]), d))
+
+
+def _adj_ranks(sf_dir: str) -> dict[str, float]:
+    """repo -> rank01 = DomainRankings scaled byte / 255 (the
+    EC_DOMAIN.RANK stand-in; repos outside the top-PAGERANK_DEPTH have
+    no entry and display the service's 0 default)."""
+    t = _pagerank_table(sf_dir)
+    return {
+        r: s / 255.0
+        for r, s in zip(
+            t["repo"].to_pylist(), t["rank_scaled"].to_pylist()
+        )
+    }
+
+
+def _domain_neighbors_table(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pa.concat_tables(
+        _adj_neighbors(sf_dir).iter_batches(batch_format="pyarrow")
+    )
+    return t.set_column(
+        t.schema.get_field_index("relatedness"),
+        "relatedness",
+        pc.round(t["relatedness"], 6),
+    )
+
+
+def _similar_domains_table(sf_dir: str):
+    from marginaliasearch_ray.pipelines import adjacencies
+
+    _repos, edges = _link_graph(sf_dir)
+    return adjacencies.similar_domains(
+        _adj_neighbors(sf_dir),
+        edges,
+        _adj_pick_domain(edges),
+        ADJ_COUNT,
+        ranks=_adj_ranks(sf_dir),
+    )
+
+
+def _linking_domains_table(sf_dir: str):
+    from marginaliasearch_ray.pipelines import adjacencies
+
+    _repos, edges = _link_graph(sf_dir)
+    return adjacencies.linking_domains(
+        _adj_neighbors(sf_dir),
+        edges,
+        _adj_pick_domain(edges),
+        ADJ_COUNT,
+        ranks=_adj_ranks(sf_dir),
+    )
+
+
 _HEADING_HANDLES: dict[str, Any] = {}
 
 
@@ -1373,6 +1458,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["classifier_features"] = _classifier_features_table
     q["classifier_scores"] = _classifier_scores_table
 
+    # website adjacencies: co-citation cosine neighbors (the
+    # EC_DOMAIN_NEIGHBORS_2 export) + the SimilarDomainsService reads
+    q["domain_neighbors"] = _domain_neighbors_table
+    q["similar_domains"] = _similar_domains_table
+    q["linking_domains"] = _linking_domains_table
+
     return _driver_window_order(q)
 
 
@@ -1437,6 +1528,10 @@ _DRIVER_WINDOW_FIRST = [
     # NEW: document classification (classifier-net / NSFW-filter analog)
     "classifier_features",
     "classifier_scores",
+    # NEW: website adjacencies (co-citation cosine) + similar-domains
+    "domain_neighbors",
+    "similar_domains",
+    "linking_domains",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -2302,6 +2397,150 @@ SELECT repo, pr, pos,
 FROM ranked WHERE pos < {PAGERANK_DEPTH} ORDER BY pos"""
 
 
+def _adjacency_sql(mode: str) -> str:
+    """SQL replica of the adjacencies pipeline: incident-source vectors
+    with self (AdjacenciesData.createBitmapWithSelf), the 10 000 hub cap
+    (isEligible), 1/ln(2+card) weights, the asymmetric cardMin filter,
+    both cosine gates, the per-domain top-128 cut
+    (WebsiteAdjacenciesCalculator.findAdjacentDtoS:84-125), and — for
+    the service modes — SimilarDomainsService.getSimilarDomains /
+    getLinkingDomains over the stored round(100·val) relatedness with
+    the shouldRemove post-filters.
+
+    ``mode``: 'neighbors' (the EC_DOMAIN_NEIGHBORS_2 table),
+    'similar', or 'linking' (service queries for the deterministic
+    max-cardinality subject domain)."""
+    base = f"""WITH links AS MATERIALIZED (
+  SELECT src, dst FROM ({_pagerank_sql("edges")})
+),
+mem AS (
+  SELECT dst AS dom, src AS member FROM links
+  UNION
+  SELECT DISTINCT dst, dst FROM links
+),
+card AS MATERIALIZED (SELECT dom, count(*)::BIGINT AS c FROM mem GROUP BY dom),
+wtab AS (SELECT dom AS member, 1.0 / ln(2 + c) AS wt
+         FROM card WHERE c < 10000),
+m2 AS MATERIALIZED (
+  SELECT m.dom, m.member, coalesce(wtab.wt, 0.0) AS wt
+  FROM mem m
+  JOIN card ON card.dom = m.dom AND card.c < 10000
+  LEFT JOIN wtab ON wtab.member = m.member
+),
+nrm AS MATERIALIZED (
+  SELECT dom, sum(wt) AS nrm, count(*)::BIGINT AS c FROM m2 GROUP BY dom
+),
+prs AS MATERIALIZED (
+  SELECT a.dom AS da, b.dom AS db,
+         count(*)::BIGINT AS andc, sum(a.wt) AS wprod
+  FROM m2 a JOIN m2 b ON a.member = b.member AND a.dom <> b.dom
+  GROUP BY a.dom, b.dom
+),
+sims AS (
+  SELECT p.da, p.db, p.wprod / sqrt(na.nrm * nb.nrm) AS val
+  FROM prs p
+  JOIN nrm na ON na.dom = p.da
+  JOIN nrm nb ON nb.dom = p.db
+  WHERE na.c >= {ADJ_MIN_CARD}
+    AND nb.c >= greatest(2, CAST(trunc(0.01 * na.c) AS INT))
+    AND (p.andc / sqrt(na.c)) / sqrt(nb.c) > {ADJ_THRESHOLD}
+    AND p.wprod / sqrt(na.nrm * nb.nrm) > {ADJ_THRESHOLD}
+),
+nbr AS MATERIALIZED (
+  SELECT da AS domain, db AS neighbor, val FROM (
+    SELECT da, db, val,
+           row_number() OVER (
+             PARTITION BY da ORDER BY round(val, 6) DESC, db) AS rn
+    FROM sims
+  ) WHERE rn <= 128
+)"""
+    if mode == "neighbors":
+        return base + (
+            "\nSELECT domain, neighbor, round(val, 6) AS relatedness"
+            " FROM nbr ORDER BY domain, neighbor"
+        )
+    svc = f""",
+pick AS (SELECT dom FROM card ORDER BY c DESC, dom LIMIT 1),
+rel AS MATERIALIZED (
+  SELECT least(domain, neighbor) AS lo, greatest(domain, neighbor) AS hi,
+         max(floor(100.0 * val + 0.5)) AS r
+  FROM nbr GROUP BY lo, hi HAVING max(floor(100.0 * val + 0.5)) > 0.1
+),
+rnk AS MATERIALIZED (
+  SELECT repo, floor(100.0 * (1.0 - rank_scaled / 255.0) + 0.5) AS svc_rank
+  FROM ({_pagerank_sql("plain")})
+)"""
+    decorate = """
+SELECT n AS neighbor, 'http://' || n || '/' AS url,
+       rel AS relatedness,
+       coalesce(rnk.svc_rank, 0.0) AS rank,
+       TRUE AS indexed, TRUE AS active, link_type
+FROM ordered LEFT JOIN rnk ON rnk.repo = ordered.n
+WHERE length(n) <= 32
+  AND NOT (link_type = 'NONE' AND rel <= 25)"""
+    if mode == "similar":
+        return base + svc + f""",
+adjn AS (
+  SELECT DISTINCT CASE WHEN domain = pick.dom THEN neighbor
+                       ELSE domain END AS n,
+         pick.dom AS pd
+  FROM nbr, pick WHERE domain = pick.dom OR neighbor = pick.dom
+),
+flagged AS (
+  SELECT a.n,
+         coalesce(r.r, 0.0) AS rel,
+         EXISTS (SELECT 1 FROM links
+                 WHERE src = a.pd AND dst = a.n) AS dto,
+         EXISTS (SELECT 1 FROM links
+                 WHERE src = a.n AND dst = a.pd) AS sto
+  FROM adjn a
+  LEFT JOIN rel r
+    ON r.lo = least(a.n, a.pd) AND r.hi = greatest(a.n, a.pd)
+),
+ordered AS (
+  SELECT n, rel,
+         CASE WHEN dto AND sto THEN 'BIDIRECTIONAL'
+              WHEN dto THEN 'FOWARD'
+              WHEN sto THEN 'BACKWARD'
+              ELSE 'NONE' END AS link_type
+  FROM (SELECT *, row_number() OVER (ORDER BY rel DESC, n) AS rn
+        FROM flagged)
+  WHERE rn <= {ADJ_COUNT}
+){decorate}"""
+    # linking
+    return base + svc + f""",
+cand AS (
+  SELECT DISTINCT CASE WHEN src = pick.dom THEN dst ELSE src END AS n,
+         pick.dom AS pd
+  FROM links, pick WHERE src = pick.dom OR dst = pick.dom
+),
+flagged AS (
+  SELECT a.n,
+         coalesce(r.r, 0.0) AS rel,
+         coalesce(rnk.svc_rank, 0.0) AS srank,
+         EXISTS (SELECT 1 FROM links
+                 WHERE src = a.pd AND dst = a.n) AS dto,
+         EXISTS (SELECT 1 FROM links
+                 WHERE src = a.n AND dst = a.pd) AS sto
+  FROM cand a
+  LEFT JOIN rel r
+    ON r.lo = least(a.n, a.pd) AND r.hi = greatest(a.n, a.pd)
+  LEFT JOIN rnk ON rnk.repo = a.n
+),
+ordered AS (
+  SELECT n, rel,
+         CASE WHEN dto AND sto THEN 'BIDIRECTIONAL'
+              WHEN dto THEN 'FOWARD'
+              WHEN sto THEN 'BACKWARD'
+              ELSE 'NONE' END AS link_type
+  FROM (SELECT *, row_number() OVER (
+          ORDER BY srank DESC, rel DESC,
+                   (dto::INT + sto::INT) DESC, n) AS rn
+        FROM flagged)
+  WHERE rn <= {ADJ_COUNT}
+){decorate}"""
+
+
 def _connectivity_sql() -> str:
     """SQL replica of ConnectivitySets.recalculate (:55-137): one-hop
     reachable/linking/bidi sets around the seed, seed-adjacency counts
@@ -2568,6 +2807,9 @@ def oracle_sql() -> dict[str, str]:
         "connectivity_sets": _connectivity_sql(),
         "classifier_features": _classifier_sql("features"),
         "classifier_scores": _classifier_sql("scores"),
+        "domain_neighbors": _adjacency_sql("neighbors"),
+        "similar_domains": _adjacency_sql("similar"),
+        "linking_domains": _adjacency_sql("linking"),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

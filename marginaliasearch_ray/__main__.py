@@ -262,6 +262,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write the top repos, one per line, as a "
                          "RankingSearchSet usable via query filter specs")
 
+    aj = sub.add_parser(
+        "adjacency",
+        help="co-citation domain similarity over the corpus link graph "
+             "(the adjacencies export process + SimilarDomainsService): "
+             "NDJSON neighbor rows on stdout",
+    )
+    aj.add_argument("action", choices=["neighbors", "similar", "linking"])
+    aj.add_argument("--documents", required=True,
+                    help="parquet with (doc_id, source, n_chars)")
+    aj.add_argument("--domain", default=None,
+                    help="similar/linking: the subject repo")
+    aj.add_argument("--count", type=int, default=25,
+                    help="similar/linking: result limit")
+    aj.add_argument("--min-card", type=int, default=10,
+                    help="minimum incident-source cardinality for a "
+                         "query domain (reference: 10)")
+    aj.add_argument("--threshold", type=float, default=0.1,
+                    help="cosine similarity gate (reference: 0.1)")
+    aj.add_argument("--top-n", type=int, default=128,
+                    help="neighbors kept per domain (reference: 128)")
+    aj.add_argument("--out", default=None,
+                    help="neighbors: write the table as parquet here "
+                         "instead of NDJSON on stdout")
+
     args = p.parse_args(argv)
     if args.cmd == "publish":  # pure file op — no Ray session needed
         from .state import manifest as mf
@@ -626,6 +650,47 @@ def main(argv: list[str] | None = None) -> int:
                 with open(args.search_set, "w") as f:
                     for repo in sorted(r for r, _s, _p in rows):
                         f.write(repo + "\n")
+
+        elif args.cmd == "adjacency":
+            import pyarrow as pa_
+            import ray.data
+
+            from .pipelines import adjacencies, ranking
+
+            ds = ray.data.read_parquet(
+                args.documents, columns=["doc_id", "source", "n_chars"]
+            )
+            edges = ranking.link_edges(ds)
+            nbr = adjacencies.domain_neighbors(
+                edges, min_card=args.min_card,
+                threshold=args.threshold, top_n=args.top_n,
+            )
+            if args.action == "neighbors":
+                if args.out:
+                    nbr.write_parquet(args.out)
+                    print(json.dumps({"out": args.out}))
+                else:
+                    for row in nbr.sort(
+                        ["domain", "neighbor"]
+                    ).take_all():
+                        print(json.dumps({
+                            "domain": row["domain"],
+                            "neighbor": row["neighbor"],
+                            "relatedness": round(
+                                float(row["relatedness"]), 6
+                            ),
+                        }))
+            else:
+                if not args.domain:
+                    p.error(f"adjacency {args.action} needs --domain")
+                fn = (adjacencies.similar_domains
+                      if args.action == "similar"
+                      else adjacencies.linking_domains)
+                t = fn(nbr, edges, args.domain, args.count)
+                for i in range(t.num_rows):
+                    print(json.dumps(
+                        {c: t[c][i].as_py() for c in t.column_names}
+                    ))
 
         elif args.cmd == "query":
             from .pipelines.query import IndexSearch

@@ -372,3 +372,46 @@ def test_cli_rank(ray_session, tmp_path, capsys):
     scores = pagerank(edges, repos, max_iterations=15, tolerance=0.0)
     want = rank_positions(repos, scores, 4)
     assert [(r["repo"], r["pr"], r["pos"]) for r in rows] == want
+
+
+def test_cli_adjacency(ray_session, tmp_path, capsys):
+    """`adjacency` — neighbors NDJSON matches the pipeline; similar/
+    linking decorate the subject domain's rows."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(80), pa.int64()),
+            "source": pa.array(
+                [f"r{str(i % 8)}" for i in range(80)], pa.string()
+            ),
+            "n_chars": pa.array([13 * i % 47 for i in range(80)], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+    out = _run(
+        ["adjacency", "neighbors", "--documents", path,
+         "--min-card", "2", "--threshold", "0.1"],
+        capsys,
+    )
+    rows = [json.loads(l) for l in out]
+    assert rows and all(r["relatedness"] > 0.1 for r in rows)
+    doms = {r["domain"] for r in rows}
+    subject = sorted(doms)[0]
+    out2 = _run(
+        ["adjacency", "similar", "--documents", path, "--min-card", "2",
+         "--threshold", "0.1", "--domain", subject, "--count", "3"],
+        capsys,
+    )
+    srows = [json.loads(l) for l in out2]
+    assert 0 < len(srows) <= 3
+    assert {"neighbor", "relatedness", "rank", "link_type"} <= set(srows[0])
+    out3 = _run(
+        ["adjacency", "linking", "--documents", path, "--min-card", "2",
+         "--threshold", "0.1", "--domain", subject],
+        capsys,
+    )
+    lrows = [json.loads(l) for l in out3]
+    assert lrows and all(
+        r["link_type"] in {"FOWARD", "BACKWARD", "BIDIRECTIONAL", "NONE"}
+        for r in lrows
+    )
