@@ -566,6 +566,53 @@ def _linking_domains_table(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# spell correction (assistant SpellChecker / vendored SymSpell)
+
+# corpus-token misspellings exercising distance 0 (exact early-exit),
+# 1 (delete / transpose), 2 (double delete), and a multi-candidate tie
+# ("sow" -> slow AND row at distance 1)
+SPELL_INPUTS = ["custmer", "mrege", "tabel", "qery", "batch", "tbl", "sow"]
+
+
+def _spell_suggest_table(sf_dir: str):
+    import ray.data
+
+    from marginaliasearch_ray.pipelines import spell
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    idx = spell.SpellIndex.build(spell.spell_dictionary(docs))
+    return idx.correct_many(SPELL_INPUTS)
+
+
+def _spell_sql() -> str:
+    """SQL replica of the SymSpell contract: all dictionary terms at
+    the minimal true Damerau-Levenshtein distance (<= 2) per input —
+    DuckDB's damerau_levenshtein implements the same H-matrix
+    unrestricted distance the vendored SymSpell ports (verified:
+    dl('ca','abc') = 2 on both sides)."""
+    vals = ", ".join(f"('{w}')" for w in SPELL_INPUTS)
+    return f"""WITH toks AS MATERIALIZED (
+  SELECT lower(t.tok) AS term, count(*)::BIGINT AS cnt
+  FROM documents d,
+       unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(tok)
+  GROUP BY term
+),
+inputs(input) AS (VALUES {vals}),
+cand AS MATERIALIZED (
+  SELECT i.input, t.term, t.cnt,
+         damerau_levenshtein(i.input, t.term)::BIGINT AS dist
+  FROM inputs i CROSS JOIN toks t
+  WHERE damerau_levenshtein(i.input, t.term) <= 2
+)
+SELECT c.input, c.term, c.cnt, c.dist
+FROM cand c
+WHERE c.dist = (SELECT min(dist) FROM cand c2 WHERE c2.input = c.input)
+ORDER BY input, term"""
+
+
 _HEADING_HANDLES: dict[str, Any] = {}
 
 
@@ -1464,6 +1511,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["similar_domains"] = _similar_domains_table
     q["linking_domains"] = _linking_domains_table
 
+    # spell correction (SymSpell symmetric-delete over the corpus dict)
+    q["spell_suggest"] = _spell_suggest_table
+
     return _driver_window_order(q)
 
 
@@ -1532,6 +1582,8 @@ _DRIVER_WINDOW_FIRST = [
     "domain_neighbors",
     "similar_domains",
     "linking_domains",
+    # NEW: SymSpell spell correction over the corpus dictionary
+    "spell_suggest",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -2810,6 +2862,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_neighbors": _adjacency_sql("neighbors"),
         "similar_domains": _adjacency_sql("similar"),
         "linking_domains": _adjacency_sql("linking"),
+        "spell_suggest": _spell_sql(),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

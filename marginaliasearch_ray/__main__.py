@@ -286,6 +286,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="neighbors: write the table as parquet here "
                          "instead of NDJSON on stdout")
 
+    sp = sub.add_parser(
+        "spell",
+        help="spell correction (the assistant SpellChecker / SymSpell "
+             "analog): build a symmetric-delete index from the corpus "
+             "or correct words against a saved one",
+    )
+    sp.add_argument("action", choices=["build", "correct"])
+    sp.add_argument("--index", required=True,
+                    help="index path prefix (two parquet files)")
+    sp.add_argument("--documents", default=None,
+                    help="build: parquet with a text column")
+    sp.add_argument("words", nargs="*",
+                    help="correct: words to look up")
+
     args = p.parse_args(argv)
     if args.cmd == "publish":  # pure file op — no Ray session needed
         from .state import manifest as mf
@@ -650,6 +664,34 @@ def main(argv: list[str] | None = None) -> int:
                 with open(args.search_set, "w") as f:
                     for repo in sorted(r for r, _s, _p in rows):
                         f.write(repo + "\n")
+
+        elif args.cmd == "spell":
+            from .pipelines import spell as sp_
+
+            if args.action == "build":
+                if not args.documents:
+                    p.error("spell build needs --documents")
+                import ray.data
+
+                docs = ray.data.read_parquet(
+                    args.documents, columns=["text"]
+                )
+                idx = sp_.SpellIndex.build(sp_.spell_dictionary(docs))
+                idx.save(args.index)
+                print(json.dumps({
+                    "index": args.index, "words": len(idx.words),
+                    "keys": len(idx.keys),
+                }))
+            else:  # correct — pure file op, SpellChecker.correct shape
+                idx = sp_.SpellIndex.load(args.index)
+                for w in args.words:
+                    print(json.dumps({
+                        "input": w,
+                        "suggestions": [
+                            {"term": t, "cnt": c, "dist": d}
+                            for t, c, d in idx.correct(w)
+                        ],
+                    }))
 
         elif args.cmd == "adjacency":
             import pyarrow as pa_

@@ -415,3 +415,26 @@ def test_cli_adjacency(ray_session, tmp_path, capsys):
         r["link_type"] in {"FOWARD", "BACKWARD", "BIDIRECTIONAL", "NONE"}
         for r in lrows
     )
+
+
+def test_cli_spell(ray_session, tmp_path, capsys):
+    """`spell build/correct` — SymSpell index lifecycle."""
+    docs = pa.table(
+        {"text": pa.array(["merge table query", "merge sort row"] * 3)}
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+    idx = str(tmp_path / "spellix")
+    out = _run(["spell", "build", "--documents", path, "--index", idx],
+               capsys)
+    meta = json.loads(out[-1])
+    assert meta["words"] == 5 and meta["keys"] > meta["words"]
+    out2 = _run(
+        ["spell", "correct", "mrege", "tabel", "zzz", "--index", idx],
+        capsys,
+    )
+    rows = {json.loads(l)["input"]: json.loads(l) for l in out2}
+    assert rows["mrege"]["suggestions"][0]["term"] == "merge"
+    assert rows["mrege"]["suggestions"][0]["dist"] == 1
+    assert rows["tabel"]["suggestions"][0]["term"] == "table"
+    assert rows["zzz"]["suggestions"] == []
