@@ -312,7 +312,10 @@ def run_bench() -> dict:
         lambda: events_ops.tumbling_window(SF_DIR, 3600).materialize(),
     )
 
-    def _pagerank():
+    # domain ranking: distributed edge extraction + driver iteration
+    edges_box = {}
+
+    def _pagerank_and_stash():
         import ray.data
 
         from marginaliasearch_ray.pipelines import ranking
@@ -322,11 +325,21 @@ def run_bench() -> dict:
             columns=["doc_id", "source", "n_chars"],
         )
         repos = ranking.corpus_repos(ds)
-        edges = ranking.link_edges(ds, repos)
-        return ranking.pagerank(edges, repos)
+        edges_box["edges"] = ranking.link_edges(ds, repos)
+        return ranking.pagerank(edges_box["edges"], repos)
 
-    # domain ranking: distributed edge extraction + driver iteration
-    timed("pagerank", _pagerank)
+    timed("pagerank", _pagerank_and_stash)
+
+    # co-citation adjacency over the already-extracted domain graph
+    # (by-member pair decomposition; sf-scale min_card/threshold)
+    def _adjacency():
+        from marginaliasearch_ray.pipelines import adjacencies
+
+        return adjacencies.domain_neighbors(
+            edges_box["edges"], min_card=3, threshold=0.35
+        ).materialize()
+
+    timed("adjacency", _adjacency)
 
     ray.shutdown()
 
