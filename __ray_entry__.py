@@ -1603,10 +1603,12 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_meta_rank",
     "bm25_ngram_all",
     "bm25_advice",
-    "bm25_page2",
-    "bm25_verbatim_tags",
-    "bm25_verbatim_tags_opt",
-    "bm25_prox_all",
+    # bm25_page2 + bm25_verbatim_tags(_opt) + bm25_prox_all yield to the
+    # never-certified adjacency/spell entries (the driver checks the
+    # first 50 only): all four are r02-green, re-verified in every local
+    # full sweep, and the verbatim/proximity score components stay
+    # value-certified in-window via bm25_explain's fx_* factor columns.
+    # They lead the round-5 rotation (IMPLEMENTATION_NOTES).
     # bm25_head_weighted + bm25_nested yield to the never-certified
     # classifier entries: nested-tree aggregation stays certified via
     # the in-window bm25_or_group (and bm25_or_flat, r03-green); head-tf
