@@ -597,7 +597,7 @@ def _spell_sql() -> str:
     return f"""WITH toks AS MATERIALIZED (
   SELECT lower(t.tok) AS term, count(*)::BIGINT AS cnt
   FROM documents d,
-       unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(tok)
+       unnest(regexp_extract_all(lower(d.text), '[a-z0-9_-]+')) AS t(tok)
   GROUP BY term
 ),
 inputs(input) AS (VALUES {vals}),
@@ -2703,10 +2703,10 @@ SELECT doc_id, feature, cnt FROM (
     zs = []
     for i in range(m.m_hidden):
         terms = " + ".join(
-            f"{m.w1[i, j]!r} * a{j}" for j in range(len(CLS_VOCAB))
+            f"{float(m.w1[i, j])!r} * a{j}" for j in range(len(CLS_VOCAB))
         )
-        zs.append(f"greatest(0.0, {m.b1[i]!r} + {terms}) AS h{i}")
-    z2 = " + ".join(f"{m.w2[i]!r} * h{i}" for i in range(m.m_hidden))
+        zs.append(f"greatest(0.0, {float(m.b1[i])!r} + {terms}) AS h{i}")
+    z2 = " + ".join(f"{float(m.w2[i])!r} * h{i}" for i in range(m.m_hidden))
     return f"""WITH tk AS (SELECT doc_id, {toks} AS toks FROM documents),
 act AS MATERIALIZED (
   SELECT doc_id, {total} AS total, {acts}
@@ -2718,7 +2718,7 @@ hid AS MATERIALIZED (
 ),
 out AS (
   SELECT doc_id, total,
-         1.0 / (1.0 + exp(-({m.b2!r} + {z2}))) AS y
+         1.0 / (1.0 + exp(-({float(m.b2)!r} + {z2}))) AS y
   FROM hid
 )
 SELECT doc_id,

@@ -187,9 +187,13 @@ class BinaryClassifierModel:
             if len(f) == 0:
                 empty[r] = True
             elif acts is None:
-                x[r, f] = 1.0
+                # accumulate (not assign): duplicate feature indices
+                # must contribute once each, as predict_one's
+                # w1[:, x].sum does (vocabulary output is deduplicated,
+                # but the public API accepts raw index lists)
+                np.add.at(x[r], f, 1.0)
             else:
-                x[r, f] = np.asarray(acts[r], dtype=np.float64)
+                np.add.at(x[r], f, np.asarray(acts[r], dtype=np.float64))
         a = np.maximum(x @ self.w1.T + self.b1, 0.0)
         y = 1.0 / (1.0 + np.exp(-(a @ self.w2 + self.b2)))
         y[empty] = 0.0
@@ -217,10 +221,14 @@ class BinaryClassifierModel:
 
         dl_dz2 = y - y0
         dl_dz1 = dl_dz2 * self.w2 * (z1 > 0.0)  # relu'
+        # ufunc .at accumulates per OCCURRENCE of an index — the Java
+        # loop subtracts once per occurrence, while a fancy-indexed
+        # `w1[:, x] -= ...` would silently drop duplicates (buffered
+        # scatter, last write wins); w1.T is a view, so this writes w1
         if act is None:
-            self.w1[:, x] -= lr * dl_dz1[:, None]
+            np.subtract.at(self.w1.T, x, lr * dl_dz1)
         else:
-            self.w1[:, x] -= lr * np.outer(dl_dz1, act)
+            np.subtract.at(self.w1.T, x, lr * np.outer(act, dl_dz1))
         self.b1 -= lr * dl_dz1
         self.w2 -= lr * dl_dz2 * a
         self.b2 -= lr * dl_dz2

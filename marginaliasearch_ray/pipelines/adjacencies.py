@@ -150,6 +150,10 @@ def domain_neighbors(
         .groupby(["dom", "member"])
         .count()  # distinct (dom, member): bitmap set semantics
         .select_columns(["dom", "member"])
+        # consumed three times below (cardinality rollup, weight+norm
+        # rollup, pair fan-out) — cache the distinct shuffle once
+        # instead of re-running the links scan + groupby per consumer
+        .materialize()
     )
 
     # per-domain cardinality / eligibility / weight / norm — the
@@ -179,7 +183,11 @@ def domain_neighbors(
             }
         )
 
-    mem_w = mem.map_batches(_with_weight, batch_format="pyarrow")
+    # cached too: consumed by the norm rollup and again by the pair
+    # fan-out below
+    mem_w = mem.map_batches(
+        _with_weight, batch_format="pyarrow"
+    ).materialize()
     norm_rows = mem_w.groupby("dom").aggregate(
         Sum("wt", alias_name="nrm")
     ).take_all()

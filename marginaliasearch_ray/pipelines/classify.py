@@ -33,26 +33,34 @@ def featurize(
     id_col: str = "doc_id",
 ):
     """(id, features list<int>, counts list<int>) per document — the
-    ClassifierVocabulary.countedFeatures pass as a distributed stage."""
+    ClassifierVocabulary.countedFeatures pass as a distributed stage.
+    Actor-pool: the O(V) unigram/bigram Vocabulary dicts are built once
+    per actor in __init__, not once per batch."""
 
-    def _feat(batch: pa.Table, terms: list[str]) -> pa.Table:
-        vocab = Vocabulary(terms)
-        feats = []
-        counts = []
-        for text in batch[text_col].to_pylist():
-            k, c = vocab.counted_features(text)
-            feats.append(k.tolist())
-            counts.append(c.tolist())
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "features": pa.array(feats, pa.list_(pa.int64())),
-                "counts": pa.array(counts, pa.list_(pa.int64())),
-            }
-        )
+    class _Featurize:
+        def __init__(self, terms: list[str]):
+            self.vocab = Vocabulary(terms)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            feats = []
+            counts = []
+            for text in batch[text_col].to_pylist():
+                k, c = self.vocab.counted_features(text)
+                feats.append(k.tolist())
+                counts.append(c.tolist())
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "features": pa.array(feats, pa.list_(pa.int64())),
+                    "counts": pa.array(counts, pa.list_(pa.int64())),
+                }
+            )
 
     return ds.map_batches(
-        _feat, batch_format="pyarrow", fn_kwargs={"terms": vocab_terms}
+        _Featurize,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"terms": vocab_terms},
     )
 
 

@@ -11,8 +11,12 @@ Reference semantics (``/root/reference/``):
   vendored engine: ``editDistanceMax=2``, ``verbose=1`` (all
   suggestions of the smallest edit distance, :36-40); dictionary terms
   come from ``parseWords`` = lowercased runs of ``[\\w-[\\d_]]+``
-  (ASCII ``\\w`` minus digits/underscore = ``[a-z]+`` after lowering,
-  :77-88) with occurrence counts; the index maps every delete variant
+  (:77-88).  NOTE: Java character classes treat nested ``[...]`` as
+  UNION (class subtraction is .NET syntax), so the class is
+  ``\\w ∪ '-' ∪ \\d ∪ '_'`` — i.e. ``[a-z0-9_-]+`` after lowering;
+  digits, underscores and hyphens stay INSIDE tokens (verified by
+  compiling the pattern in Java: "foo-bar abc123 under_score" →
+  [foo-bar][abc123][under_score]); the index maps every delete variant
   (depth <= 2, ``Edits:210-227``) of every dictionary word back to the
   word; ``Lookup:229-384`` explores delete variants of the INPUT in
   BFS order with min-distance pruning and scores candidates with TRUE
@@ -51,7 +55,8 @@ import numpy as np
 import pyarrow as pa
 
 EDIT_DISTANCE_MAX = 2  # SymSpell.java:36
-_WORD_RE = re.compile(r"[a-z]+")  # parseWords over lowered text (:83)
+# parseWords over lowered text (:83): Java [\w-[\d_]]+ = \w ∪ - ∪ \d ∪ _
+_WORD_RE = re.compile(r"[a-z0-9_-]+")
 
 
 def parse_words(text: str) -> list[str]:
@@ -169,6 +174,11 @@ class SpellIndex:
 
         if isinstance(dictionary, pa.Table):
             dictionary = ray.data.from_arrow(dictionary)
+        else:
+            # Both the fan-out and the dtab collection below consume the
+            # dictionary; without this the lazy upstream (full corpus
+            # tokenize + vocabulary groupby) would execute twice.
+            dictionary = dictionary.materialize()
 
         def _fanout(batch: pa.Table) -> pa.Table:
             keys, terms = [], []
@@ -186,9 +196,23 @@ class SpellIndex:
             )
 
         pairs = dictionary.map_batches(_fanout, batch_format="pyarrow")
-        ptab = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
-        dtab = pa.concat_tables(
-            dictionary.iter_batches(batch_format="pyarrow")
+        empty_pairs = pa.table(
+            {"key": pa.array([], pa.string()),
+             "term": pa.array([], pa.string())}
+        )
+        empty_dict = pa.table(
+            {"term": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+        # concat_tables rejects zero inputs — an empty corpus (no word
+        # runs at all) must yield an empty index, not a crash
+        pbatches = list(pairs.iter_batches(batch_format="pyarrow"))
+        ptab = pa.concat_tables(pbatches) if pbatches else empty_pairs
+        dbatches = list(dictionary.iter_batches(batch_format="pyarrow"))
+        dtab = (
+            pa.concat_tables(dbatches).select(["term", "cnt"])
+            if dbatches
+            else empty_dict
         )
         words = [str(w) for w in dtab["term"].to_pylist()]
         order = np.argsort(np.asarray(words, dtype=object))

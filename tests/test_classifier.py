@@ -122,6 +122,48 @@ def test_train_sample_matches_scalar_twin(mode):
     assert model.b2 == pytest.approx(twin_b2, abs=1e-12)
 
 
+@pytest.mark.parametrize("mode", ["binary", "counted"])
+def test_duplicate_feature_indices(mode):
+    """The public API accepts raw index lists with duplicates: the Java
+    loop accumulates once per OCCURRENCE.  A fancy-indexed `w1[:, x] -=`
+    would silently drop duplicates (buffered scatter); ufunc .at must
+    match the scalar twin, and predict_one == predict_batch."""
+    n, m = 7, 3
+    rng = np.random.default_rng(11)
+    samples = []
+    for _ in range(15):
+        k = int(rng.integers(2, 6))
+        x = np.sort(rng.choice(n, size=k, replace=True))  # dups likely
+        act = (
+            activation_from_count(rng.integers(1, 6, size=k))
+            if mode == "counted"
+            else None
+        )
+        samples.append((float(rng.integers(0, 2)), x, act))
+    assert any(len(np.unique(x)) < len(x) for _, x, _ in samples)
+
+    model = BinaryClassifierModel.for_training(n, m, mode)
+    twin_w1, twin_b1, twin_w2, twin_b2, twin_losses = _scalar_twin_train(
+        model, samples, 0.05
+    )
+    losses = [
+        model.train_sample(y0, x, act if mode == "counted" else None, 0.05)
+        for y0, x, act in samples
+    ]
+    assert np.allclose(losses, twin_losses, atol=1e-12)
+    assert np.allclose(model.w1, twin_w1, atol=1e-12)
+    assert np.allclose(model.b1, twin_b1, atol=1e-12)
+    assert np.allclose(model.w2, twin_w2, atol=1e-12)
+
+    # inference parity on duplicate indices
+    feats = [x for _, x, _ in samples]
+    acts = [a for _, _, a in samples] if mode == "counted" else None
+    ys = model.predict_batch(feats, acts)
+    for r, (_, x, a) in enumerate(samples):
+        one = model.predict_one(x, a if mode == "counted" else None)
+        assert ys[r] == pytest.approx(one, abs=1e-12)
+
+
 def test_training_converges_and_batch_parity(tmp_path):
     """Separable synthetic task: feature 0 => positive, feature 1 =>
     negative.  Training drives the loss down and classifies the training

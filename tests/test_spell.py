@@ -128,6 +128,19 @@ def test_save_load_roundtrip(ray_session, tmp_path):
     assert idx2.correct("mrege")[0][0] == "merge"  # transpose, dist 1
 
 
+def test_empty_dictionary_builds_empty_index(ray_session):
+    """A corpus with no word runs must yield an empty index, not an
+    ArrowInvalid from pa.concat_tables on zero batches."""
+    import ray.data
+
+    docs = ray.data.from_arrow(
+        pa.table({"text": pa.array(["!!! ???", ""], pa.string())})
+    )
+    idx = spell.SpellIndex.build(spell.spell_dictionary(docs))
+    assert len(idx.words) == 0
+    assert idx.correct("anything") == []
+
+
 def test_spell_dictionary_counts(ray_session):
     import ray.data
 
@@ -144,5 +157,6 @@ def test_spell_dictionary_counts(ray_session):
         r["term"]: r["cnt"]
         for r in spell.spell_dictionary(docs).take_all()
     }
-    # parseWords: lowercased [a-z]+ runs — digits/underscores split
-    assert rows == {"foo": 3, "bar": 2, "baz": 1}
+    # parseWords: lowercased [a-z0-9_-]+ runs (Java's [\w-[\d_]] is a
+    # class UNION) — digits/underscores/hyphens stay inside tokens
+    assert rows == {"foo": 2, "bar2": 1, "foo_baz": 1, "bar": 1}
