@@ -613,6 +613,91 @@ WHERE c.dist = (SELECT min(dist) FROM cand c2 WHERE c2.input = c.input)
 ORDER BY input, term"""
 
 
+# ---------------------------------------------------------------------------
+# typeahead suggestions (assistant Suggestions / PrefixSearchStructure)
+
+# deterministic inputs exercising every dispatch path: short buckets
+# (<= 8 chars), a long bucket (9..16), the >16-char filtered probe
+# ("customer customer" is a 17-char bigram phrase at every sf), and the
+# t: term search (multi-word entries only)
+SUGGEST_INPUTS = [
+    "scan",
+    "cust",
+    "customer cust",
+    "customer customer",
+    "merge",
+    "t:merge",
+]
+
+
+def _suggest_topk_table(sf_dir: str):
+    import ray.data
+
+    from marginaliasearch_ray.pipelines import suggest as sg
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    idx = sg.SuggestIndex.build(sg.suggest_dictionary(docs))
+    return idx.suggest_many(SUGGEST_INPUTS, k=10)
+
+
+def _suggest_sql() -> str:
+    """SQL replica of the suggestions contract: per input, the top-10
+    dictionary entries by (score desc, word asc) whose word (normal)
+    or any space-separated term (t: inputs) starts with the prefix;
+    dictionary = unigrams + adjacent bigram phrases with cnt > 1,
+    length > 3, junk filters (Suggestions.loadSuggestions)."""
+    rows = []
+    for w in SUGGEST_INPUTS:
+        if w.startswith("t:"):
+            rows.append(f"('{w}', true, '{w[2:]}')")
+        else:
+            rows.append(f"('{w}', false, '{w}')")
+    vals = ", ".join(rows)
+    return f"""WITH tk AS MATERIALIZED (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_-]+') AS t
+  FROM documents
+),
+uni AS (
+  SELECT u.tok AS word, count(*)::BIGINT AS cnt
+  FROM tk, unnest(t) AS u(tok) GROUP BY 1
+),
+sub AS (SELECT t, generate_subscripts(t, 1) AS i FROM tk),
+bi AS (
+  SELECT t[i] || ' ' || t[i+1] AS word, count(*)::BIGINT AS cnt
+  FROM sub WHERE i < len(t) GROUP BY 1
+),
+dict AS MATERIALIZED (
+  SELECT word, max(cnt)::BIGINT AS score FROM (
+    SELECT * FROM uni UNION ALL SELECT * FROM bi
+  )
+  WHERE cnt > 1 AND length(word) > 3
+    AND NOT starts_with(word, 'click here')
+    AND NOT starts_with(word, 'share ')
+    AND NOT contains(word, 'new window')
+    AND NOT contains(word, 'click to')
+  GROUP BY word
+),
+inputs(input, term_mode, pfx) AS (VALUES {vals}),
+cand AS (
+  SELECT i.input, d.word, d.score
+  FROM inputs i JOIN dict d ON
+    CASE WHEN i.term_mode THEN
+      contains(d.word, ' ') AND len(
+        list_filter(str_split(d.word, ' '),
+                    x -> starts_with(x, i.pfx))) > 0
+    ELSE starts_with(d.word, i.pfx) END
+),
+sel AS (
+  SELECT input, word, score, row_number() OVER (
+    PARTITION BY input ORDER BY score DESC, word) AS rn
+  FROM cand
+)
+SELECT input, word, score FROM sel WHERE rn <= 10
+ORDER BY input, score DESC, word"""
+
+
 _HEADING_HANDLES: dict[str, Any] = {}
 
 
@@ -1513,6 +1598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # spell correction (SymSpell symmetric-delete over the corpus dict)
     q["spell_suggest"] = _spell_suggest_table
+    # typeahead suggestions (assistant Suggestions service)
+    q["suggest_topk"] = _suggest_topk_table
 
     return _driver_window_order(q)
 
@@ -1584,6 +1671,11 @@ _DRIVER_WINDOW_FIRST = [
     "linking_domains",
     # NEW: SymSpell spell correction over the corpus dictionary
     "spell_suggest",
+    # NEW: typeahead suggestions (assistant Suggestions service);
+    # displaces bm25_advice from the 50-entry window — its advice
+    # query-parsing machinery stays certified via the r03-green
+    # bm25_advice_site, and it re-verifies in every local full sweep
+    "suggest_topk",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -2865,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "similar_domains": _adjacency_sql("similar"),
         "linking_domains": _adjacency_sql("linking"),
         "spell_suggest": _spell_sql(),
+        "suggest_topk": _suggest_sql(),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

@@ -300,7 +300,34 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("words", nargs="*",
                     help="correct: words to look up")
 
-    args = p.parse_args(argv)
+    sg = sub.add_parser(
+        "suggest",
+        help="typeahead suggestions (the assistant Suggestions / "
+             "PrefixSearchStructure analog): build a prefix index "
+             "from the corpus or complete prefixes against a saved one",
+    )
+    sg.add_argument("action", choices=["build", "complete"])
+    sg.add_argument("--index", required=True,
+                    help="index path prefix (one parquet file)")
+    sg.add_argument("--documents", default=None,
+                    help="build: parquet with a text column")
+    sg.add_argument("--k", type=int, default=10)
+    sg.add_argument("prefixes", nargs="*",
+                    help="complete: prefixes to look up (t:term for "
+                         "term search within multi-word entries)")
+
+    # parse_known_args + leftover routing: argparse binds a trailing
+    # nargs="*" positional at the FIRST positional chunk (the bare
+    # subcommand action), so lookup words given after --flags land in
+    # the unrecognized bucket — route them back to the list argument.
+    args, extra = p.parse_known_args(argv)
+    trailing = {"spell": "words", "suggest": "prefixes"}.get(
+        getattr(args, "cmd", None)
+    )
+    if extra and trailing and not any(a.startswith("-") for a in extra):
+        setattr(args, trailing, [*getattr(args, trailing), *extra])
+    elif extra:
+        p.error(f"unrecognized arguments: {' '.join(extra)}")
     if args.cmd == "publish":  # pure file op — no Ray session needed
         from .state import manifest as mf
 
@@ -690,6 +717,36 @@ def main(argv: list[str] | None = None) -> int:
                         "suggestions": [
                             {"term": t, "cnt": c, "dist": d}
                             for t, c, d in idx.correct(w)
+                        ],
+                    }))
+
+        elif args.cmd == "suggest":
+            from .pipelines import suggest as sg_
+
+            if args.action == "build":
+                if not args.documents:
+                    p.error("suggest build needs --documents")
+                import ray.data
+
+                docs = ray.data.read_parquet(
+                    args.documents, columns=["text"]
+                )
+                idx = sg_.SuggestIndex.build(
+                    sg_.suggest_dictionary(docs)
+                )
+                idx.save(args.index)
+                print(json.dumps({
+                    "index": args.index,
+                    "rows": len(idx.prefixes),
+                }))
+            else:  # complete — pure file op, getSuggestions shape
+                idx = sg_.SuggestIndex.load(args.index)
+                for q in args.prefixes:
+                    print(json.dumps({
+                        "input": q,
+                        "suggestions": [
+                            {"word": w, "score": s}
+                            for w, s in idx.suggest(q, args.k)
                         ],
                     }))
 
