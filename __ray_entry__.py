@@ -372,6 +372,34 @@ def _pagerank_table(
     )
 
 
+DOMAIN_INFO_PARTS = 4  # node-affinity modulus for the domain-info card
+
+
+def _domain_info_table(sf_dir: str):
+    """Per-domain info cards (DomainInformationService analog): page
+    counts, distinct link counts, node affinity, and the
+    round(100*(1-RANK)) display value with RANK = PageRank position /
+    rankMax (DbUpdateRanks) — oracle-pinned fixed-iteration PageRank."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines import domaininfo, ranking
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    repos, edges = _link_graph(sf_dir)
+    scores = ranking.pagerank(
+        edges, repos, max_iterations=PAGERANK_ITERS, tolerance=0.0
+    )
+    positions = ranking.rank_positions(repos, scores, PAGERANK_DEPTH)
+    return domaininfo.domain_info(
+        docs,
+        num_parts=DOMAIN_INFO_PARTS,
+        edges=edges,
+        rank_positions=positions,
+    )
+
+
 CONNECTIVITY_HOT = 2  # seed-adjacency hot threshold — the reference's 5
 #                       never fires with a 2-repo seed (max count = 4)
 
@@ -1600,6 +1628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["spell_suggest"] = _spell_suggest_table
     # typeahead suggestions (assistant Suggestions service)
     q["suggest_topk"] = _suggest_topk_table
+    # per-domain info cards (DomainInformationService)
+    q["domain_info"] = _domain_info_table
 
     return _driver_window_order(q)
 
@@ -1676,6 +1706,11 @@ _DRIVER_WINDOW_FIRST = [
     # query-parsing machinery stays certified via the r03-green
     # bm25_advice_site, and it re-verifies in every local full sweep
     "suggest_topk",
+    # NEW: per-domain info cards (DomainInformationService analog);
+    # displaces bm25_ngram_all from the 50-entry window — its ngram
+    # segmentation machinery stays certified via the in-window
+    # bm25_segmented, and it re-verifies in every local full sweep
+    "domain_info",
     # --- rotation: entries last driver-checked in r01/r02 (34) — the
     # scoring-variant family the r3 window displaced.  Deferred to the
     # tail (machinery covered by an in-window sibling): bm25_expanded_off,
@@ -2760,6 +2795,51 @@ def _cls_count_exprs() -> list[str]:
     return out
 
 
+def _domain_info_sql() -> str:
+    """SQL replica of the domain-info card (DomainInformationService):
+    per-domain page counts (known / fetched / indexed-by-tokenizer),
+    DISTINCT link-pair counts from the derived edge list, node affinity
+    = sorted-ordinal % parts (DomainRegistry), and the ranking display
+    round(100*(1-RANK)) with RANK = PageRank position / rankMax and the
+    DbUpdateRanks reset value 1 for unranked domains.  floor(x+0.5)
+    replicates Java Math.round / the engine's numpy formula exactly."""
+    tok = _tok("text")
+    return f"""WITH stats AS MATERIALIZED (
+  SELECT source AS domain,
+         count(*)::BIGINT AS pages_known,
+         sum(CASE WHEN text IS NOT NULL AND text <> ''
+             THEN 1 ELSE 0 END)::BIGINT AS pages_fetched,
+         sum(CASE WHEN text IS NOT NULL AND len({tok}) > 0
+             THEN 1 ELSE 0 END)::BIGINT AS pages_indexed
+  FROM documents GROUP BY source
+),
+di_edges AS MATERIALIZED (SELECT src, dst FROM ({_pagerank_sql("edges")})),
+inl AS (SELECT dst AS domain, count(*)::BIGINT AS c
+        FROM di_edges GROUP BY dst),
+outl AS (SELECT src AS domain, count(*)::BIGINT AS c
+         FROM di_edges GROUP BY src),
+rkt AS MATERIALIZED (SELECT repo, pos FROM ({_pagerank_sql("plain")})),
+rmax AS (SELECT count(*)::DOUBLE AS m FROM rkt),
+doms AS (
+  SELECT domain, row_number() OVER (ORDER BY domain) - 1 AS idx FROM stats
+)
+SELECT d.domain,
+       (d.idx % {DOMAIN_INFO_PARTS})::BIGINT AS node_affinity,
+       s.pages_known, s.pages_fetched, s.pages_indexed,
+       coalesce(inl.c, 0)::BIGINT AS incoming_links,
+       coalesce(outl.c, 0)::BIGINT AS outgoing_links,
+       CAST(floor(100.0 * (1.0 - CASE WHEN rkt.pos IS NOT NULL
+             THEN rkt.pos / (SELECT m FROM rmax) ELSE 1.0 END) + 0.5)
+         AS BIGINT) AS ranking,
+       (s.pages_fetched = 0) AS suggest_for_crawling
+FROM doms d
+JOIN stats s ON s.domain = d.domain
+LEFT JOIN inl ON inl.domain = d.domain
+LEFT JOIN outl ON outl.domain = d.domain
+LEFT JOIN rkt ON rkt.repo = d.domain
+ORDER BY d.domain"""
+
+
 def _classifier_sql(mode: str) -> str:
     """SQL replica of the classifier pipeline: featurization counts and
     the full forward pass (relu hidden + sigmoid output) with the
@@ -2958,6 +3038,7 @@ def oracle_sql() -> dict[str, str]:
         "linking_domains": _adjacency_sql("linking"),
         "spell_suggest": _spell_sql(),
         "suggest_topk": _suggest_sql(),
+        "domain_info": _domain_info_sql(),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

@@ -316,14 +316,28 @@ def main(argv: list[str] | None = None) -> int:
                     help="complete: prefixes to look up (t:term for "
                          "term search within multi-word entries)")
 
+    di = sub.add_parser(
+        "domaininfo",
+        help="per-domain info cards (the DomainInformationService "
+             "analog): page counts, link counts, rank display value",
+    )
+    di.add_argument("--documents", required=True,
+                    help="parquet with doc_id/source/text/n_chars columns")
+    di.add_argument("--parts", type=int, default=4,
+                    help="node-affinity modulus (index partition count)")
+    di.add_argument("--depth", type=int, default=None,
+                    help="PageRank ranking depth (default: all domains)")
+    di.add_argument("domains", nargs="*",
+                    help="domains to print (default: every domain)")
+
     # parse_known_args + leftover routing: argparse binds a trailing
     # nargs="*" positional at the FIRST positional chunk (the bare
     # subcommand action), so lookup words given after --flags land in
     # the unrecognized bucket — route them back to the list argument.
     args, extra = p.parse_known_args(argv)
-    trailing = {"spell": "words", "suggest": "prefixes"}.get(
-        getattr(args, "cmd", None)
-    )
+    trailing = {
+        "spell": "words", "suggest": "prefixes", "domaininfo": "domains",
+    }.get(getattr(args, "cmd", None))
     if extra and trailing and not any(a.startswith("-") for a in extra):
         setattr(args, trailing, [*getattr(args, trailing), *extra])
     elif extra:
@@ -749,6 +763,28 @@ def main(argv: list[str] | None = None) -> int:
                             for w, s in idx.suggest(q, args.k)
                         ],
                     }))
+
+        elif args.cmd == "domaininfo":
+            import ray.data
+
+            from .pipelines import domaininfo as di_
+            from .pipelines import ranking as rk_
+
+            docs = ray.data.read_parquet(
+                args.documents,
+                columns=["doc_id", "source", "text", "n_chars"],
+            )
+            depth = args.depth
+            if depth is None:
+                depth = rk_.MAX_MEANINGFUL_RANK
+            info = di_.domain_info(
+                docs, num_parts=args.parts, rank_depth=depth
+            )
+            wanted = args.domains or info["domain"].to_pylist()
+            for d in wanted:
+                row = di_.domain_info_for(info, d)
+                print(json.dumps(row if row is not None
+                                 else {"domain": d, "error": "unknown"}))
 
         elif args.cmd == "adjacency":
             import pyarrow as pa_
