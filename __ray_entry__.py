@@ -726,6 +726,164 @@ SELECT input, word, score FROM sel WHERE rn <= 10
 ORDER BY input, score DESC, word"""
 
 
+# ---------------------------------------------------------------------------
+# math eval + unit conversion (assistant math function)
+
+# expressions covering every parser path: precedence, parens, unary
+# minus (leading / after operator), functions (parenthesized + juxta-
+# posed), constants, left-associative folding of ^, chained - and /
+MATH_EXPRS = [
+    "3+5",
+    "1+(300+log(5))",
+    "sqrt(1+300)",
+    "sqrt(pi)",
+    "3+5-5",
+    "3+-5+5",
+    "3+-5+log 5",
+    "(3.5 + 2)*3",
+    "-pi",
+    "2*3+4*5",
+    "2^3^2",
+    "2^10",
+    "10/4",
+    "100-20-30",
+    "8/2/2",
+    # NOTE: "log10(...)"/"log2(...)" are unparseable in the reference
+    # too — its tokenizer splits alpha runs at digits, so those
+    # evalFunction branches are dead code (MathParser.java:213-229)
+    "sqrt 16",
+    "sin(1)+cos(1)+tan(1)",
+]
+
+# (value, from, to) covering linear conversions across magnitudes, the
+# same-unit echo, and every temperature formula branch
+UNIT_CASES = [
+    ("3.33", "cm", "m"),
+    ("10", "km", "ft"),
+    ("10", "oz", "tons"),
+    ("10", "pc", "in"),
+    ("2.5", "hours", "min"),
+    ("50", "K", "K"),
+    ("50", "F", "K"),
+    ("50", "C", "K"),
+    ("50", "K", "F"),
+    ("50", "C", "F"),
+    ("50", "K", "C"),
+    ("50", "F", "C"),
+]
+
+# SQL twin of each MATH_EXPRS entry (DuckDB arithmetic over DOUBLEs;
+# log is the natural log, ^ folds left-associatively)
+_MATH_SQL_EXPRS = [
+    "3::DOUBLE + 5",
+    "1::DOUBLE + (300 + ln(5::DOUBLE))",
+    "sqrt(301::DOUBLE)",
+    "sqrt(pi())",
+    "3::DOUBLE + 5 - 5",
+    "3::DOUBLE + (-5) + 5",
+    "3::DOUBLE + (-5) + ln(5::DOUBLE)",
+    "(3.5::DOUBLE + 2) * 3",
+    "-pi()",
+    "2::DOUBLE * 3 + 4 * 5",
+    "pow(pow(2::DOUBLE, 3), 2)",
+    "pow(2::DOUBLE, 10)",
+    "10::DOUBLE / 4",
+    "100::DOUBLE - 20 - 30",
+    "8::DOUBLE / 2 / 2",
+    "sqrt(16::DOUBLE)",
+    "sin(1::DOUBLE) + cos(1::DOUBLE) + tan(1::DOUBLE)",
+]
+
+
+def _math_eval_table(sf_dir: str):
+    """(expr, value) for the fixed expression list — corpus-independent
+    scalar service (MathParser.eval), values rounded like the oracle."""
+    import pyarrow as pa
+
+    from marginaliasearch_ray.functions import matheval as me
+
+    return pa.table(
+        {
+            "expr": pa.array(MATH_EXPRS, pa.string()),
+            "value": pa.array(
+                [round(me.eval_math(e), 9) for e in MATH_EXPRS],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _unit_convert_table(sf_dir: str):
+    """(value, from_unit, to_unit, converted) for the fixed case list —
+    Units.convert numeric semantics (the DecimalFormat display string is
+    pytest-pinned; it has no faithful SQL replica)."""
+    import pyarrow as pa
+
+    from marginaliasearch_ray.functions import matheval as me
+
+    return pa.table(
+        {
+            "value": pa.array([v for v, _f, _t in UNIT_CASES], pa.string()),
+            "from_unit": pa.array(
+                [f for _v, f, _t in UNIT_CASES], pa.string()
+            ),
+            "to_unit": pa.array([t for _v, _f, t in UNIT_CASES], pa.string()),
+            "converted": pa.array(
+                [
+                    round(
+                        me.convert_unit_value(me.eval_math(v), f, t), 9
+                    )
+                    for v, f, t in UNIT_CASES
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _math_sql() -> str:
+    rows = ", ".join(
+        f"('{e}', round({s}, 9))"
+        for e, s in zip(MATH_EXPRS, _MATH_SQL_EXPRS)
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(expr, value) ORDER BY expr"
+    )
+
+
+def _units_sql() -> str:
+    """Independent SQL twin of the conversion arithmetic: base values
+    inlined as DOUBLE literals (the classifier-weights precedent) with
+    the linear formula or the matching affine temperature branch."""
+    from marginaliasearch_ray.functions.matheval import _UNITS_BY_NAME
+
+    temp_fmla = {
+        ("C", "K"): "{v} + 273.15",
+        ("C", "F"): "32.0 + 9 * {v} / 5",
+        ("F", "C"): "5 * ({v} - 32.0) / 9",
+        ("F", "K"): "5 * ({v} - 32.0) / 9 + 273.15",
+        ("K", "C"): "{v} - 273.15",
+        ("K", "F"): "32.0 + 9 * ({v} - 273.15) / 5",
+    }
+    rows = []
+    for v, f, t in UNIT_CASES:
+        fu = _UNITS_BY_NAME[f.lower()]
+        tu = _UNITS_BY_NAME[t.lower()]
+        vd = f"{v}::DOUBLE"
+        if fu is tu:
+            expr = vd
+        elif fu.type == "TEMPERATURE":
+            expr = temp_fmla[(fu.name, tu.name)].format(v=vd)
+        else:
+            expr = f"{fu.base!r}::DOUBLE * {vd} / {tu.base!r}::DOUBLE"
+        rows.append(f"('{v}', '{f}', '{t}', round({expr}, 9))")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS "
+        "t(value, from_unit, to_unit, converted) "
+        "ORDER BY from_unit, to_unit, value"
+    )
+
+
 _HEADING_HANDLES: dict[str, Any] = {}
 
 
@@ -1630,6 +1788,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["suggest_topk"] = _suggest_topk_table
     # per-domain info cards (DomainInformationService)
     q["domain_info"] = _domain_info_table
+    # math eval + unit conversion (assistant math function) — tail
+    # entries by design: scalar services, pytest-pinned formatting,
+    # verified by the local full sweep without spending window slots
+    q["math_eval"] = _math_eval_table
+    q["unit_convert"] = _unit_convert_table
 
     return _driver_window_order(q)
 
@@ -3039,6 +3202,8 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggest": _spell_sql(),
         "suggest_topk": _suggest_sql(),
         "domain_info": _domain_info_sql(),
+        "math_eval": _math_sql(),
+        "unit_convert": _units_sql(),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

@@ -316,6 +316,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="complete: prefixes to look up (t:term for "
                          "term search within multi-word entries)")
 
+    ma = sub.add_parser(
+        "math",
+        help="math expression eval + unit conversion (the assistant "
+             "math function): math eval EXPR... | math convert V FROM TO",
+    )
+    ma.add_argument("action", choices=["eval", "convert"])
+    ma.add_argument("operands", nargs="*",
+                    help="eval: expressions; convert: VALUE FROM TO")
+
     di = sub.add_parser(
         "domaininfo",
         help="per-domain info cards (the DomainInformationService "
@@ -337,6 +346,7 @@ def main(argv: list[str] | None = None) -> int:
     args, extra = p.parse_known_args(argv)
     trailing = {
         "spell": "words", "suggest": "prefixes", "domaininfo": "domains",
+        "math": "operands",
     }.get(getattr(args, "cmd", None))
     if extra and trailing and not any(a.startswith("-") for a in extra):
         setattr(args, trailing, [*getattr(args, trailing), *extra])
@@ -349,6 +359,23 @@ def main(argv: list[str] | None = None) -> int:
             "chain": mf.publish_chain(args.segment, args.chain),
             "segments": [str(s) for s in args.segment],
         }))
+        return 0
+    if args.cmd == "math":  # pure scalar service — no Ray session needed
+        from .functions import matheval as me
+
+        if args.action == "eval":
+            for e in args.operands:
+                print(json.dumps(
+                    {"expr": e, "result": me.eval_math_formatted(e)}
+                ))
+        else:
+            if len(args.operands) != 3:
+                p.error("math convert needs VALUE FROM_UNIT TO_UNIT")
+            v, f, t = args.operands
+            print(json.dumps(
+                {"value": v, "from": f, "to": t,
+                 "result": me.convert_unit(v, f, t)}
+            ))
         return 0
     if args.cmd == "stats":  # pure file op — no Ray session needed
         from .state import manifest as mf

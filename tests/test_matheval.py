@@ -1,0 +1,109 @@
+"""Math parser + unit conversion tests pinning the reference behavior
+(MathParser.java / Units.java + units.csv): evaluation semantics,
+US-locale DecimalFormat quirks (grouping, HALF_UP vs HALF_EVEN,
+integer-digit truncation), and every temperature branch."""
+
+import math
+
+import pytest
+
+from marginaliasearch_ray.functions import matheval as me
+
+
+# (expression, eval value or None-for-raise, formatted string)
+EVAL_CASES = [
+    ("3+5", 8.0, "8"),
+    ("1+(300+log(5))", 301 + math.log(5), "302.609438"),
+    ("sqrt(1+300)", math.sqrt(301), "17.349352"),
+    ("sqrt(pi)", math.sqrt(math.pi), "1.772454"),
+    ("3+5-5", 3.0, "3"),
+    ("3+-5+5", 3.0, "3"),
+    ("3+-5+log 5", -2 + math.log(5), "-0.390562"),
+    ("(3.5 + 2)*3", 16.5, "16.5"),
+    ("-pi", -math.pi, "-3.141593"),
+    ("2*3+4*5", 26.0, "26"),
+    ("2^3^2", 64.0, "64"),  # left-associative list folding
+    ("2^10", 1024.0, "1,024"),  # US grouping
+    ("10/4", 2.5, "2.5"),
+    ("100-20-30", 50.0, "50"),
+    ("8/2/2", 2.0, "2"),
+    ("sqrt 16", 4.0, "4"),  # juxtaposed function application
+    ("3.5", 3.5, "3.5"),  # trivial fast path
+    (".5", 0.5, "0.5"),
+    ("e", math.e, "2.718282"),
+]
+
+
+@pytest.mark.parametrize("expr,val,formatted", EVAL_CASES)
+def test_eval(expr, val, formatted):
+    assert me.eval_math(expr) == pytest.approx(val, abs=0, rel=1e-15)
+    assert me.eval_math_formatted(expr) == formatted
+
+
+def test_nan_paths():
+    # x/0 and %0 yield NaN (BiExpression:368-380); log of a negative
+    # does too (Math.log semantics)
+    assert math.isnan(me.eval_math("1/0"))
+    assert math.isnan(me.eval_math("log -5"))
+    assert me.eval_math_formatted("1/0") == "NaN"
+
+
+def test_parse_errors_format_empty():
+    # evalFormatted catches ParseException -> ""
+    assert me.eval_math_formatted("3..5+1") == ""
+    assert me.eval_math_formatted("3 ? 5") == ""
+
+
+def test_unbalanced_and_unevaluable_raise():
+    with pytest.raises(me.MathParseError):
+        me.eval_math("(3+5")
+    with pytest.raises(me.MathParseError):
+        me.eval_math("3+5)")
+    # "2pi" splits into [2, pi]: the constants-map "2pi" entry is
+    # unreachable in the reference too -> unevaluable group
+    with pytest.raises(ValueError):
+        me.eval_math("2pi")
+    # log10/log2 are dead switch branches: alpha runs stop at digits
+    with pytest.raises(ValueError):
+        me.eval_math("log10(1000)")
+
+
+# UnitsTest.java cases with the exact DecimalFormat output quirks:
+# maxIntegerDigits = 1+trunc(log10) suppresses the integer part of
+# sub-1 results (".0333"), maxFractionDigits = 1+sigFigs-trunc(log10)
+# clamps at 0, grouping is on, rounding is HALF_EVEN
+CONVERT_CASES = [
+    ("3.33", "cm", "m", ".0333 m"),
+    ("10", "km", "ft", "32,808 ft"),
+    ("10", "oz", "tons", ".000283 metric tons"),
+    ("10", "pc", "in", "12,148,336,929,133,858,816 in"),
+    ("2.5", "hours", "min", "150 min"),
+    ("50", "K", "K", "50 K"),  # same-unit echoes the input string
+    ("50", "F", "K", "283.1 K"),
+    ("50", "C", "K", "323.1 K"),
+    ("50", "K", "F", "-369.7 F"),
+    ("50", "F", "F", "50 F"),
+    ("50", "C", "F", "122 F"),
+    ("50", "K", "C", "-223.1 C"),
+    ("50", "F", "C", "10 C"),
+    ("50", "C", "C", "50 C"),
+    ("1000", "Meters", "KM", "1 km"),  # alias lookup is case-blind
+]
+
+
+@pytest.mark.parametrize("v,f,t,expected", CONVERT_CASES)
+def test_convert(v, f, t, expected):
+    assert me.convert_unit(v, f, t) == expected
+
+
+def test_convert_rejects():
+    assert me.convert_unit("5", "kg", "mile") is None  # type mismatch
+    assert me.convert_unit("5", "xx", "m") is None  # unknown unit
+    assert me.convert_unit("nonsense", "cm", "m") is None  # bad value
+
+
+def test_convert_value_numeric():
+    assert me.convert_unit_value(10.0, "km", "m") == 10000.0
+    assert me.convert_unit_value(50.0, "C", "K") == 323.15
+    assert me.convert_unit_value(1.0, "day", "s") == 864000.0  # sic
+    assert me.convert_unit_value(1.0, "kg", "m") is None
