@@ -655,6 +655,8 @@ SUGGEST_INPUTS = [
     "customer customer",
     "merge",
     "t:merge",
+    # 2-char term search: the MIN length gate counts the "t:" marker
+    "t:me",
 ]
 
 

@@ -344,13 +344,21 @@ def main(argv: list[str] | None = None) -> int:
     # subcommand action), so lookup words given after --flags land in
     # the unrecognized bucket — route them back to the list argument.
     args, extra = p.parse_known_args(argv)
-    trailing = {
-        "spell": "words", "suggest": "prefixes", "domaininfo": "domains",
-        "math": "operands",
-    }.get(getattr(args, "cmd", None))
+    cmd_ = getattr(args, "cmd", None)
+    act_ = getattr(args, "action", None)
+    if cmd_ == "spell" and act_ == "correct":
+        trailing = "words"
+    elif cmd_ == "suggest" and act_ == "complete":
+        trailing = "prefixes"
+    elif cmd_ in ("domaininfo", "math"):  # every action takes operands
+        trailing = "domains" if cmd_ == "domaininfo" else "operands"
+    else:
+        trailing = None
     if extra and trailing and not any(a.startswith("-") for a in extra):
         setattr(args, trailing, [*getattr(args, trailing), *extra])
     elif extra:
+        # build-style actions take no lookup operands: keep argparse's
+        # hard error so stray positionals stay loud
         p.error(f"unrecognized arguments: {' '.join(extra)}")
     if args.cmd == "publish":  # pure file op — no Ray session needed
         from .state import manifest as mf
@@ -365,9 +373,12 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.action == "eval":
             for e in args.operands:
-                print(json.dumps(
-                    {"expr": e, "result": me.eval_math_formatted(e)}
-                ))
+                try:
+                    print(json.dumps(
+                        {"expr": e, "result": me.eval_math_formatted(e)}
+                    ))
+                except me.MathEvalError as ex:  # IllegalArgumentException
+                    print(json.dumps({"expr": e, "error": str(ex)}))
         else:
             if len(args.operands) != 3:
                 p.error("math convert needs VALUE FROM_UNIT TO_UNIT")
@@ -807,11 +818,15 @@ def main(argv: list[str] | None = None) -> int:
             info = di_.domain_info(
                 docs, num_parts=args.parts, rank_depth=depth
             )
-            wanted = args.domains or info["domain"].to_pylist()
-            for d in wanted:
-                row = di_.domain_info_for(info, d)
-                print(json.dumps(row if row is not None
-                                 else {"domain": d, "error": "unknown"}))
+            if args.domains:
+                for d in args.domains:
+                    row = di_.domain_info_for(info, d)
+                    print(json.dumps(row if row is not None
+                                     else {"domain": d, "error": "unknown"}))
+            else:  # full table: one pass, not a per-domain lookup loop
+                cols = {n: info[n].to_pylist() for n in info.column_names}
+                for i in range(len(info)):
+                    print(json.dumps({n: cols[n][i] for n in cols}))
 
         elif args.cmd == "adjacency":
             import pyarrow as pa_

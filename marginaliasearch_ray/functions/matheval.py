@@ -34,17 +34,31 @@ from __future__ import annotations
 
 import math
 import re
+import unicodedata
 from decimal import ROUND_HALF_EVEN, ROUND_HALF_UP, Decimal
+
+import numpy as np
 
 _TRIVIAL_RE = re.compile(r"([0-9]+\.[0-9]*|\.[0-9]+)")
 
 CONSTANTS = {"e": math.e, "pi": math.pi, "2pi": 2 * math.pi}
 
+
+def _ieee(fn):
+    """Wrap a numpy scalar kernel so domain/overflow follow IEEE-754 —
+    Java's Math.* semantics: log(0) = -inf, log(-x) = NaN, sqrt(-x) =
+    NaN, pow overflow = ±inf — where Python's math module raises."""
+    def call(v: float) -> float:
+        with np.errstate(all="ignore"):
+            return float(fn(np.float64(v)))
+    return call
+
+
 _FUNCTIONS = {
-    "sqrt": math.sqrt,
-    "log": math.log,
-    "log10": math.log10,
-    "log2": lambda v: math.log(v) / math.log(2.0),
+    "sqrt": _ieee(np.sqrt),
+    "log": _ieee(np.log),
+    "log10": _ieee(np.log10),
+    "log2": _ieee(lambda v: np.log(v) / np.log(np.float64(2.0))),
     "cos": math.cos,
     "sin": math.sin,
     "tan": math.tan,
@@ -52,7 +66,19 @@ _FUNCTIONS = {
 
 
 class MathParseError(ValueError):
-    """ParseException analog (malformed number / unknown character)."""
+    """ParseException analog (malformed number / unknown character) —
+    caught by eval_math_formatted, which returns ''."""
+
+
+class MathNumberError(ValueError):
+    """NumberFormatException analog (unparseable numeric token) — also
+    caught by eval_math_formatted."""
+
+
+class MathEvalError(ValueError):
+    """IllegalArgumentException analog (unbalanced parentheses,
+    unevaluable token group, unknown function) — NOT caught by
+    eval_math_formatted, mirroring the reference's error contract."""
 
 
 # --- token tree (Token / StringToken / UniExpression / GroupExpression /
@@ -66,7 +92,7 @@ class _Tok:
         self.type = type_
 
     def evaluate(self) -> float:
-        raise ValueError(f"Can't evaluate {self!r}")
+        raise MathEvalError(f"Can't evaluate {self!r}")
 
     def transform(self, mapper) -> None:
         pass
@@ -83,7 +109,10 @@ class _Str(_Tok):
         cv = CONSTANTS.get(self.value)
         if cv is not None:
             return cv
-        return float(self.value)
+        try:
+            return float(self.value)
+        except ValueError:  # Double.parseDouble -> NumberFormatException
+            raise MathNumberError(self.value) from None
 
 
 class _Uni(_Tok):
@@ -96,7 +125,7 @@ class _Uni(_Tok):
     def evaluate(self) -> float:
         if self.type == "~":
             return -self.arg.evaluate()
-        raise ValueError(f"Can't evaluate {self!r}")
+        raise MathEvalError(f"Can't evaluate {self!r}")
 
     def transform(self, mapper) -> None:
         self.arg.transform(mapper)
@@ -112,7 +141,7 @@ class _Group(_Tok):
     def evaluate(self) -> float:
         if len(self.args) == 1:
             return self.args[0].evaluate()
-        raise ValueError(f"Can't evaluate {self!r}")
+        raise MathEvalError(f"Can't evaluate {self!r}")
 
     def transform(self, mapper) -> None:
         self.args = mapper(self.args)
@@ -148,16 +177,19 @@ class _Bi(_Tok):
                 return math.nan
             return math.fmod(self.left.evaluate(), rv)  # Java % semantics
         if t == "^":
-            return math.pow(self.left.evaluate(), rv)
+            # Java Math.pow: overflow -> ±inf, bad domain -> NaN (the
+            # math-module version raises instead)
+            with np.errstate(all="ignore"):
+                return float(
+                    np.power(np.float64(self.left.evaluate()),
+                             np.float64(rv))
+                )
         if t == "F":
             fn = _FUNCTIONS.get(self.left.value.lower())
             if fn is None:
-                raise ValueError(f"Can't evaluate {self!r}")
-            try:
-                return fn(rv)
-            except ValueError:  # Math.sqrt(-x)/Math.log(-x) return NaN
-                return math.nan
-        raise ValueError(f"Can't evaluate {self!r}")
+                raise MathEvalError(f"Can't evaluate {self!r}")
+            return fn(rv)
+        raise MathEvalError(f"Can't evaluate {self!r}")
 
 
 def _tokenize(expr: str) -> list:
@@ -168,12 +200,18 @@ def _tokenize(expr: str) -> list:
         if c in "()+-/*^":
             toks.append(_Tok(c))
             i += 1
-        elif c.isdigit():
+        elif "0" <= c <= "9":
+            # ASCII digits only: Java's Character.isDigit admits all
+            # Unicode Nd, but those then fail Double.parseDouble ->
+            # NumberFormatException -> "" — same formatted outcome as
+            # the ParseException this branch-miss produces here.
+            # str.isdigit would be WIDER than Java (it admits No-class
+            # superscripts Java rejects).
             j = i + 1
             has_period = False
             while j < n:
                 c2 = expr[j]
-                if c2.isdigit():
+                if "0" <= c2 <= "9":
                     j += 1
                     continue
                 if c2 == ".":
@@ -192,7 +230,9 @@ def _tokenize(expr: str) -> list:
             s = expr[i:j]
             toks.append(_Str("C" if s in CONSTANTS else "A", s))
             i = j
-        elif c == " " or c.isspace():
+        elif c == " " or unicodedata.category(c) == "Zs":
+            # Character.isSpaceChar: Unicode space separators ONLY —
+            # tabs/newlines are a ParseException in the reference
             i += 1
         else:
             raise MathParseError(f"{expr} at {i}")
@@ -204,7 +244,9 @@ def _parenthesize(toks: list) -> list:
     while i < len(toks):
         t = toks[i]
         if t.type == ")":
-            raise MathParseError("Unbalanced parentheses")
+            # IllegalArgumentException in the reference — NOT the
+            # swallowed ParseException class
+            raise MathEvalError("Unbalanced parentheses")
         if t.type == "(":
             depth = 0
             j = i + 1
@@ -218,7 +260,7 @@ def _parenthesize(toks: list) -> list:
                     depth -= 1
                 j += 1
             if j == len(toks):
-                raise MathParseError("Unbalanced parentheses")
+                raise MathEvalError("Unbalanced parentheses")
             toks[i] = _Group(_parenthesize(toks[i + 1:j]))
             del toks[i + 1:j + 1]
         i += 1
@@ -346,7 +388,9 @@ def eval_math_formatted(expr: str) -> str:
             v = float(expr)
         else:
             v = eval_math(expr)
-    except MathParseError:
+    except (MathParseError, MathNumberError):
+        # ParseException / NumberFormatException -> "" (:38-41);
+        # MathEvalError (IllegalArgumentException) propagates
         return ""
     return _decimal_format(
         v, max_frac=6, rounding=ROUND_HALF_UP

@@ -65,18 +65,12 @@ def _doc_stats_partial(batch: pa.Table) -> pa.Table:
     counts — the batch leaves the task as at most |domains-in-batch|
     rows, never as raw documents."""
     src = np.asarray(batch["source"].to_pylist(), dtype=object)
-    text_col = batch["text"]
-    valid = np.asarray(
-        pa.compute.is_valid(text_col).combine_chunks()
-        if isinstance(text_col, pa.ChunkedArray)
-        else pa.compute.is_valid(text_col)
-    )
-    texts = text_col.to_pylist()
+    texts = batch["text"].to_pylist()  # None for null slots
     fetched = np.array(
-        [bool(v) and t != "" for v, t in zip(valid, texts)], dtype=np.int64
+        [t is not None and t != "" for t in texts], dtype=np.int64
     )
     indexed = np.array(
-        [bool(v) and bool(tokenize(t)) for v, t in zip(valid, texts)],
+        [t is not None and bool(tokenize(t)) for t in texts],
         dtype=np.int64,
     )
     doms, inv = np.unique(src, return_inverse=True)

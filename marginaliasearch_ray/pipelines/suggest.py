@@ -327,11 +327,15 @@ class SuggestIndex:
         getTopCompletions:99-158 dispatch; rows come back already
         (score desc, word asc) from the index sort."""
         p = search_word.lower().lstrip(" ")
+        # the length gate applies to the WHOLE search word INCLUDING a
+        # "t:" marker (getSuggestionsForKeyword re-checks after strip/
+        # lower, :104-110); only getTopCompletions strips "t:", so
+        # "t:ab" is a valid 2-char term search
+        if len(p) < MIN_SUGGEST_LENGTH:
+            return []
         term_search = p.startswith("t:") and len(p) > 2
         if term_search:
             p = p[2:]
-        if len(p) < MIN_SUGGEST_LENGTH:
-            return []
         if term_search:
             key = "t:" + p[:SHORT_PREFIX_LENGTH]
             w, s = self._bucket(key)

@@ -48,16 +48,29 @@ def test_nan_paths():
     assert me.eval_math_formatted("1/0") == "NaN"
 
 
+def test_ieee_edges():
+    # Java Math semantics: log(0) = -inf, pow overflow = inf, sqrt of
+    # a negative = NaN — never Python math-module exceptions
+    assert me.eval_math("log 0") == -math.inf
+    assert me.eval_math("10^1000") == math.inf
+    assert math.isnan(me.eval_math("sqrt(0-2)"))
+    assert me.eval_math_formatted("10^1000") == "∞"
+
+
 def test_parse_errors_format_empty():
-    # evalFormatted catches ParseException -> ""
+    # evalFormatted catches ParseException + NumberFormatException -> ""
     assert me.eval_math_formatted("3..5+1") == ""
     assert me.eval_math_formatted("3 ? 5") == ""
+    assert me.eval_math_formatted("foo") == ""  # unknown identifier
+    assert me.eval_math_formatted("3\t+5") == ""  # isSpaceChar: no tabs
+    assert me.eval_math_formatted("²") == ""  # not a Java digit
 
 
 def test_unbalanced_and_unevaluable_raise():
-    with pytest.raises(me.MathParseError):
-        me.eval_math("(3+5")
-    with pytest.raises(me.MathParseError):
+    # IllegalArgumentException analogs PROPAGATE out of evalFormatted
+    with pytest.raises(me.MathEvalError):
+        me.eval_math_formatted("(3+5")
+    with pytest.raises(me.MathEvalError):
         me.eval_math("3+5)")
     # "2pi" splits into [2, pi]: the constants-map "2pi" entry is
     # unreachable in the reference too -> unevaluable group

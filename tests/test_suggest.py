@@ -28,11 +28,11 @@ def test_clean_suggestion_rules():
 def _brute(pairs, query, k=10):
     """The module-docstring contract, naively."""
     p = query.lower().lstrip(" ")
+    if len(p) < suggest.MIN_SUGGEST_LENGTH:  # gate INCLUDES "t:"
+        return []
     term_mode = p.startswith("t:") and len(p) > 2
     if term_mode:
         p = p[2:]
-    if len(p) < suggest.MIN_SUGGEST_LENGTH:
-        return []
     if term_mode:
         matches = [
             (w, s)
@@ -127,7 +127,10 @@ def test_service_gates(ray_session):
     idx = _index_from([("word here", 5)])
     assert idx.suggest("wo") == []  # MIN_SUGGEST_LENGTH
     assert idx.suggest("  WORD") == [("word here", 5)]  # lstrip+lower
-    assert idx.suggest("t:he") == []  # stripped t: prefix too short
+    # the length gate counts the "t:" marker (Suggestions.java:95-110):
+    # "t:he" is a valid 2-char term search, "t:" alone is too short
+    assert idx.suggest("t:he") == [("word here", 5)]
+    assert idx.suggest("t:") == []
 
 
 def test_empty_dictionary(ray_session):
