@@ -400,6 +400,44 @@ def _domain_info_table(sf_dir: str):
     )
 
 
+def _favicon_lookup_table(sf_dir: str):
+    """Build the domain blob store from the corpus, then point-look-up
+    EVERY domain through the pruned reader (favicon/screenshot serving
+    path) — (domain, content_type, n_bytes, data_hex) rows."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.pipelines import blobstore
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "favicons.parquet")
+        blobstore.build_favicon_store(docs, path)
+        store = blobstore.DomainBlobStore(path)
+        doms = sorted(
+            str(d) for d in docs.unique("source")
+        )
+        rows = [(d, *store.get(d)) for d in doms]
+    return pa.table(
+        {
+            "domain": pa.array([d for d, _c, _b in rows], pa.string()),
+            "content_type": pa.array(
+                [c for _d, c, _b in rows], pa.string()
+            ),
+            "n_bytes": pa.array(
+                [len(b) for _d, _c, b in rows], pa.int64()
+            ),
+            "data_hex": pa.array(
+                [b.hex() for _d, _c, b in rows], pa.string()
+            ),
+        }
+    )
+
+
 CONNECTIVITY_HOT = 2  # seed-adjacency hot threshold — the reference's 5
 #                       never fires with a 2-repo seed (max count = 4)
 
@@ -1795,6 +1833,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # verified by the local full sweep without spending window slots
     q["math_eval"] = _math_eval_table
     q["unit_convert"] = _unit_convert_table
+    # favicon/screenshot blob-store lookups (declared-fake payloads,
+    # real pruned-read mechanics) — tail entry like the math pair
+    q["favicon_lookup"] = _favicon_lookup_table
 
     return _driver_window_order(q)
 
@@ -3206,6 +3247,15 @@ def oracle_sql() -> dict[str, str]:
         "domain_info": _domain_info_sql(),
         "math_eval": _math_sql(),
         "unit_convert": _units_sql(),
+        # payload = sha256(domain) digest by construction, so the hex
+        # round-trip through the parquet store must equal DuckDB's
+        "favicon_lookup": """
+SELECT source AS domain,
+       'image/png' AS content_type,
+       32::BIGINT AS n_bytes,
+       sha256(source) AS data_hex
+FROM (SELECT DISTINCT source FROM documents)
+ORDER BY domain""",
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

@@ -316,6 +316,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="complete: prefixes to look up (t:term for "
                          "term search within multi-word entries)")
 
+    fv = sub.add_parser(
+        "favicon",
+        help="domain blob store (favicon/screenshot serving analog): "
+             "bulk-build from the corpus or point-look-up domains",
+    )
+    fv.add_argument("action", choices=["build", "get"])
+    fv.add_argument("--store", required=True,
+                    help="blob-store parquet path")
+    fv.add_argument("--documents", default=None,
+                    help="build: parquet with a source column")
+    fv.add_argument("domains", nargs="*",
+                    help="get: domains to look up")
+
     ma = sub.add_parser(
         "math",
         help="math expression eval + unit conversion (the assistant "
@@ -350,6 +363,8 @@ def main(argv: list[str] | None = None) -> int:
         trailing = "words"
     elif cmd_ == "suggest" and act_ == "complete":
         trailing = "prefixes"
+    elif cmd_ == "favicon" and act_ == "get":
+        trailing = "domains"
     elif cmd_ in ("domaininfo", "math"):  # every action takes operands
         trailing = "domains" if cmd_ == "domaininfo" else "operands"
     else:
@@ -367,6 +382,22 @@ def main(argv: list[str] | None = None) -> int:
             "chain": mf.publish_chain(args.segment, args.chain),
             "segments": [str(s) for s in args.segment],
         }))
+        return 0
+    if args.cmd == "favicon" and args.action == "get":
+        # pure file op — pruned point reads, no Ray session needed
+        from .pipelines import blobstore as bs_
+
+        store = bs_.DomainBlobStore(args.store)
+        for d in args.domains:
+            hit = store.get(d)
+            if hit is None:
+                print(json.dumps({"domain": d, "found": False}))
+            else:
+                ct, data = hit
+                print(json.dumps({
+                    "domain": d, "found": True, "content_type": ct,
+                    "n_bytes": len(data), "data_hex": data.hex(),
+                }))
         return 0
     if args.cmd == "math":  # pure scalar service — no Ray session needed
         from .functions import matheval as me
@@ -801,6 +832,19 @@ def main(argv: list[str] | None = None) -> int:
                             for w, s in idx.suggest(q, args.k)
                         ],
                     }))
+
+        elif args.cmd == "favicon":  # build (get returned earlier)
+            import ray.data
+
+            from .pipelines import blobstore as bs_
+
+            if not args.documents:
+                p.error("favicon build needs --documents")
+            docs = ray.data.read_parquet(
+                args.documents, columns=["source"]
+            )
+            n = bs_.build_favicon_store(docs, args.store)
+            print(json.dumps({"store": args.store, "rows": n}))
 
         elif args.cmd == "domaininfo":
             import ray.data
