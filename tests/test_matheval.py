@@ -6,6 +6,7 @@ integer-digit truncation), and every temperature branch."""
 import math
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from marginaliasearch_ray.functions import matheval as me
 
@@ -72,6 +73,10 @@ def test_unbalanced_and_unevaluable_raise():
         me.eval_math_formatted("(3+5")
     with pytest.raises(me.MathEvalError):
         me.eval_math("3+5)")
+    # the negate pass skips '-' after '^' (not in "+-%*/A"), leaving an
+    # unevaluable bare token — identical failure in the reference
+    with pytest.raises(me.MathEvalError):
+        me.eval_math("0^-1")
     # "2pi" splits into [2, pi]: the constants-map "2pi" entry is
     # unreachable in the reference too -> unevaluable group
     with pytest.raises(ValueError):
@@ -113,6 +118,65 @@ def test_convert_rejects():
     assert me.convert_unit("5", "kg", "mile") is None  # type mismatch
     assert me.convert_unit("5", "xx", "m") is None  # unknown unit
     assert me.convert_unit("nonsense", "cm", "m") is None  # bad value
+
+
+def _ref_fold(nums, ops):
+    """Independent twin of the reference's precedence folding: one pass
+    per operator group (^ then */ then +-), each left-associative, with
+    the engine's IEEE '^' and NaN-on-/0 semantics."""
+    import numpy as np
+
+    vals, rest = list(nums), list(ops)
+    for group in ("^", "*/", "+-"):
+        i = 0
+        while i < len(rest):
+            op = rest[i]
+            if op not in group:
+                i += 1
+                continue
+            a, b = vals[i], vals[i + 1]
+            if op == "^":
+                with np.errstate(all="ignore"):
+                    r = float(np.power(np.float64(a), np.float64(b)))
+            elif op == "*":
+                r = a * b
+            elif op == "/":
+                r = math.nan if b == 0 else a / b
+            elif op == "+":
+                r = a + b
+            else:
+                r = a - b
+            vals[i:i + 2] = [r]
+            del rest[i]
+    return vals[0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=-20, max_value=20),
+    st.lists(
+        st.tuples(
+            st.sampled_from("+-*/^"),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_chain_precedence_property(first, tail):
+    """Random operator chains (negative literals exercise the negate
+    pass at every position) must fold exactly like the independent
+    precedence twin.  '^' never gets a negative literal: the negate
+    pass skips '-' after '^' in the reference too, so "0^-1" is an
+    IllegalArgumentException there as well — pinned separately."""
+    tail = [(op, abs(n) if op == "^" else n) for op, n in tail]
+    expr = str(first) + "".join(f"{op}{n}" for op, n in tail)
+    got = me.eval_math(expr)
+    want = _ref_fold([first] + [n for _op, n in tail],
+                     [op for op, _n in tail])
+    assert (math.isnan(got) and math.isnan(want)) or got == want, (
+        expr, got, want
+    )
 
 
 def test_convert_value_numeric():
