@@ -400,6 +400,90 @@ def _domain_info_table(sf_dir: str):
     )
 
 
+BROWSE_SEED = 7  # deterministic RAND() stand-in seed
+BROWSE_EXCLUDE = ("src2",)  # the blacklist analog for random browse
+BROWSE_COUNT = 10
+
+
+def _indexed_domains(sf_dir: str) -> set:
+    """Domains with >= 1 tokenizer-indexed page (EC_DOMAIN.INDEXED
+    analog) — reuses the domain-info streaming stats pass."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines import domaininfo
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    stats = domaininfo.domain_doc_stats(docs)
+    return {
+        d for d, n in zip(
+            stats["domain"].to_pylist(),
+            stats["pages_indexed"].to_pylist(),
+        )
+        if n > 0
+    }
+
+
+def _random_browse_table(sf_dir: str):
+    """Seeded random-domain browse (DbBrowseDomainsRandom analog)."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines import browse
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source"]
+    )
+    doms = [str(d) for d in docs.unique("source")]
+    return browse.random_browse(
+        doms, BROWSE_COUNT, BROWSE_SEED,
+        exclude=BROWSE_EXCLUDE, indexed=_indexed_domains(sf_dir),
+    )
+
+
+def _screenshot_has(domain: str) -> bool:
+    """The deterministic screenshot-coverage subset: domains whose
+    sha256 leading byte is < 0xC0 (3/4 of the key space; a tighter rule
+    left the sf subjects with a single passing neighbor) —
+    SQL-replicable as substr(sha256(d), 1, 1) <= 'b'."""
+    import hashlib
+
+    return hashlib.sha256(domain.encode()).digest()[0] < 0xC0
+
+
+def _similar_browse_table(sf_dir: str):
+    """Similar-cosine browse of the max-cardinality subject domain
+    (DbBrowseDomainsSimilarCosine analog): stored-relatedness order,
+    screenshot-subset membership required via a REAL blob-store probe."""
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.pipelines import blobstore, browse
+
+    _repos, edges = _link_graph(sf_dir)
+    subject = _adj_pick_domain(edges)
+    nbr = pa.concat_tables(
+        _adj_neighbors(sf_dir).iter_batches(batch_format="pyarrow")
+    )
+    subset = sorted(
+        d for d in set(nbr["domain"].to_pylist())
+        | set(nbr["neighbor"].to_pylist())
+        if _screenshot_has(d)
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "shots.parquet")
+        docs = ray.data.from_arrow(
+            pa.table({"source": pa.array(subset, pa.string())})
+        )
+        blobstore.build_favicon_store(docs, path)
+        store = blobstore.DomainBlobStore(path)
+        return browse.similar_browse(
+            nbr, subject, BROWSE_COUNT, has=store.has
+        )
+
+
 def _favicon_lookup_table(sf_dir: str):
     """Build the domain blob store from the corpus, then point-look-up
     EVERY domain through the pruned reader (favicon/screenshot serving
@@ -1836,6 +1920,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # favicon/screenshot blob-store lookups (declared-fake payloads,
     # real pruned-read mechanics) — tail entry like the math pair
     q["favicon_lookup"] = _favicon_lookup_table
+    # domain browse (random exploration + similar-cosine) — tail
+    q["random_browse"] = _random_browse_table
+    q["similar_browse"] = _similar_browse_table
 
     return _driver_window_order(q)
 
@@ -2865,6 +2952,25 @@ SELECT n AS neighbor, 'http://' || n || '/' AS url,
 FROM ordered LEFT JOIN rnk ON rnk.repo = ordered.n
 WHERE length(n) <= 32
   AND NOT (link_type = 'NONE' AND rel <= 25)"""
+    if mode == "browse":
+        # DbBrowseDomainsSimilarCosine: bidirectional neighbors of the
+        # subject, stored relatedness DESC, screenshot-subset INNER
+        # JOIN (sha256 MSB rule = the engine's blob-store coverage)
+        return base + svc + f""",
+adjn AS (
+  SELECT DISTINCT CASE WHEN domain = pick.dom THEN neighbor
+                       ELSE domain END AS n,
+         pick.dom AS pd
+  FROM nbr, pick WHERE domain = pick.dom OR neighbor = pick.dom
+)
+SELECT a.n AS neighbor,
+       coalesce(r.r, 0.0) AS relatedness,
+       TRUE AS indexed
+FROM adjn a
+LEFT JOIN rel r ON r.lo = least(a.n, a.pd) AND r.hi = greatest(a.n, a.pd)
+WHERE substr(sha256(a.n), 1, 1) <= 'b'
+ORDER BY relatedness DESC, a.n
+LIMIT {BROWSE_COUNT}"""
     if mode == "similar":
         return base + svc + f""",
 adjn AS (
@@ -3256,6 +3362,19 @@ SELECT source AS domain,
        sha256(source) AS data_hex
 FROM (SELECT DISTINCT source FROM documents)
 ORDER BY domain""",
+        "random_browse": f"""
+WITH stats AS (
+  SELECT source AS domain,
+         max(CASE WHEN text IS NOT NULL AND len({_tok("text")}) > 0
+             THEN 1 ELSE 0 END) AS ix
+  FROM documents GROUP BY source
+)
+SELECT domain, ix = 1 AS indexed
+FROM stats
+WHERE domain NOT IN ({", ".join(f"'{d}'" for d in BROWSE_EXCLUDE)})
+ORDER BY sha256('{BROWSE_SEED}:' || domain)
+LIMIT {BROWSE_COUNT}""",
+        "similar_browse": _adjacency_sql("browse"),
         "bm25_single": _bm25_sql(["customer"]),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),

@@ -316,6 +316,27 @@ def main(argv: list[str] | None = None) -> int:
                     help="complete: prefixes to look up (t:term for "
                          "term search within multi-word entries)")
 
+    br = sub.add_parser(
+        "browse",
+        help="domain browse (random-websites analog): seeded random "
+             "exploration or similar-cosine neighbors of a domain",
+    )
+    br.add_argument("action", choices=["random", "similar"])
+    br.add_argument("--documents", default=None,
+                    help="random: parquet with a source column")
+    br.add_argument("--neighbors", default=None,
+                    help="similar: parquet with domain/neighbor/"
+                         "relatedness columns (adjacency output)")
+    br.add_argument("--domain", default=None,
+                    help="similar: the subject domain")
+    br.add_argument("--store", default=None,
+                    help="similar: blob store; neighbors must have an "
+                         "entry (the screenshot-require join)")
+    br.add_argument("--k", type=int, default=10)
+    br.add_argument("--seed", type=int, default=0)
+    br.add_argument("--exclude", action="append", default=[],
+                    help="blacklisted domain (repeatable)")
+
     fv = sub.add_parser(
         "favicon",
         help="domain blob store (favicon/screenshot serving analog): "
@@ -832,6 +853,40 @@ def main(argv: list[str] | None = None) -> int:
                             for w, s in idx.suggest(q, args.k)
                         ],
                     }))
+
+        elif args.cmd == "browse":
+            import pyarrow.parquet as pq_
+
+            from .pipelines import browse as br_
+
+            if args.action == "random":
+                if not args.documents:
+                    p.error("browse random needs --documents")
+                import ray.data
+
+                docs = ray.data.read_parquet(
+                    args.documents, columns=["source"]
+                )
+                t = br_.random_browse(
+                    [str(d) for d in docs.unique("source")],
+                    args.k, args.seed, exclude=args.exclude,
+                )
+            else:
+                if not (args.neighbors and args.domain):
+                    p.error("browse similar needs --neighbors --domain")
+                has = None
+                if args.store:
+                    from .pipelines import blobstore as bs_
+
+                    has = bs_.DomainBlobStore(args.store).has
+                t = br_.similar_browse(
+                    pq_.read_table(args.neighbors), args.domain,
+                    args.k, has=has, exclude=args.exclude,
+                )
+            for i in range(len(t)):
+                print(json.dumps(
+                    {n: t[n][i].as_py() for n in t.column_names}
+                ))
 
         elif args.cmd == "favicon":  # build (get returned earlier)
             import ray.data
