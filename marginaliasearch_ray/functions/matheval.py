@@ -370,8 +370,11 @@ def _decimal_format(
     text = format(d, "f")
     int_part, _, frac_part = text.partition(".")
     frac_part = frac_part.rstrip("0")
+    # maxIntegerDigits truncation keeps the LOW-ORDER digits verbatim
+    # (Java formats 105 with max 2 int digits as "05", not "5"); the
+    # Units caller always sizes max_int to the value's own magnitude,
+    # so this path only fires at max_int = 0 (suppressed int part)
     int_part = int_part[len(int_part) - max_int:] if max_int else ""
-    int_part = int_part.lstrip("0") or ("0" if max_int else "")
     shown = _group_digits(int_part) if int_part else ""
     if frac_part:
         return f"{sign}{shown}.{frac_part}"
