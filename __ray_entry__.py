@@ -405,39 +405,26 @@ BROWSE_EXCLUDE = ("src2",)  # the blacklist analog for random browse
 BROWSE_COUNT = 10
 
 
-def _indexed_domains(sf_dir: str) -> set:
-    """Domains with >= 1 tokenizer-indexed page (EC_DOMAIN.INDEXED
-    analog) — reuses the domain-info streaming stats pass."""
+def _random_browse_table(sf_dir: str):
+    """Seeded random-domain browse (DbBrowseDomainsRandom analog).
+    ONE streaming stats pass yields both the distinct domain list
+    (pages_known >= 1 for every corpus domain) and the INDEXED flags."""
     import ray.data
 
-    from marginaliasearch_ray.pipelines import domaininfo
+    from marginaliasearch_ray.pipelines import browse, domaininfo
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
     stats = domaininfo.domain_doc_stats(docs)
-    return {
-        d for d, n in zip(
-            stats["domain"].to_pylist(),
-            stats["pages_indexed"].to_pylist(),
-        )
+    doms = stats["domain"].to_pylist()
+    indexed = {
+        d for d, n in zip(doms, stats["pages_indexed"].to_pylist())
         if n > 0
     }
-
-
-def _random_browse_table(sf_dir: str):
-    """Seeded random-domain browse (DbBrowseDomainsRandom analog)."""
-    import ray.data
-
-    from marginaliasearch_ray.pipelines import browse
-
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["source"]
-    )
-    doms = [str(d) for d in docs.unique("source")]
     return browse.random_browse(
         doms, BROWSE_COUNT, BROWSE_SEED,
-        exclude=BROWSE_EXCLUDE, indexed=_indexed_domains(sf_dir),
+        exclude=BROWSE_EXCLUDE, indexed=indexed,
     )
 
 
@@ -462,11 +449,16 @@ def _similar_browse_table(sf_dir: str):
 
     from marginaliasearch_ray.pipelines import blobstore, browse
 
+    from marginaliasearch_ray.pipelines.adjacencies import (
+        _EMPTY_NEIGHBORS,
+        _as_table,
+    )
+
     _repos, edges = _link_graph(sf_dir)
     subject = _adj_pick_domain(edges)
-    nbr = pa.concat_tables(
-        _adj_neighbors(sf_dir).iter_batches(batch_format="pyarrow")
-    )
+    # _as_table handles the zero-batch case (no pair survives the
+    # cosine gates) with the empty-neighbors schema
+    nbr = _as_table(_adj_neighbors(sf_dir), _EMPTY_NEIGHBORS)
     subset = sorted(
         d for d in set(nbr["domain"].to_pylist())
         | set(nbr["neighbor"].to_pylist())
@@ -498,13 +490,15 @@ def _favicon_lookup_table(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source"]
     )
+    import pyarrow.parquet as pq
+
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "favicons.parquet")
         blobstore.build_favicon_store(docs, path)
         store = blobstore.DomainBlobStore(path)
-        doms = sorted(
-            str(d) for d in docs.unique("source")
-        )
+        # the store's own key column IS the sorted distinct domain
+        # list — no second corpus pass
+        doms = pq.read_table(path, columns=["domain"])["domain"].to_pylist()
         rows = [(d, *store.get(d)) for d in doms]
     return pa.table(
         {

@@ -363,18 +363,28 @@ def _decimal_format(
     max_int = max(0, max_int)
     max_frac = max(0, max_frac)
     neg = v < 0 or (v == 0 and math.copysign(1.0, v) < 0)
-    d = Decimal(abs(v)).quantize(
-        Decimal(1).scaleb(-max_frac), rounding=rounding
-    )
+    # widen the context: the default 28-digit precision raises
+    # InvalidOperation for doubles with >= 23 integer digits, where
+    # Java DecimalFormat formats any double (max ~309 digits)
+    import decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 340 + max_frac
+        d = Decimal(abs(v)).quantize(
+            Decimal(1).scaleb(-max_frac), rounding=rounding
+        )
     sign = "-" if neg and d != 0 else ""
     text = format(d, "f")
     int_part, _, frac_part = text.partition(".")
     frac_part = frac_part.rstrip("0")
     # maxIntegerDigits truncation keeps the LOW-ORDER digits verbatim
-    # (Java formats 105 with max 2 int digits as "05", not "5"); the
-    # Units caller always sizes max_int to the value's own magnitude,
-    # so this path only fires at max_int = 0 (suppressed int part)
-    int_part = int_part[len(int_part) - max_int:] if max_int else ""
+    # (Java formats 105 with max 2 int digits as "05", not "5").  The
+    # start index must clamp at 0: float log10 rounds up at power-of-10
+    # boundaries, so the Units caller can pass max_int = digits + 1 —
+    # an unclamped negative start would silently DROP leading digits
+    int_part = (
+        int_part[max(0, len(int_part) - max_int):] if max_int else ""
+    )
     shown = _group_digits(int_part) if int_part else ""
     if frac_part:
         return f"{sign}{shown}.{frac_part}"

@@ -321,6 +321,27 @@ def _relatedness_map(neighbors: pa.Table) -> dict[tuple[str, str], float]:
     return rel
 
 
+def _bidirectional_neighbors(
+    neighbors: pa.Table, domain: str, rel: dict
+) -> list[str]:
+    """Every domain adjacent to ``domain`` in the stored neighbor table
+    (either direction), ordered by stored relatedness DESC / name ASC —
+    the candidate list shared by the similar-domains service and the
+    similar-cosine browse."""
+    adj: set[str] = set()
+    for d, n in zip(
+        neighbors["domain"].to_pylist(), neighbors["neighbor"].to_pylist()
+    ):
+        if d == domain:
+            adj.add(n)
+        elif n == domain:
+            adj.add(d)
+    return sorted(
+        adj,
+        key=lambda n: (-rel.get((min(domain, n), max(domain, n)), 0.0), n),
+    )
+
+
 def _link_sets(links: pa.Table, domain: str) -> tuple[set, set]:
     """(dtos, stod): domains this domain links TO (getLinksFromDomain)
     and domains linking to it (getLinksToDomain)."""
@@ -422,18 +443,9 @@ def similar_domains(
     neighbors = _as_table(neighbors, _EMPTY_NEIGHBORS)
     links = _as_table(links, _EMPTY_LINKS)
     rel = _relatedness_map(neighbors)
-    adj: set[str] = set()
-    for d, n in zip(
-        neighbors["domain"].to_pylist(), neighbors["neighbor"].to_pylist()
-    ):
-        if d == domain:
-            adj.add(n)
-        if n == domain:
-            adj.add(d)
-    ordered = sorted(
-        adj,
-        key=lambda n: (-rel.get((min(domain, n), max(domain, n)), 0.0), n),
-    )[: max(count, 0)]
+    ordered = _bidirectional_neighbors(neighbors, domain, rel)[
+        : max(count, 0)
+    ]
     dtos, stod = _link_sets(links, domain)
     return _decorate(
         ordered, rel, domain, dtos, stod, ranks, indexed, active,

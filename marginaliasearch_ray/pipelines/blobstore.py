@@ -73,9 +73,15 @@ def build_favicon_store(docs_ds, out_path: str) -> int:
     still one node's work; shard by hash(domain) prefix into multiple
     stores when it outgrows that.
     """
-    doms = docs_ds.select_columns(["source"]).unique("source")
+    doms = docs_ds.select_columns(["source"]).unique("source") or []
     table = _favicon_batch(
-        pa.table({"domain": pa.array(sorted(str(d) for d in doms))})
+        pa.table(
+            {
+                "domain": pa.array(
+                    sorted(str(d) for d in doms), pa.string()
+                )
+            }
+        )
     )
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     pq.write_table(table, out_path, row_group_size=_ROW_GROUP_ROWS)
@@ -91,20 +97,24 @@ class DomainBlobStore:
         self._file = pq.ParquetFile(path)
         md = self._file.metadata
         col = {c: i for i, c in enumerate(md.schema.names)}["domain"]
-        mins, maxs = [], []
+        mins, maxs, groups = [], [], []
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(col).statistics
+            if st is None or not st.has_min_max:
+                continue  # a 0-row store writes one stats-less group
             mins.append(st.min)
             maxs.append(st.max)
+            groups.append(g)
         self._mins = np.array(mins, dtype=object)
         self._maxs = np.array(maxs, dtype=object)
+        self._groups = groups
 
     def _group_for(self, domain: str) -> int | None:
         # last group whose min <= domain; verify domain <= its max
         ix = int(np.searchsorted(self._mins, domain, side="right")) - 1
         if ix < 0 or domain > self._maxs[ix]:
             return None
-        return ix
+        return self._groups[ix]
 
     def get(self, domain: str) -> tuple[str, bytes] | None:
         """(content_type, data) or None — FaviconGrpcService.getFavicon

@@ -29,7 +29,12 @@ import hashlib
 
 import pyarrow as pa
 
-from .adjacencies import _EMPTY_NEIGHBORS, _as_table, _relatedness_map
+from .adjacencies import (
+    _EMPTY_NEIGHBORS,
+    _as_table,
+    _bidirectional_neighbors,
+    _relatedness_map,
+)
 
 
 def shuffle_key(seed: int, domain: str) -> str:
@@ -84,25 +89,11 @@ def similar_browse(
     Relatedness is the stored ``Math.round(100·val)`` service value."""
     neighbors = _as_table(neighbors, _EMPTY_NEIGHBORS)
     rel = _relatedness_map(neighbors)
-    adj: set[str] = set()
-    for d, n in zip(
-        neighbors["domain"].to_pylist(), neighbors["neighbor"].to_pylist()
-    ):
-        if d == domain:
-            adj.add(n)
-        elif n == domain:
-            adj.add(d)
     ex = set(exclude)
-    cand = [
-        n for n in adj
+    picked = [
+        n for n in _bidirectional_neighbors(neighbors, domain, rel)
         if n not in ex and (has is None or has(n))
-    ]
-    cand.sort(
-        key=lambda n: (
-            -rel.get((min(domain, n), max(domain, n)), 0.0), n
-        )
-    )
-    picked = cand[: max(k, 0)]
+    ][: max(k, 0)]
     return pa.table(
         {
             "neighbor": pa.array(picked, pa.string()),

@@ -48,6 +48,20 @@ def test_misses(store):
     assert store.has("nosuch.example") is False
 
 
+def test_empty_store(tmp_path, ray_session):
+    import ray.data
+
+    docs = ray.data.from_arrow(
+        pa.table({"source": pa.array([], pa.string())})
+    )
+    path = str(tmp_path / "empty.parquet")
+    assert blobstore.build_favicon_store(docs, path) == 0
+    empty = blobstore.DomainBlobStore(path)  # stats-less group
+    assert len(empty) == 0
+    assert empty.get("anything") is None
+    assert empty.has("anything") is False
+
+
 def test_pruned_read_touches_one_group(store, monkeypatch):
     calls = []
     orig = store._file.read_row_group

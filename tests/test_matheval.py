@@ -179,6 +179,20 @@ def test_chain_precedence_property(first, tail):
     )
 
 
+def test_huge_and_boundary_formatting():
+    # >= 23 integer digits must format, not raise InvalidOperation
+    assert me.eval_math_formatted("10^22") == \
+        "10,000,000,000,000,000,000,000"
+    # float log10 rounds UP at a power-of-10 boundary, handing the
+    # formatter max_int = digits + 1 — must be a no-op, not a slice
+    # that drops the leading digits
+    got = me.convert_unit("0.9999999999999999", "km", "m")
+    assert got is not None and got.startswith("999.")
+    # direct truncation semantics: low-order digits kept VERBATIM
+    assert me._decimal_format(105.0, max_int=2, max_frac=0) == "05"
+    assert me._decimal_format(105.0, max_int=5, max_frac=0) == "105"
+
+
 def test_convert_value_numeric():
     assert me.convert_unit_value(10.0, "km", "m") == 10000.0
     assert me.convert_unit_value(50.0, "C", "K") == 323.15
