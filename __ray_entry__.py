@@ -4044,8 +4044,88 @@ LIMIT {BROWSE_COUNT}""",
             FROM s GROUP BY user_id, sid
         """,
     }
-    # simhash64: bit-level rolling-hash fingerprint — no SQL oracle
+    # simhash64: per-token murmur hash tabulated as a literal table,
+    # bit-vote sum replicated in HUGEINT SQL — exact since round 5
+    sqls["simhash64"] = _simhash_sql()
     return sqls
+
+
+_SIMHASH_SQL_CACHE: str | None = None
+
+
+def _simhash_sql() -> str:
+    """Exact DuckDB replica of ``textops.simhash64``.
+
+    The keyword murmur hash (``hash_nearly_ascii`` — a pure function of
+    the token, corpus-independent) is TABULATED over the corpus
+    vocabulary as a literal VALUES table, the same inlining technique
+    ``classifier_scores`` uses for its deterministic init weights; the
+    per-bit tf vote sum and the sign assembly then run entirely in SQL
+    (HUGEINT bit extraction via ``uh // 2^b % 2``).  The vocabulary is
+    collected with the SAME SQL tokenizer expression the oracle applies
+    (``sql_tokenize_expr``), so engine/oracle tokenization agree by
+    construction.  A token outside the tabulated vocabulary yields a
+    NULL simhash for its document — a loud hash mismatch, never a
+    silently wrong value."""
+    global _SIMHASH_SQL_CACHE
+    if _SIMHASH_SQL_CACHE is not None:
+        return _SIMHASH_SQL_CACHE
+    import duckdb
+
+    vocab: set[str] = set()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/documents.parquet"
+        if os.path.exists(p):
+            con = duckdb.connect()
+            try:
+                rows = con.execute(
+                    f"SELECT DISTINCT unnest({_tok()}) AS tok "
+                    f"FROM read_parquet('{p}')"
+                ).fetchall()
+            finally:
+                con.close()
+            vocab.update(r[0] for r in rows)
+    esc = lambda t: t.replace("'", "''")  # noqa: E731
+    hrows = ",\n    ".join(
+        f"('{esc(t)}', {hash_nearly_ascii(t) & ((1 << 64) - 1)}::HUGEINT)"
+        for t in sorted(vocab)
+    )
+    bits = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    _SIMHASH_SQL_CACHE = f"""
+WITH sh_hash(tok, uh) AS (VALUES
+    {hrows}),
+sh_bit(bit, p2) AS (VALUES {bits}),
+sh_tf AS (
+  SELECT doc_id, tok, count(*)::HUGEINT AS tf
+  FROM (SELECT doc_id, unnest({_tok()}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+sh_acc AS (
+  SELECT t.doc_id, b.bit, b.p2,
+         sum(CASE WHEN (h.uh // b.p2) % 2 = 1 THEN t.tf ELSE -t.tf END) AS acc
+  FROM sh_tf t JOIN sh_hash h ON t.tok = h.tok CROSS JOIN sh_bit b
+  GROUP BY t.doc_id, b.bit, b.p2
+),
+sh_miss AS (
+  SELECT t.doc_id, count(*) FILTER (WHERE h.tok IS NULL) AS n_missing
+  FROM sh_tf t LEFT JOIN sh_hash h ON t.tok = h.tok
+  GROUP BY t.doc_id
+),
+sh_val AS (
+  SELECT doc_id, sum(CASE WHEN acc > 0 THEN p2 ELSE 0::HUGEINT END) AS ush
+  FROM sh_acc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(CASE WHEN coalesce(m.n_missing, 0) > 0 THEN NULL
+            WHEN coalesce(v.ush, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+              THEN coalesce(v.ush, 0::HUGEINT)
+                   - 18446744073709551616::HUGEINT
+            ELSE coalesce(v.ush, 0::HUGEINT) END AS BIGINT) AS simhash
+FROM documents d
+LEFT JOIN sh_val v ON d.doc_id = v.doc_id
+LEFT JOIN sh_miss m ON d.doc_id = m.doc_id
+"""
+    return _SIMHASH_SQL_CACHE
 
 
 def _lsh_planes_sql() -> str:

@@ -796,7 +796,13 @@ def build_vector_store(
         ds.select_columns(["vec_id"])
         .groupby("vec_id")
         .count()
-        .filter(lambda r: r["count()"] > 1)
+        # Arrow kernel, not a per-row Python filter: the count table has
+        # one row per DISTINCT vec_id, which at store scale is the full
+        # id cardinality
+        .map_batches(
+            lambda t: t.filter(pa.compute.greater(t["count()"], 1)),
+            batch_format="pyarrow",
+        )
         .take(1)
     )
     if dup:

@@ -387,8 +387,10 @@ def quality_scores(corpus_ds):
 
 def simhash64(corpus_ds):
     """(doc_id, simhash) — 64-bit SimHash over tokens weighted by tf,
-    bit-hash = keyword murmur hash.  Deterministic; no SQL oracle
-    (bit-level ops are not reasonably SQL-expressible)."""
+    bit-hash = keyword murmur hash.  Deterministic; exact SQL oracle
+    since round 5 (per-token hash tabulated as a literal table, bit
+    votes replicated in HUGEINT arithmetic — see
+    ``__ray_entry__._simhash_sql``)."""
 
     def fp(batch: pa.Table) -> pa.Table:
         out = []
