@@ -282,6 +282,81 @@ def _prio_posting_list(sf_dir: str, term: str):
     return df
 
 
+# (query string, _bm25_sql kwargs) pairs for the batched Dataset
+# evaluator — a mini reference query set covering conjunction,
+# exclusion, phrase, repo range, OR-group and plain-term shapes, each
+# with the established per-query oracle arguments
+BATCH_EVAL_SET: list[tuple[str, dict]] = [
+    ("customer", {"terms": ["customer"]}),
+    ("merge sort", {"terms": ["merge", "sort"]}),
+    ("customer merge table", {"terms": ["customer", "merge", "table"]}),
+    (
+        "scan filter -customer",
+        {"terms": ["scan", "filter"], "exclude": ["customer"]},
+    ),
+    (
+        '"fast table" scan',
+        {"terms": ["fast", "table", "scan"], "phrase": ["fast", "table"]},
+    ),
+    ("customer repo:src3", {"terms": ["customer"], "source": "src3"}),
+    (
+        "customer (merge | sort)",
+        {"terms": ["customer"], "groups": [["merge", "sort"]]},
+    ),
+    ("window stream group", {"terms": ["window", "stream", "group"]}),
+]
+
+
+def _batch_query_eval(sf_dir: str):
+    """Batched query evaluation as a Ray Dataset (IndexSearch.batch_eval):
+    queries Dataset -> map_batches against the shared searcher actor
+    pool -> one row per (qid, doc_id, score_r)."""
+    import pyarrow as pa
+    import ray.data
+
+    idx = _index_for(sf_dir)
+    if not idx.use_actors:
+        # degraded env (actor smoke failed at open): same rows via the
+        # serial path — batch_eval itself requires shippable actor
+        # handles
+        rows = []
+        for i, (s, _kw) in enumerate(BATCH_EVAL_SET):
+            t = idx.search(s, k=10)
+            for d, sc in zip(
+                t["doc_id"].to_pylist(), t["score_r"].to_pylist()
+            ):
+                rows.append({"qid": i, "doc_id": d, "score_r": sc})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("qid", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("score_r", pa.float64()),
+                ]
+            ),
+        )
+    queries = ray.data.from_items(
+        [{"qid": i, "query": s} for i, (s, _kw) in enumerate(BATCH_EVAL_SET)]
+    )
+    return idx.batch_eval(
+        queries, k=10, eval_concurrency=2, eval_batch_size=3
+    ).select_columns(["qid", "doc_id", "score_r"])
+
+
+def _batch_eval_sql() -> str:
+    """UNION ALL of the established per-query BM25 oracles, each arm
+    labeled with its qid — the exact replica of batch_query_eval."""
+    arms = []
+    for i, (_s, kw) in enumerate(BATCH_EVAL_SET):
+        rest = {k2: v for k2, v in kw.items() if k2 != "terms"}
+        arms.append(
+            f"SELECT CAST({i} AS BIGINT) AS qid, doc_id, score_r FROM (\n"
+            f"{_bm25_sql(kw['terms'], **rest)}\n)"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
 def _search(sf_dir: str, query: str, k: int = 10, **kw):
     idx = _index_for(sf_dir)
     t = idx.search(query, k=k, **kw)
@@ -1377,6 +1452,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
+    # batched query evaluation as a Ray Dataset (SURVEY §3.2's own RD
+    # shape; IndexClient.executeQueries:85-176 made data-parallel): a
+    # queries Dataset map_batches against the shared searcher actor
+    # pool, one row per (qid, result doc); per-query results are the
+    # serial search() path by construction
+    q["batch_query_eval"] = _batch_query_eval
     q["bm25_conj"] = lambda sf: _search(sf, "customer merge table")
     # block-max pruned execution (exact): identical oracles to the
     # unpruned twins — the driver hash-checks that pruning never changes
@@ -3370,6 +3451,7 @@ ORDER BY sha256('{BROWSE_SEED}:' || domain)
 LIMIT {BROWSE_COUNT}""",
         "similar_browse": _adjacency_sql("browse"),
         "bm25_single": _bm25_sql(["customer"]),
+        "batch_query_eval": _batch_eval_sql(),
         "bm25_conj": _bm25_sql(["customer", "merge", "table"]),
         "bm25_pruned": _bm25_sql(["customer"]),
         "bm25_pruned_conj": _bm25_sql(["customer", "merge", "table"]),

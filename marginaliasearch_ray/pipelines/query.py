@@ -2298,6 +2298,48 @@ class RankingParams:
         return asdict(self)
 
 
+class _BatchEvaluator:
+    """map_batches callable for :meth:`IndexSearch.batch_eval`.
+
+    Each evaluator worker unpickles the DRIVER handle once in
+    ``__init__`` (registry + df caches + searcher ACTOR handles — the
+    index state itself stays in the shared searcher actors, loaded once
+    per (segment, part), never per evaluator) and then runs the exact
+    serial ``search`` path for every query in its batch.  Results are
+    identical to driver-side ``search`` by construction; what
+    distributes is the per-query compile / fan-out / top-k merge work
+    that would otherwise serialize on the driver."""
+
+    def __init__(self, idx_ref, k: int, search_kw: dict, max_in_flight: int):
+        import ray
+
+        self.idx = ray.get(idx_ref)
+        self.k = k
+        self.kw = search_kw
+        self.max_in_flight = max_in_flight
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["qid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        queries = batch["query"].to_pylist()
+        tables = self.idx.search_many(
+            [(q, {"k": self.k, **self.kw}) for q in queries],
+            max_in_flight=self.max_in_flight,
+        )
+        keep = [t for t in tables if len(t)]
+        rep = [
+            np.full(len(t), qid, dtype=np.int64)
+            for qid, t in zip(qids, tables)
+            if len(t)
+        ]
+        res = (
+            pa.concat_tables(keep) if keep else _result_table([], [], None)
+        )
+        qid_col = pa.array(
+            np.concatenate(rep) if rep else np.array([], np.int64)
+        )
+        return res.add_column(0, "qid", qid_col)
+
+
 class IndexSearch:
     """Driver-side handle: one searcher actor per partition; fan-out +
     merge (IndexClient.executeQueries:85-176 analog).
@@ -2440,6 +2482,73 @@ class IndexSearch:
             ]
         else:
             self.searchers = [SearcherLogic(d, p, s) for d, p, s in seg_parts]
+
+    def __getstate__(self):
+        """Pickle support for shipping the handle into Ray workers
+        (batch_eval).  Only the actor-backed form travels: the handle is
+        then registry + caches + actor HANDLES (small); a local
+        (use_actors=False) handle holds every segment's decoded arrays
+        in-process and must never ride a task argument."""
+        if not self.use_actors:
+            raise TypeError(
+                "IndexSearch(use_actors=False) holds full in-process "
+                "segment state and cannot be pickled; open the chain "
+                "with use_actors=True to ship the handle to workers"
+            )
+        d = self.__dict__.copy()
+        d["_respawn_lock"] = None
+        d["_actor_cls"] = None  # regenerated on unpickle
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._respawn_lock = threading.Lock()
+        self._actor_cls = _make_searcher_actor()
+
+    def batch_eval(
+        self,
+        queries_ds,
+        k: int = 10,
+        eval_concurrency: int = 2,
+        eval_batch_size: int = 32,
+        max_in_flight: int = 8,
+        **kw,
+    ):
+        """Batched query evaluation as a Ray Dataset — SURVEY §3.2's own
+        Ray-Data shape for the reference-query-set evaluator
+        (IndexClient.executeQueries fan-out,
+        code/index/api/java/.../IndexClient.java:85-176, made
+        data-parallel).
+
+        ``queries_ds`` is a Dataset with columns ``(qid: int64,
+        query: string)``; the result is a Dataset with one row per
+        (query, result doc): ``qid`` + the serial ``search()`` result
+        columns.  Each evaluator worker in the ``map_batches`` actor
+        pool shares THIS handle's searcher actor pool — index state
+        loads once per (segment, part) actor regardless of evaluator
+        count — and runs the exact serial search path per query, so
+        per-query results are identical to ``search()`` by
+        construction.  At reference-set scale (thousands of queries)
+        the compile / fan-out / merge work that ``search_many``
+        serializes on the driver streams through the evaluator pool
+        with backpressure instead."""
+        if not self.use_actors:
+            raise ValueError(
+                "batch_eval needs use_actors=True (evaluator workers "
+                "share the searcher actor pool)"
+            )
+        import ray
+
+        # ship the handle ONCE via the object store; each evaluator
+        # worker reads it in __init__, not per batch
+        idx_ref = ray.put(self)
+        return queries_ds.map_batches(
+            _BatchEvaluator,
+            fn_constructor_args=(idx_ref, k, dict(kw), max_in_flight),
+            batch_format="pyarrow",
+            batch_size=eval_batch_size,
+            concurrency=eval_concurrency,
+        )
 
     def _respawn_dead(self) -> int:
         """Replace searcher actors that died (node loss / OOM kill) with

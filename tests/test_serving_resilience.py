@@ -65,6 +65,59 @@ def test_search_many_matches_serial(small_index):
     idx.shutdown()
 
 
+def test_batch_eval_matches_serial(small_index):
+    """batch_eval (queries Dataset map_batches against the shared
+    searcher actor pool) returns, per qid, exactly the serial search()
+    rows — full order parity including score columns."""
+    import ray.data
+
+    idx = IndexSearch(small_index, use_actors=True)
+    queries = [
+        "license import",
+        "merge_buffer -license",
+        '"license import"',
+        "copyright return",
+        "parse_tree visitor",
+        "no_such_token_anywhere",
+    ]
+    qds = ray.data.from_items(
+        [{"qid": i, "query": s} for i, s in enumerate(queries)]
+    )
+    out = idx.batch_eval(
+        qds, k=5, eval_concurrency=2, eval_batch_size=2
+    ).to_pandas()
+    for i, s in enumerate(queries):
+        got = (
+            out[out["qid"] == i]
+            .drop(columns=["qid"])
+            .reset_index(drop=True)
+        )
+        want = idx.search(s, k=5).to_pandas()
+        assert got.equals(want), s
+    # extra kwargs thread through to every query in the set
+    out_v = idx.batch_eval(
+        qds, k=5, eval_concurrency=2, verbatim_weight=1.0
+    ).to_pandas()
+    want_v = idx.search("copyright return", k=5, verbatim_weight=1.0)
+    got_v = (
+        out_v[out_v["qid"] == 3]
+        .drop(columns=["qid"])
+        .reset_index(drop=True)
+    )
+    assert got_v.equals(want_v.to_pandas())
+    idx.shutdown()
+
+
+def test_local_handle_refuses_pickle(small_index):
+    """A use_actors=False handle holds full in-process segment state —
+    shipping it to workers must fail loudly, not serialize gigabytes."""
+    import pickle
+
+    idx = IndexSearch(small_index, use_actors=False)
+    with pytest.raises(TypeError, match="cannot be pickled"):
+        pickle.dumps(idx)
+
+
 def test_ranking_params_bundle(small_index):
     idx = IndexSearch(small_index, use_actors=False)
     params = RankingParams(verbatim_weight=1.0, proximity_weight=0.5,
