@@ -82,6 +82,19 @@ def doc_term_tf(corpus_ds):
     )
 
 
+def _tf_checkpoint(corpus_ds) -> str:
+    """One tokenize pass into (doc_id, term, tf) rows, checkpointed to
+    Parquet scratch — the corpus-sized dataset feeds a df groupby AND a
+    join side, and a ``.materialize()`` would pin it in the object store
+    for the pipeline's lifetime (same reasoning as
+    ``_shingle_checkpoint``).  Consumers re-read it lazily."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="msray_tf_", dir="/tmp")
+    doc_term_tf(corpus_ds).write_parquet(out)
+    return out
+
+
 def important_words(corpus_ds, k: int = 6, num_partitions: int = 8):
     """(doc_id, term, tfidf_r) — per-document top-k terms by tf-idf
     (DocumentKeywordExtractor.getImportantWords:92-109 analog: score by
@@ -97,8 +110,10 @@ def important_words(corpus_ds, k: int = 6, num_partitions: int = 8):
 
     from ..functions import bm25
 
+    import ray.data as rd
+
     n_docs = corpus_ds.count()
-    tf_ds = doc_term_tf(corpus_ds).materialize()
+    tf_ds = rd.read_parquet(_tf_checkpoint(corpus_ds))
     df_ds = tf_ds.groupby("term").aggregate(Count(alias_name="df"))
     joined = tf_ds.join(
         df_ds, join_type="inner", num_partitions=num_partitions, on=("term",)
@@ -141,8 +156,10 @@ def words_tfidf(corpus_ds, num_partitions: int = 8):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Max, Mean
 
+    import ray.data as rd
+
     n_docs = corpus_ds.count()
-    tf_ds = doc_term_tf(corpus_ds).materialize()
+    tf_ds = rd.read_parquet(_tf_checkpoint(corpus_ds))
     df_ds = tf_ds.groupby("term").aggregate(Count(alias_name="df"))
 
     def rename_part(batch: pa.Table) -> pa.Table:
@@ -737,6 +754,31 @@ def shingle_sets(corpus_ds):
     )
 
 
+def _shingle_checkpoint(corpus_ds) -> str:
+    """ONE tokenize+shingle pass, checkpointed to Parquet scratch.
+
+    The per-document shingle-set dataset feeds candidate generation AND
+    both verification join sides, so it must be reusable without
+    re-tokenizing the corpus.  A ``.materialize()`` would pin a
+    corpus-sized derived dataset in the object store for the whole
+    pipeline lifetime (a full second copy at 100 TB, all of it churning
+    through spill); the Parquet checkpoint streams to disk once and each
+    consumer re-reads just the columns it needs via projection pushdown.
+    Returns the checkpoint directory (scratch under /tmp; callers'
+    datasets stay lazy over it, so it is not deleted here)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="msray_shingles_", dir="/tmp")
+    shingle_sets(corpus_ds).write_parquet(out)
+    return out
+
+
+def _read_sets(ckpt_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(ckpt_dir, columns=["doc_id", "sh"])
+
+
 def _explode_sets(batch: pa.Table) -> pa.Table:
     """(doc_id, sh blob) rows -> exploded (doc_id, shingle) rows — one
     vectorized decode, no re-tokenization of the corpus."""
@@ -847,11 +889,12 @@ def ngram_jaccard_pairs(corpus_ds, threshold: float = 0.5, strict_exact: bool = 
     """
     from ray.data.aggregate import Count
 
-    # ONE tokenize+shingle pass; the compact hash-set dataset feeds
-    # candidate generation AND both verification join sides.  (At 10^12
-    # docs, write this dataset to partitioned Parquet once instead of
-    # materializing — same single-pass structure.)
-    sets_ds = shingle_sets(corpus_ds).materialize()
+    # ONE tokenize+shingle pass, checkpointed to Parquet (see
+    # _shingle_checkpoint): candidate generation and both verification
+    # join sides re-read it with pruned columns instead of pinning a
+    # corpus-sized materialization in the object store
+    ckpt = _shingle_checkpoint(corpus_ds)
+    sets_ds = _read_sets(ckpt)
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         g = batch["shingle"].to_numpy(zero_copy_only=False) % COARSE_GROUPS
@@ -1132,9 +1175,11 @@ def minhash_lsh_pairs(
     rows_per_band = NUM_PERM // LSH_BANDS
     a, b = _perm_coeffs()
 
-    # ONE tokenize+shingle pass: signatures derive from the compact
+    # ONE tokenize+shingle pass, checkpointed to Parquet (see
+    # _shingle_checkpoint): signatures derive from the compact
     # shingle-hash blobs, which also serve both verification join sides
-    sets_ds = shingle_sets(corpus_ds).materialize()
+    ckpt = _shingle_checkpoint(corpus_ds)
+    sets_ds = _read_sets(ckpt)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
