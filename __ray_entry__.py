@@ -2008,125 +2008,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # long-stable oracle queries ride at the tail.  Update this list whenever an
 # operator's implementation changes materially.
 _DRIVER_WINDOW_FIRST = [
-    # --- round-4 changed/new surface (16): must be driver-certified now
-    # oracle realigned to the reference loop + BIGINT dtype
-    "bm25_positions_mask",
-    # new non-vacuous side-corpus expansion pair
-    "bm25_wordnum",
-    "bm25_wordnum_off",
-    # former no_oracle entries, now with exact SQL oracles
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "embedding_near_dup_bucketed",
-    "media_frame_sample",
-    # NEW this round: incrementally-maintained vector store
+    # ================= round-5 window (50 entries) =================
+    # Composition rule: (a) never-driver-certified entries first, (b)
+    # entries whose CODE changed this round, (c) oldest-evidence
+    # entries ascending (r1, r2, then r3).  Entries with a green
+    # CORRECTNESS_r04 row and unchanged code ride the tail — their
+    # evidence is already within the last round; the ledger in
+    # IMPLEMENTATION_NOTES.md tracks every displacement.
+    #
+    # --- (a) never certified before this round (9) ---
+    # NEW this round: batched query evaluation as a Ray Dataset
+    "batch_query_eval",
+    # gained an exact SQL oracle this round (was the last rows-only)
+    "simhash64",
+    # round-4 tail services, never in a driver window until now
+    "math_eval",
+    "unit_convert",
+    "favicon_lookup",
+    "random_browse",
+    "similar_browse",
+    # paired no-op controls for expansion / heading bonus
+    "bm25_expanded_off",
+    "bm25_heading_off",
+    # --- (b) code changed this round (6) ---
+    # shingle-set Parquet checkpoint replaced the corpus-sized
+    # .materialize() in these three + the tf checkpoint in the two
+    # tf-idf pipelines
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "near_dup_components",
+    "important_words",
+    "words_tfidf",
+    # vector-store dup guard became an Arrow kernel
     "vecstore_append_topk",
-    # rewritten: bounded two-pass sessionization / Arrow map_groups
-    "events_sessions",
-    "ann_topk_per_label",
-    # _group_matrix blob gather vectorized
-    "embedding_top_pairs",
-    "embedding_near_dup",
-    # commit-manifest export protocol
-    "export_shards",
-    # delta identity validation + chain checks touched delta.py; the
-    # other bm25_delta_* siblings (fresh/exclude/compacted, r03-green)
-    # ride at the tail — maintained/blobcompact/delete_purge below
-    # exercise the same machinery end-to-end
-    "bm25_delta_chain",
-    # fake-decode media features gained an exact oracle this round
-    "media_features",
-    # blob-level compaction path (strip + k-way blob merge, no re-tokenize)
-    "bm25_delta_blobcompact",
-    # tombstone-only delete delta (physical purge)
-    "bm25_delete_purge",
-    # tiered maintenance: fold + rebase is a scoring no-op
-    "bm25_delta_maintained",
-    # NEW: full-match-set facet counting (repo / year / lang keys)
-    "facet_repo",
-    "facet_year",
-    "facet_lang",
-    # NEW: stratified deterministic sampling (balanced data mixing)
-    "sample_per_lang",
-    "sample_per_repo",
-    # NEW: ranking-factor breakdown (DebugRankingFactors analog); its
-    # 2-term conjunctive seed also covers bm25_single/bm25_conj machinery
-    "bm25_explain",
-    # NEW: domain ranking — PageRank / personalized / weighted over the
-    # derived link graph + the RankingSearchSet repo restriction
-    "link_graph_edges",
-    "pagerank_domains",
-    "pagerank_personalized",
-    "pagerank_weighted",
-    "ranked_search_set",
-    "connectivity_sets",
-    # NEW: document classification (classifier-net / NSFW-filter analog)
-    "classifier_features",
-    "classifier_scores",
-    # NEW: website adjacencies (co-citation cosine) + similar-domains
-    "domain_neighbors",
-    "similar_domains",
-    "linking_domains",
-    # NEW: SymSpell spell correction over the corpus dictionary
-    "spell_suggest",
-    # NEW: typeahead suggestions (assistant Suggestions service);
-    # displaces bm25_advice from the 50-entry window — its advice
-    # query-parsing machinery stays certified via the r03-green
-    # bm25_advice_site, and it re-verifies in every local full sweep
-    "suggest_topk",
-    # NEW: per-domain info cards (DomainInformationService analog);
-    # displaces bm25_ngram_all from the 50-entry window — its ngram
-    # segmentation machinery stays certified via the in-window
-    # bm25_segmented, and it re-verifies in every local full sweep
-    "domain_info",
-    # --- rotation: entries last driver-checked in r01/r02 (34) — the
-    # scoring-variant family the r3 window displaced.  Deferred to the
-    # tail (machinery covered by an in-window sibling): bm25_expanded_off,
-    # bm25_heading_off, bm25_doc_bonus_recent, media_features,
-    # events_sliding_1h_15m, bm25_or_top, simhash64 (rows-only).
-    "bm25_conj",
-    "bm25_exclude",
-    "bm25_phrase",
-    "bm25_repo",
-    "bm25_size_limit",
-    "bm25_domain_cap",
-    "search_decorated",
-    "bm25_or_group",
-    "bm25_segmented",
-    "bm25_lang",
-    "bm25_meta_year",
-    "bm25_meta_rank",
-    "bm25_ngram_all",
+    # --- (c) oldest evidence, ascending ---
+    # last green r01 (2)
+    "ann_cosine_top10",
+    "events_sliding_1h_15m",
+    # last green r02 (22) — the scoring-variant family displaced by the
+    # r3/r4 windows, now all re-certified
+    "bm25_single",
+    "bm25_proximity",
+    "bm25_verbatim",
+    "bm25_meta_quality",
+    "bm25_doc_bonus",
+    "bm25_doc_bonus_recent",
+    "bm25_first_position",
+    "bm25_head_weighted",
+    "bm25_nested",
+    "bm25_page2",
+    "bm25_verbatim_tags",
+    "bm25_verbatim_tags_opt",
+    "bm25_prox_all",
     "bm25_advice",
-    # bm25_page2 + bm25_verbatim_tags(_opt) + bm25_prox_all yield to the
-    # never-certified adjacency/spell entries (the driver checks the
-    # first 50 only): all four are r02-green, re-verified in every local
-    # full sweep, and the verbatim/proximity score components stay
-    # value-certified in-window via bm25_explain's fx_* factor columns.
-    # They lead the round-5 rotation (IMPLEMENTATION_NOTES).
-    # bm25_head_weighted + bm25_nested yield to the never-certified
-    # classifier entries: nested-tree aggregation stays certified via
-    # the in-window bm25_or_group (and bm25_or_flat, r03-green); head-tf
-    # weighting keeps its pytest vectors and the local sweep.
-    # exact_dedup yields to the never-certified connectivity_sets: its
-    # groupby-first-wins dedup machinery stays certified in-window via
-    # export_shards, and the near-dup family is r03-green.
-    # quality_scores + events_tumbling_1h stay at the tail (driver-green
-    # earlier, unchanged); simhash64 (rows-only) and the *_off twins
-    # defer to in-window siblings that share their machinery.  lang_id +
-    # ann_cosine_top10 yield their slots to the new facet entries (both
-    # r01/r02-green, unchanged, re-verified locally by driver_check).
-    # bm25_proximity / bm25_verbatim / bm25_meta_quality yield to the
-    # never-certified facet_lang + sample_per_* — each keeps an in-window
-    # sibling on the same machinery (bm25_prox_all, bm25_verbatim_tags*,
-    # bm25_meta_year/rank).  bm25_doc_bonus + bm25_first_position yield
-    # to the never-certified pagerank family: the in-window bm25_explain
-    # certifies BOTH components value-exactly via its fx_doc_bonus /
-    # fx_first_position factor columns.  doc_length_histogram /
-    # repo_stats / term_df_top100 (trivial aggregates, r01-green,
-    # re-verified locally every sweep) also yield to the pagerank family.
+    "bm25_ngram_all",
+    "bm25_or_top",
+    "doc_length_histogram",
+    "exact_dedup",
+    "lang_id",
+    "quality_scores",
+    "repo_stats",
+    "term_df_top100",
+    # last green r03: the two VERDICT-named displaced entries first,
+    # then the core build-phase certifications (11)
+    "bm25_match_count",
+    "bm25_filter_spec",
+    "journal_sizes",
+    "forward_docmeta",
+    "posting_list_merge",
+    "posting_list_customer",
+    "prio_posting_customer",
+    "prio_posting_dup",
+    "span_stats",
+    "token_counts",
+    "winnow_fingerprints",
+    # ---- tail (beyond slot 50) ----
+    # Remaining r03-green entries (artifact_terms, bm25_advice_site,
+    # bm25_category, bm25_delta_compacted/exclude/fresh, bm25_expanded,
+    # bm25_flags, bm25_flags_tfidf, bm25_heading, bm25_normalized,
+    # bm25_or_flat, bm25_plural, bm25_priority*, bm25_pruned*,
+    # events_tumbling_1h, media_features_real, pii_counts) and every
+    # r04-green entry ride the tail: all are re-verified by the local
+    # full sweep at sf0.001 + sf0.01 every round, and each keeps an
+    # in-window sibling on shared machinery (pruned twins share
+    # bm25_single's oracle; the delta family's newest siblings were
+    # r04-window-green; priority/flags components are value-certified
+    # via bm25_explain's fx_* columns, itself r04-green).
 ]
-
 
 def _driver_window_order(q: dict) -> dict:
     front = {k: q[k] for k in _DRIVER_WINDOW_FIRST if k in q}

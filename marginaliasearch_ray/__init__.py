@@ -21,3 +21,10 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Ray 2.49 hash-shuffle schema-broadcast race workaround (see _rayfix):
+# without it, a join whose sequence leads with an empty block can
+# finalize empty partitions as zero-column tables and abort.
+from . import _rayfix as _rayfix_mod  # noqa: E402
+
+_rayfix_mod.apply()
