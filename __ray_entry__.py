@@ -127,6 +127,27 @@ def _index_for(sf_dir: str) -> IndexSearch:
     return handle
 
 
+_GAMMA_HANDLES: dict[str, Any] = {}
+
+
+def _gamma_index_for(sf_dir: str) -> IndexSearch:
+    """The base segment transcoded to the legacy Elias-gamma positions
+    codec (pipelines.transcode) — serving over it must be result-
+    identical, which `bm25_phrase_gamma` pins against the same SQL
+    oracle as `bm25_phrase`."""
+    handle = _GAMMA_HANDLES.get(sf_dir)
+    if handle is not None:
+        return handle
+    from marginaliasearch_ray.pipelines.transcode import transcode_positions
+
+    _index_for(sf_dir)  # ensure the base varint segment exists
+    out = _index_dir_for(sf_dir) + "_gamma"
+    transcode_positions(_index_dir_for(sf_dir), out, codec="gamma")
+    handle = IndexSearch(out, use_actors=False)
+    _GAMMA_HANDLES[sf_dir] = handle
+    return handle
+
+
 # ---------------------------------------------------------------------------
 # engine-side query callables
 
@@ -1474,6 +1495,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["bm25_exclude"] = lambda sf: _search(sf, "scan filter -customer")
     q["bm25_phrase"] = lambda sf: _search(sf, '"fast table" scan')
+    # the same phrase query over a segment transcoded to the legacy
+    # Elias-gamma positions codec (GammaCodedSequence analog): decode
+    # path differs, results must not
+    q["bm25_phrase_gamma"] = lambda sf: _gamma_index_for(sf).search(
+        '"fast table" scan', k=10
+    ).select(["doc_id", "score_r"])
     q["bm25_repo"] = lambda sf: _search(sf, "customer repo:src3")
     q["bm25_size_limit"] = lambda sf: _search(sf, "customer size>40")
     q["bm25_priority"] = lambda sf: _search(sf, "customer ?merge")
@@ -2041,6 +2068,10 @@ _DRIVER_WINDOW_FIRST = [
     "words_tfidf",
     # vector-store dup guard became an Arrow kernel
     "vecstore_append_topk",
+    # NEW this round: legacy Elias-gamma positions codec + transcode
+    # (never certified; displaces winnow_fingerprints — r3-green,
+    # unchanged code, locally swept — to slot 51)
+    "bm25_phrase_gamma",
     # --- (c) oldest evidence, ascending ---
     # last green r01 (2)
     "ann_cosine_top10",
@@ -3427,6 +3458,9 @@ LIMIT {BROWSE_COUNT}""",
         "bm25_pruned_or": _bm25_nested_sql("customer | merge | sort"),
         "bm25_exclude": _bm25_sql(["scan", "filter"], exclude=["customer"]),
         "bm25_phrase": _bm25_sql(
+            ["fast", "table", "scan"], phrase=["fast", "table"]
+        ),
+        "bm25_phrase_gamma": _bm25_sql(
             ["fast", "table", "scan"], phrase=["fast", "table"]
         ),
         "bm25_repo": _bm25_sql(["customer"], source="src3"),

@@ -95,6 +95,15 @@ def main(argv: list[str] | None = None) -> int:
                         "journal is never re-encoded)")
     _common(c)
 
+    tc = sub.add_parser(
+        "transcode",
+        help="migrate a segment's positions codec (varint <-> legacy "
+             "Elias gamma); every codec-independent file hardlinks",
+    )
+    tc.add_argument("--segment", required=True)
+    tc.add_argument("--out", required=True)
+    tc.add_argument("--codec", choices=["varint", "gamma"], default="gamma")
+
     dl = sub.add_parser(
         "delete", help="tombstone-only delta: physically purge documents"
     )
@@ -552,6 +561,11 @@ def main(argv: list[str] | None = None) -> int:
                 args.segment, args.out, _build_cfg(args),
                 blob_merge=args.blob_merge,
             )
+            print(json.dumps(root))
+        elif args.cmd == "transcode":
+            from .pipelines.transcode import transcode_positions
+
+            root = transcode_positions(args.segment, args.out, args.codec)
             print(json.dumps(root))
         elif args.cmd == "delete":
             from .pipelines.delta import build_delete_delta

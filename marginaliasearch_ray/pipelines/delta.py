@@ -880,6 +880,16 @@ def _blob_merge_phases(
             "blob_merge requires every segment built with the same "
             f"num_buckets; got {buckets_seen} — use blob_merge=False"
         )
+    # the strip/merge kernels decode varint position streams in place; a
+    # legacy gamma segment must be transcoded back to the hot format first
+    from .transcode import positions_codec
+
+    gamma_segs = [d for d in doc_segments if positions_codec(d) != "varint"]
+    if gamma_segs:
+        raise ValueError(
+            "blob_merge requires varint positions; transcode these "
+            f"segments first (pipelines.transcode): {gamma_segs}"
+        )
     num_parts = int(mf.read_manifest(segment_dirs[0], "root")["num_parts"])
 
     # broadcast the per-segment tombstone unions + per-part affected-term

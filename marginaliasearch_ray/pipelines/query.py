@@ -681,6 +681,12 @@ class _Segment:
         else:
             self._corr = None
         post_dir = os.path.join(out_dir, "postings", f"part={part}")
+        # positions wire codec: "varint" (hot default) or "gamma" (the
+        # reference's legacy GammaCodedSequence format; segments migrated
+        # by pipelines.transcode serve as-is)
+        from .transcode import positions_codec
+
+        self.pos_codec = positions_codec(out_dir)
         cols = ["term_id", "df", "docs", "tfs", "metas", "positions", "pos_cnts"]
         schema_names = set(pads.dataset(post_dir).schema.names)
         # block-max pruning is unavailable while suppressions are active:
@@ -935,9 +941,16 @@ class _Segment:
             out = (np.empty(0, dtype=np.int64), np.zeros(1, dtype=np.int64))
         else:
             cnts = self.pos_cnts[int(r)].values.to_numpy(zero_copy_only=False)
-            out = flat_positions_by_counts(
-                _blob(self.pos_blobs, r), np.asarray(cnts, dtype=np.int64)
-            )
+            if self.pos_codec == "gamma":
+                from ..functions.gamma_seq import flat_gamma_positions_by_counts
+
+                out = flat_gamma_positions_by_counts(
+                    _blob(self.pos_blobs, r), np.asarray(cnts, dtype=np.int64)
+                )
+            else:
+                out = flat_positions_by_counts(
+                    _blob(self.pos_blobs, r), np.asarray(cnts, dtype=np.int64)
+                )
             if self.tomb is not None:
                 self.postings(tid)  # ensure the keep mask is populated
                 keep = self._tomb_mask.get(tid)
