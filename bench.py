@@ -254,6 +254,36 @@ def run_bench() -> dict:
         nc / timings["query_set_concurrent"], 1
     )
 
+    # 3b'''') batched query evaluation as a Ray Dataset (batch_eval):
+    # the reference-query-set evaluator path — the same warm query set
+    # streamed through the evaluator actor pool (which shares the
+    # searcher actors), one row per (qid, result doc).  Comparable to
+    # query_set_concurrent: same queries, Dataset pipeline instead of
+    # driver threads.
+    def run_batch_eval():
+        import pyarrow as _pa
+        import ray.data as _rd
+
+        reps = 20
+        qtbl = _pa.table(
+            {
+                "qid": _pa.array(range(reps * len(qset)), _pa.int64()),
+                "query": _pa.array(
+                    [qset[i % len(qset)] for i in range(reps * len(qset))],
+                    _pa.string(),
+                ),
+            }
+        )
+        out = idx.batch_eval(
+            _rd.from_arrow(qtbl), k=10, eval_concurrency=4
+        ).materialize()
+        return reps * len(qset)
+
+    nb = timed("batch_query_eval", run_batch_eval)
+    extras["batch_eval_queries_per_s"] = round(
+        nb / timings["batch_query_eval"], 1
+    )
+
     # 3b''') facet counting (exhaustive candidates + per-partition
     # (key, count) partials): heavier than top-k by design — the full
     # match set is counted, never scored or shipped
