@@ -927,7 +927,14 @@ class _Segment:
         self.blocks_skipped += len(bl) - len(b)
         if len(b) == 0:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-        return self._decode_blocks(r, int(self.blk_offs[r]), bl, b)
+        out = self._decode_blocks(r, int(self.blk_offs[r]), bl, b)
+        if len(b) == len(bl) and len(self._decoded) < 4096:
+            # candidates touched every block: this IS the full posting
+            # list (has_blocks implies no tombstones owed) — cache it so
+            # repeated probes against the same hot term (chunked scans,
+            # exclude filters, scoring passes) decode once
+            self._decoded[tid] = out
+        return out
 
     def positions_flat(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
         """A term's positions as (flat int64 array, ragged offsets) —
@@ -2154,6 +2161,12 @@ class SearcherLogic:
             infos.append((u, t))
         if not any_blocks:
             return None
+        if len(infos) == 1:
+            # a single surviving member always decodes in full (the
+            # threshold is -inf at its turn): discovery would walk and
+            # score the whole list only to return it verbatim — the
+            # exhaustive union seed is the same set for free
+            return None
         infos.sort(key=lambda x: -x[0])
         _subset = lambda tt, cc: seg.postings_subset(tt, cc)[0]  # noqa: E731
         acc_d: list[np.ndarray] = []
@@ -2171,7 +2184,15 @@ class SearcherLogic:
             if time.monotonic() > deadline and acc_d:
                 break  # budget: partial-but-correctly-ranked
             meta = seg.block_meta(t)
-            if meta is None:
+            if meta is None or thr == -np.inf:
+                # no blocks, or nothing is skippable yet (the first
+                # member always decodes in full: thr is -inf) — take /
+                # seed the full-decode cache so the exact-scoring loop
+                # below and later queries reuse it instead of paying a
+                # second block decode (measured 1.5-2x pruned-OR
+                # overhead vs exhaustive at 3.84M docs without this;
+                # safe: has_blocks implies tomb is None, so no
+                # tombstone mask is owed)
                 docs_c, tfs_c = seg.postings(t)
             else:
                 r, bl, maxtf = meta
@@ -2181,14 +2202,32 @@ class SearcherLogic:
                     maxtf.astype(np.float64),
                     np.zeros(len(bl), dtype=np.float64),
                 )
-                b = np.flatnonzero(bub >= thr - 1e-6)
-                seg.blocks_decoded += len(b)
-                seg.blocks_skipped += len(bl) - len(b)
-                if len(b) == 0:
-                    continue
-                docs_c, tfs_c = seg._decode_blocks(
-                    r, int(seg.blk_offs[r]), bl, b
-                )
+                cached = seg._decoded.get(t)
+                if cached is not None:
+                    # full list already decoded (warm segment): the
+                    # competitive subset is a vectorized mask — block
+                    # of doc d is searchsorted(blk_last, d), keep docs
+                    # whose block bound can still reach the threshold.
+                    # Identical rows to decoding exactly those blocks.
+                    blkidx = np.searchsorted(bl, cached[0])
+                    m = bub[blkidx] >= thr - 1e-6
+                    kept = int(len(np.unique(blkidx[m])))
+                    seg.blocks_decoded += kept
+                    seg.blocks_skipped += len(bl) - kept
+                    if not m.any():
+                        continue
+                    docs_c, tfs_c = cached[0][m], cached[1][m]
+                else:
+                    b = np.flatnonzero(bub >= thr - 1e-6)
+                    seg.blocks_decoded += len(b)
+                    seg.blocks_skipped += len(bl) - len(b)
+                    if len(b) == 0:
+                        continue
+                    docs_c, tfs_c = seg._decode_blocks(
+                        r, int(seg.blk_offs[r]), bl, b
+                    )
+                    if len(b) == len(bl) and len(seg._decoded) < 4096:
+                        seg._decoded[t] = (docs_c, tfs_c)
             cand_c = self._apply_filters(seg, docs_c, plan, _subset)
             if len(cand_c) == 0:
                 continue
@@ -2199,6 +2238,34 @@ class SearcherLogic:
                 bm25.bm25_term_score(total_docs, global_df.get(t, 0), tf, sizes)
             )
             thr = _kth_group_max(acc_d, acc_s, K)
+            if len(acc_d) == 1 and len(infos) > 1 and thr > -np.inf:
+                # Adaptive fallback (same measured lesson as the conj
+                # path): the first member just decoded in full by
+                # necessity — if its threshold can't skip >=30% of the
+                # remaining members' blocks, discovery would re-walk
+                # every posting list only to hand the caller the same
+                # full union, at ~2x exhaustive cost (measured on
+                # head-term ORs at 3.84M docs).  Bail to the exhaustive
+                # union seed instead: the full decode above is cache-
+                # seeded, so the aborted discovery cost ~nothing.
+                rem_tot = rem_skip = 0
+                for _, t2 in infos[i + 1 :]:
+                    m2 = seg.block_meta(t2)
+                    if m2 is None:
+                        continue
+                    _, bl2, maxtf2 = m2
+                    bub2 = bm25.bm25_term_score(
+                        total_docs,
+                        global_df.get(t2, 0),
+                        maxtf2.astype(np.float64),
+                        np.zeros(len(bl2), dtype=np.float64),
+                    )
+                    rem_tot += len(bl2)
+                    rem_skip += int((bub2 < thr - 1e-6).sum())
+                if rem_tot == 0 or rem_skip / rem_tot < 0.3:
+                    # no remaining member even has a block index, or
+                    # the threshold can't skip enough to pay
+                    return None
         if not acc_d:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(acc_d))
@@ -2266,6 +2333,14 @@ def _kth_group_max(
     the exact MaxScore threshold.  Collapsing duplicates matters: the
     K-th of the raw concatenation OVERestimates (a doc seen in two lists
     counts twice), which would skip blocks unsafely."""
+    if len(acc_d) == 1:
+        # one member: docs are already unique and sorted — the per-doc
+        # max IS the score vector, so skip the O(n log n) lexsort (it
+        # measured ~40% of discovery cost on a 1.4M-posting head term)
+        m = acc_s[0]
+        if len(m) < K:
+            return -np.inf
+        return float(np.partition(m, len(m) - K)[len(m) - K])
     d = np.concatenate(acc_d)
     s = np.concatenate(acc_s)
     o = np.lexsort((-s, d))
