@@ -23,6 +23,7 @@ Query syntax (QueryParser.java:13-100 subset): bare terms (AND),
 
 from __future__ import annotations
 
+import itertools
 import os
 import re
 import threading
@@ -2460,12 +2461,18 @@ class IndexSearch:
     across partitions."""
 
     @classmethod
-    def from_chain(cls, chain_path: str, use_actors: bool = True):
+    def from_chain(
+        cls, chain_path: str, use_actors: bool = True, replicas: int = 1
+    ):
         """Open whatever segment chain the pointer file currently names
         (state.manifest.publish_chain — the index-switch analog)."""
         from ..state import manifest as mf
 
-        idx = cls(mf.read_chain(chain_path), use_actors=use_actors)
+        idx = cls(
+            mf.read_chain(chain_path),
+            use_actors=use_actors,
+            replicas=replicas,
+        )
         idx._chain_path = chain_path
         return idx
 
@@ -2490,7 +2497,11 @@ class IndexSearch:
         with self._respawn_lock:
             if new_dirs == self.segment_dirs:
                 return False
-            fresh = IndexSearch(new_dirs, use_actors=self.use_actors)
+            fresh = IndexSearch(
+                new_dirs,
+                use_actors=self.use_actors,
+                replicas=self.replicas,
+            )
             for attr in (
                 "out_dir",
                 "segment_dirs",
@@ -2500,6 +2511,7 @@ class IndexSearch:
                 "parts",
                 "_seg_parts",
                 "searchers",
+                "_replica_sets",
                 "_df_cache",
                 "_prio_df_cache",
                 "_repo_by_dom",
@@ -2509,7 +2521,7 @@ class IndexSearch:
                 self._actor_cls = fresh._actor_cls
             return True
 
-    def __init__(self, out_dir, use_actors: bool = True):
+    def __init__(self, out_dir, use_actors: bool = True, replicas: int = 1):
         from ..state import manifest as mf
 
         self._chain_path: str | None = None
@@ -2582,13 +2594,29 @@ class IndexSearch:
         self._repo_by_dom = {
             int(d): rname for rname, (d, _rk, _p) in self._registry.items()
         }
+        # read replicas: R identical actors per (segment, part), queries
+        # round-robin across them per fan-out.  A partition actor is
+        # single-threaded, so a FIXED pool caps serving throughput at
+        # num_parts CPUs of scoring no matter how many clients pile on;
+        # replicas are how a read-heavy deployment scales QPS with the
+        # cluster instead of with the partition count.  Segments are
+        # immutable, so replicas need no coordination — results are
+        # identical whichever replica answers.
+        self.replicas = max(1, int(replicas))
         if use_actors:
             self._actor_cls = _make_searcher_actor()
-            self.searchers = [
-                self._actor_cls.remote(d, p, s) for d, p, s in seg_parts
+            self._replica_sets = [
+                [
+                    self._actor_cls.remote(d, p, s)
+                    for _ in range(self.replicas)
+                ]
+                for d, p, s in seg_parts
             ]
+            self.searchers = [rs[0] for rs in self._replica_sets]
         else:
             self.searchers = [SearcherLogic(d, p, s) for d, p, s in seg_parts]
+            self._replica_sets = [[s] for s in self.searchers]
+        self._rr = itertools.count()
 
     def __getstate__(self):
         """Pickle support for shipping the handle into Ray workers
@@ -2670,13 +2698,18 @@ class IndexSearch:
             return self._respawn_dead_locked(ray)
 
     def _respawn_dead_locked(self, ray) -> int:
-        refs = [s.local_df.remote([]) for s in self.searchers]
+        flat = [
+            (i, j, a)
+            for i, rs in enumerate(self._replica_sets)
+            for j, a in enumerate(rs)
+        ]
+        refs = [a.local_df.remote([]) for _i, _j, a in flat]
         replaced = 0
         ready, _ = ray.wait(
             refs, num_returns=len(refs), timeout=60, fetch_local=False
         )
         ready_set = set(ready)
-        for i, ref in enumerate(refs):
+        for (i, j, _a), ref in zip(flat, refs):
             if ref not in ready_set:
                 # slow but alive (cold segment load, saturated node) —
                 # leave it; the retried fan-out will wait normally
@@ -2684,9 +2717,10 @@ class IndexSearch:
             try:
                 ray.get(ref)
             except ray.exceptions.RayActorError:
-                self.searchers[i] = self._actor_cls.remote(
-                    *self._seg_parts[i]
-                )
+                fresh = self._actor_cls.remote(*self._seg_parts[i])
+                self._replica_sets[i][j] = fresh
+                if j == 0:
+                    self.searchers[i] = fresh
                 replaced += 1
         return replaced
 
@@ -2694,9 +2728,18 @@ class IndexSearch:
         if self.use_actors:
             import ray
 
+            if self.replicas > 1:
+                # per-fan-out round-robin: segments are immutable, so
+                # any replica gives the identical answer; next() on an
+                # itertools counter is GIL-atomic under search_many
+                # threads
+                r = next(self._rr)
+                targets = [rs[r % len(rs)] for rs in self._replica_sets]
+            else:
+                targets = self.searchers
             try:
                 return ray.get(
-                    [getattr(s, method).remote(*args) for s in self.searchers]
+                    [getattr(s, method).remote(*args) for s in targets]
                 )
             except ray.exceptions.RayActorError:
                 self._respawn_dead()
@@ -3103,9 +3146,11 @@ class IndexSearch:
         if self.use_actors:
             import ray
 
-            for s in self.searchers:
-                ray.kill(s)
+            for rs in self._replica_sets:
+                for s in rs:
+                    ray.kill(s)
         self.searchers = []
+        self._replica_sets = []
 
 
 _FACET_KEYS = ("repo", "year", "lang")

@@ -129,3 +129,42 @@ def test_ranking_params_bundle(small_index):
     # and the bundle genuinely changes scores vs the bare query
     bare = idx.search("license import", k=5)
     assert a["score_r"].to_pylist() != bare["score_r"].to_pylist()
+
+
+def test_replicas_identical_and_distributed(small_index):
+    """replicas=2 spawns two actors per (segment, part), fan-outs
+    round-robin across them, and every answer is identical to the
+    single-replica handle (segments are immutable — replicas need no
+    coordination)."""
+    idx1 = IndexSearch(small_index, use_actors=True)
+    idx2 = IndexSearch(small_index, use_actors=True, replicas=2)
+    assert all(len(rs) == 2 for rs in idx2._replica_sets)
+    # distinct actor handles per replica slot
+    for rs in idx2._replica_sets:
+        assert rs[0] != rs[1]
+    for q in ["license import", "merge_buffer -license", '"license import"']:
+        a = idx1.search(q, k=5)
+        # consecutive searches hit different replicas (the rr counter
+        # advances per fan-out) — both must equal the primary answer
+        b1 = idx2.search(q, k=5)
+        b2 = idx2.search(q, k=5)
+        assert a.to_pylist() == b1.to_pylist() == b2.to_pylist()
+    idx1.shutdown()
+    idx2.shutdown()
+
+
+def test_replica_death_respawn(small_index):
+    """A killed replica is respawned by the retry path and queries keep
+    answering identically."""
+    import ray
+
+    idx = IndexSearch(small_index, use_actors=True, replicas=2)
+    before = idx.search("license import", k=5)
+    # kill one replica in every set (both the primary slot and the
+    # second slot across different parts, to exercise both branches)
+    ray.kill(idx._replica_sets[0][1])
+    ray.kill(idx._replica_sets[-1][0])
+    after = [idx.search("license import", k=5) for _ in range(4)]
+    for t in after:
+        assert t.to_pylist() == before.to_pylist()
+    idx.shutdown()
