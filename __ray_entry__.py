@@ -127,6 +127,73 @@ def _index_for(sf_dir: str) -> IndexSearch:
     return handle
 
 
+_ANCHOR_HANDLES: dict[str, Any] = {}
+# bump when the synthesized link-text table or anchor semantics change —
+# build_index resumes committed phases, so a stale cached dir would
+# otherwise serve the old table silently
+_ANCHOR_VERSION = 2
+
+
+def _link_texts_table(sf_dir: str) -> "pa.Table":
+    """Deterministic anchor-text side table over the documents corpus:
+    every doc_id % 3 == 0 document has one inbound link text spotted
+    (1 + doc_id % 150) times — 'nav' alone on doc_id % 6 == 0 (a
+    width-1 span, the EXACT linktext-verbatim case) and 'nav <source>'
+    otherwise (partial case).  Pure column arithmetic, so the oracle
+    replicates membership, repetition count (max(1, min(sqrt(cnt), 12))),
+    injected positions and span verbatim counts exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.asarray(t["source"].to_pylist(), dtype=object)
+    m = did % 3 == 0
+    did, src = did[m], src[m]
+    return pa.table(
+        {
+            "repo": pa.array(src, pa.string()),
+            "path": pa.array([f"doc_{d}" for d in did], pa.string()),
+            "text": pa.array(
+                [
+                    "nav" if d % 6 == 0 else f"nav {s}"
+                    for d, s in zip(did, src)
+                ],
+                pa.string(),
+            ),
+            "cnt": pa.array(did % 150 + 1, pa.int64()),
+        }
+    )
+
+
+def _anchor_index_for(sf_dir: str) -> IndexSearch:
+    """Index built with anchor regions enabled (URL words + link texts,
+    DocumentPositionMapper.java:111-199) over the documents corpus plus
+    the deterministic link-text side table."""
+    handle = _ANCHOR_HANDLES.get(sf_dir)
+    if handle is not None:
+        return handle
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    out = _index_dir_for(sf_dir) + f"_anchor{_ANCHOR_VERSION}"
+    os.makedirs(out, exist_ok=True)
+    links = os.path.join(out, "link_texts.parquet")
+    if not os.path.exists(links):
+        pq.write_table(_link_texts_table(sf_dir), links)
+    cfg = dataclasses.replace(
+        _build_cfg(), anchor_regions=True, link_texts_dir=links
+    )
+    build_index(documents_corpus_dataset(sf_dir), out, cfg)
+    handle = IndexSearch(out, use_actors=False)
+    _ANCHOR_HANDLES[sf_dir] = handle
+    return handle
+
+
 _GAMMA_HANDLES: dict[str, Any] = {}
 
 
@@ -1501,6 +1568,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_phrase_gamma"] = lambda sf: _gamma_index_for(sf).search(
         '"fast table" scan', k=10
     ).select(["doc_id", "score_r"])
+    # anchor regions (URL words + sqrt-attenuated link-text repetitions,
+    # DocumentPositionMapper.java:111-199): 'nav' exists only in the
+    # injected link texts; tf = repetition count and first_position =
+    # the injected virtual position, both replicated closed-form in SQL
+    # verbatim_tag_weight exercises the single-word EXTERNAL_LINKTEXT
+    # exact/partial span branch (IndexResultRankingService.java:470-481)
+    q["bm25_linktext"] = lambda sf: _anchor_index_for(sf).search(
+        "nav", k=10, first_position_weight=0.15, verbatim_tag_weight=1.0
+    ).select(["doc_id", "score_r"])
     q["bm25_repo"] = lambda sf: _search(sf, "customer repo:src3")
     q["bm25_size_limit"] = lambda sf: _search(sf, "customer size>40")
     q["bm25_priority"] = lambda sf: _search(sf, "customer ?merge")
@@ -2072,6 +2148,10 @@ _DRIVER_WINDOW_FIRST = [
     # (never certified; displaces winnow_fingerprints — r3-green,
     # unchanged code, locally swept — to slot 51)
     "bm25_phrase_gamma",
+    # NEW this round: anchor regions — URL words + sqrt-attenuated
+    # link-text repetitions (never certified; displaces token_counts —
+    # r3-green, unchanged code, locally swept — past slot 50)
+    "bm25_linktext",
     # --- (c) oldest evidence, ascending ---
     # last green r01 (2)
     "ann_cosine_top10",
@@ -2223,11 +2303,31 @@ def _bm25_sql(
     multiplicative_priority: bool = False,
     positions_mask: bool = False,
     explain: bool = False,
+    link_texts: bool = False,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
     groups = groups or []
     meta_limits = meta_limits or []
+    # link_texts: the anchor-region index (_anchor_index_for) — tf and
+    # first_position read an EXTENDED token list with chr(1) pads filling
+    # the reference's position arithmetic (body L | +2 pad | URL words
+    # from pos L+4 | +2 pad | link text repeated max(1,min(sqrt(cnt),12))
+    # times from pos L+7+u, +2 pad between repetitions); dl stays body
+    # length.  Covers the BM25 + first-position factors only.
+    assert not (
+        link_texts
+        and (
+            phrase or groups or exclude or priority or flags_weight
+            or verbatim_weight or proximity_weight or proximity_all_weight
+            or (verbatim_tag_weight and len(terms) != 1)
+            or head_tf_weight or positions_mask
+            or explain or multiplicative_priority or normalize
+        )
+    ), (
+        "link_texts oracle covers BM25 + first_position + the"
+        " single-word linktext verbatim branch only"
+    )
     # explain (DebugRankingFactors analog): emit per-factor fx_* columns
     # mirroring SearcherLogic's checkpoint deltas.  Score fragments are
     # collected per factor as they are appended to the total; the packed
@@ -2297,6 +2397,26 @@ def _bm25_sql(
         if explain:
             # raw packed-meta fields for the documentParam.* fx columns
             cand_bonus += ", t.rnk AS rnk, t.topo AS topo, t.yrb AS yrb, t.nl AS nl"
+    tf_tok = "t.toks"
+    fp_tok = "any_value(c.toks)"
+    if link_texts:
+        reps = "least(CAST(floor(sqrt(1 + doc_id % 150)) AS BIGINT), 12)"
+        link_block = (
+            "CASE WHEN doc_id % 6 = 0 THEN"
+            " flatten([['nav', chr(1), chr(1)]"
+            f" for r in generate_series(1, {reps})])"
+            " WHEN doc_id % 3 = 0 THEN"
+            " flatten([['nav', source, chr(1), chr(1)]"
+            f" for r in generate_series(1, {reps})])"
+            " ELSE []::VARCHAR[] END"
+        )
+        tok_extra += (
+            f", {_tok()} || [chr(1), chr(1), chr(1), 'doc_' || doc_id,"
+            f" chr(1), chr(1), chr(1)] || {link_block} AS etoks"
+        )
+        cand_bonus += ", t.etoks AS etoks"
+        tf_tok = "t.etoks"
+        fp_tok = "any_value(c.etoks)"
     # grp <= 0 contributions are SUMMED; grp >= 1 take the MAX over their
     # members (CompiledQueryAggregates intMaxSum shape)
     rows = [f"('{t}', 1.0, 0)" for t in terms]
@@ -2347,7 +2467,7 @@ def _bm25_sql(
     fp_expr = ""
     if first_position_weight > 0 and terms:
         fps = ", ".join(
-            f"list_position(any_value(c.toks), '{t}')::DOUBLE" for t in terms
+            f"list_position({fp_tok}, '{t}')::DOUBLE" for t in terms
         )
         great = f"greatest({fps})" if len(terms) > 1 else fps
         fp_expr = f" + {first_position_weight} / sqrt({great})"
@@ -2479,6 +2599,24 @@ def _bm25_sql(
         frag = f" + {verbatim_tag_weight} * ({vt})"
         fp_expr += frag
         fx_frag["fx_verbatim"] += frag
+    elif verbatim_tag_weight > 0 and link_texts and len(terms) == 1:
+        # single-word VerbatimMatches branch (IndexResultRankingService
+        # .java:462-481): +4 when the doc IS the word (dl = 1), then
+        # 1.5 per EXACT linktext span match (width-1 span, i.e. the
+        # doc_id % 6 = 0 'nav'-only texts — every repetition is exact)
+        # + 0.5 per partial (inside a wider span: the 'nav <source>'
+        # texts).  Closed form over the deterministic side table; the
+        # engine computes the same counts from real span geometry.
+        reps1 = "least(CAST(floor(sqrt(1 + c.doc_id % 150)) AS BIGINT), 12)"
+        frag = (
+            f" + {verbatim_tag_weight} * ("
+            "(CASE WHEN any_value(c.dl) = 1 THEN 4.0 ELSE 0.0 END)"
+            " + (CASE WHEN c.doc_id % 6 = 0 THEN 1.5"
+            " WHEN c.doc_id % 3 = 0 THEN 0.5 ELSE 0.0 END)"
+            f" * {reps1})"
+        )
+        fp_expr += frag
+        fx_frag["fx_verbatim"] += frag
 
     head_tf = ""
     if head_tf_weight > 0:
@@ -2600,7 +2738,7 @@ n AS (SELECT count(*)::DOUBLE AS n FROM documents),
 terms(term, w, grp) AS (VALUES {vals}),
 tf AS (
   SELECT t.doc_id, m.term, m.w, m.grp,
-         len(list_filter(t.toks, x -> x = m.term))
+         len(list_filter({tf_tok}, x -> x = m.term))
            + len(list_filter(t.synth, x -> x = m.term)){head_tf} AS tf
   FROM tok t CROSS JOIN terms m
 ),
@@ -3462,6 +3600,10 @@ LIMIT {BROWSE_COUNT}""",
         ),
         "bm25_phrase_gamma": _bm25_sql(
             ["fast", "table", "scan"], phrase=["fast", "table"]
+        ),
+        "bm25_linktext": _bm25_sql(
+            ["nav"], first_position_weight=0.15, verbatim_tag_weight=1.0,
+            link_texts=True,
         ),
         "bm25_repo": _bm25_sql(["customer"], source="src3"),
         "bm25_size_limit": _bm25_sql(["customer"], size_gt=40),

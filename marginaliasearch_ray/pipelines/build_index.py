@@ -96,6 +96,20 @@ class BuildConfig:
     # AbstractDocumentProcessorPlugin seam).  Unmapped langs use the code
     # processor, so the default build is byte-identical.
     doc_processors: dict = field(default_factory=dict)
+    # Anchor regions (DocumentPositionMapper.mapPositionsAndExtract
+    # SimpleKeywords:23-46): index URL words (path tokens) and external
+    # link texts in virtual position regions after the document body.
+    # Off by default — the indexed term set then stays body+synthetic.
+    # link_texts_dir points at a (repo, path, text, cnt) Parquet table
+    # (the converting process's anchor-text side input, LinkTexts);
+    # it is aggregated per (repo, path) and LEFT-JOINED onto the corpus
+    # before tokenize (a hash shuffle co-partitioning the side input
+    # with the corpus — the 100-TB-safe shape; there is no broadcast
+    # path because real anchor tables scale with the corpus).  Requires
+    # anchor_regions=True.  Chains: a delta over an anchor-enabled base
+    # must set the same flags (journal manifest records them).
+    anchor_regions: bool = False
+    link_texts_dir: str | None = None
     # Block-max side index (add_block_stats): posting lists longer than
     # this gain per-block (last doc, max tf, byte offset) entries so the
     # query side can decode only candidate-bearing blocks and
@@ -176,19 +190,90 @@ _TOKENIZE_CACHE: dict = {}
 
 
 def _tokenize_task(
-    batch: pa.Table, *, reg_ref, tfdict_dir, doc_count, doc_processors=None
+    batch: pa.Table, *, reg_ref, tfdict_dir, doc_count, doc_processors=None,
+    anchor_regions=False,
 ) -> pa.Table:
     key = (
         reg_ref.hex() if hasattr(reg_ref, "hex") else id(reg_ref),
         tfdict_dir,
         tuple(sorted((doc_processors or {}).items())),
+        bool(anchor_regions),
     )
     st = _TOKENIZE_CACHE.get(key)
     if st is None:
         _TOKENIZE_CACHE.clear()  # one live stage per worker
-        st = TokenizeStage(reg_ref, tfdict_dir, doc_count, doc_processors)
+        st = TokenizeStage(
+            reg_ref, tfdict_dir, doc_count, doc_processors, anchor_regions
+        )
         _TOKENIZE_CACHE[key] = st
     return st(batch)
+
+
+# Ray's hash-shuffle join rejects list-typed non-key columns, so the
+# aggregated texts/counts travel through the join packed into scalar
+# strings (US-separated) and are unpacked into list columns right after.
+_LT_SEP = "\x1f"
+
+
+def _lt_agg_group(group: pa.Table) -> pa.Table:
+    """One (repo, path) group of link-text rows -> a single row with
+    packed text/count strings, ordered by text for deterministic
+    journals."""
+    texts = group["text"].to_pylist()
+    cnts = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(np.asarray(texts, dtype=object))
+    return pa.table(
+        {
+            "repo": group["repo"].slice(0, 1),
+            "path": group["path"].slice(0, 1),
+            "lt_texts_pk": pa.array(
+                [_LT_SEP.join(texts[j] for j in o)], pa.string()
+            ),
+            "lt_counts_pk": pa.array(
+                [",".join(str(int(c)) for c in cnts[o])], pa.string()
+            ),
+        }
+    )
+
+
+def _lt_unpack(batch: pa.Table) -> pa.Table:
+    """Packed join payload -> lt_texts (list<string>) / lt_counts
+    (list<int64>) columns; join misses stay null."""
+    tp = batch["lt_texts_pk"].to_pylist()
+    cp = batch["lt_counts_pk"].to_pylist()
+    texts = [t.split(_LT_SEP) if t is not None else None for t in tp]
+    cnts = [
+        [int(x) for x in c.split(",")] if c is not None else None for c in cp
+    ]
+    out = batch.drop_columns(["lt_texts_pk", "lt_counts_pk"])
+    out = out.append_column(
+        "lt_texts", pa.array(texts, pa.list_(pa.string()))
+    )
+    return out.append_column(
+        "lt_counts", pa.array(cnts, pa.list_(pa.int64()))
+    )
+
+
+def attach_link_texts(corpus_ds, link_ds, num_partitions: int = 64):
+    """LEFT-JOIN per-(repo, path) anchor texts onto the corpus as
+    ``lt_texts``/``lt_counts`` list columns — the converting process's
+    LinkTexts side input (DocumentKeywordExtractor.extractKeywords takes
+    LinkTexts per document; the loader reads them from an anchor-text
+    side file keyed by URL).  ``link_ds`` rows: (repo, path, text, cnt).
+
+    Scale shape: the side input is aggregated per key (small vs the raw
+    anchor stream), then hash-co-partitioned with the corpus — one
+    shuffle, no broadcast of a corpus-scaled table.  Docs without anchors
+    get null lists (TokenizeStage treats null as absent)."""
+    agg = link_ds.groupby(["repo", "path"]).map_groups(
+        _lt_agg_group, batch_format="pyarrow"
+    )
+    return corpus_ds.join(
+        agg,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("repo", "path"),
+    ).map_batches(_lt_unpack, batch_format="pyarrow")
 
 
 def _merge_df_group(group: pa.Table, *, num_buckets: int) -> pa.Table:
@@ -420,7 +505,20 @@ def build_index(
                 corpus_raw, cfg.num_parts, cfg.rank_overrides
             )
         reg_ref = ray.put(registry)
-        journal = corpus_ds.map_batches(
+        journal_in = corpus_ds
+        if cfg.link_texts_dir is not None:
+            if not cfg.anchor_regions:
+                raise ValueError(
+                    "link_texts_dir requires anchor_regions=True"
+                )
+            import ray.data as _rdl
+
+            journal_in = attach_link_texts(
+                corpus_ds,
+                _rdl.read_parquet(cfg.link_texts_dir),
+                num_partitions=max_pool * 2,
+            )
+        journal = journal_in.map_batches(
             _tokenize_task,
             fn_kwargs={
                 "reg_ref": reg_ref,
@@ -431,6 +529,7 @@ def build_index(
                     else mf.read_manifest(out_dir, "stats")["doc_count"]
                 ),
                 "doc_processors": cfg.doc_processors,
+                "anchor_regions": cfg.anchor_regions,
             },
             batch_size=cfg.tokenize_batch_size,
             batch_format="pyarrow",
@@ -493,6 +592,7 @@ def build_index(
                 "n_docs": n_docs,
                 "n_repos": len(registry.repos),
                 "num_parts": cfg.num_parts,
+                "anchor_regions": cfg.anchor_regions,
                 "per_part_lineage": lineage,
                 "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "journal"),

@@ -785,6 +785,7 @@ class _Segment:
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._pos_decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._cspans: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        self._aspans: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
     def comment_spans(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Comment-span ('heading' analog) lookup structures, loaded
@@ -835,6 +836,52 @@ class _Segment:
         np.add.at(clen, rows, vals * sign)
         self._cspans = (keys, off, clen)
         return self._cspans
+
+    def linktext_spans(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """EXTERNAL_LINKTEXT ('a') span lookup structures (anchor-region
+        indexes; empty on default builds), loaded lazily:
+
+        - ``keys``/``off``: the interval-parity structure over flattened
+          [start, end) pairs, exactly like :meth:`comment_spans`;
+        - ``exact_keys``: sorted ``doc_row * _POS_SHIFT + start`` for the
+          width-1 spans — a single-word intersection [p, p+1) is an EXACT
+          span match (DocumentSpan.countRangeMatchesExact) iff its key is
+          present here."""
+        if self._aspans is not None:
+            return self._aspans
+        import pyarrow.compute as pc
+
+        from ..stages.tokenize import SPAN_LINKTEXT
+
+        jr = pq.read_table(
+            os.path.join(self.out_dir, "journal", f"part={self.part}"),
+            columns=["combined_id", "span_codes", "spans"],
+        )
+        o = np.argsort(jr["combined_id"].to_numpy(zero_copy_only=False))
+        jr = jr.take(pa.array(o))
+        n = len(jr)
+        codes_col = jr["span_codes"].combine_chunks()
+        codes_flat = np.frombuffer(
+            b"".join(codes_col.to_pylist()), dtype=np.uint8
+        )
+        outer = jr["spans"].combine_chunks()
+        inner = pc.list_flatten(outer)
+        parents = pc.list_parent_indices(outer).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(codes_flat == SPAN_LINKTEXT)
+        inner_sel = inner.take(pa.array(sel))
+        vals = pc.list_flatten(inner_sel).to_numpy(zero_copy_only=False)
+        vals = vals.astype(np.int64)
+        cnts = pc.list_value_length(inner_sel).to_numpy(zero_copy_only=False)
+        per_doc = np.zeros(n, dtype=np.int64)
+        per_doc[parents[sel]] = cnts  # at most one 'a' sublist per doc
+        off = np.concatenate([[0], np.cumsum(per_doc)])
+        rows = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+        keys = rows * _POS_SHIFT + vals
+        starts = vals[0::2]
+        widths = vals[1::2] - starts
+        exact_keys = (rows[0::2] * _POS_SHIFT + starts)[widths == 1]
+        self._aspans = (keys, off, np.sort(exact_keys))
+        return self._aspans
 
     def term_row(self, tid: int) -> int:
         i = int(np.searchsorted(self.term_ids, tid))
@@ -1654,6 +1701,44 @@ class SearcherLogic:
                 # single-word query whose "title" (head span) is exactly
                 # that word: head length 1 <=> doc length 1
                 v2 = np.where(sizes == 1.0, VERBATIM_SINGLE_TITLE_BONUS, 0.0)
+                # EXTERNAL_LINKTEXT exact/partial span matches for the
+                # single-word group (IndexResultRankingService.java:
+                # 470-481): 1.5 per exact (a width-1 'a' span equal to
+                # [p, p+1)) + 0.5 per partial (inside an 'a' span but not
+                # exact).  Zero-cost on default builds (no 'a' spans).
+                akeys, aoff, aexact = seg.linktext_spans()
+                t0 = include_ids[0]
+                docs_t = seg.postings(t0)[0] if len(akeys) else ()
+                if len(akeys) and len(cand) and len(docs_t):
+                    rows_a = np.searchsorted(seg.fwd_ids, cand)
+                    ix = np.searchsorted(docs_t, cand)
+                    # candidates absent from this term's postings (OR
+                    # plans) contribute no intersections
+                    safe = np.minimum(ix, len(docs_t) - 1)
+                    sel0 = np.flatnonzero(docs_t[safe] == cand)
+                    flat, offs = seg.positions_flat(t0)
+                    vals, lens = _gather_ragged(
+                        flat, offs,
+                        np.minimum(ix[sel0], max(len(offs) - 2, 0)),
+                    )
+                    cidx = np.repeat(sel0.astype(np.int64), lens)
+                    qk = rows_a[cidx] * _POS_SHIFT + vals
+                    gi = np.searchsorted(akeys, qk, side="right")
+                    inside = ((gi - aoff[rows_a[cidx]]) % 2) == 1
+                    partial = np.bincount(
+                        cidx[inside], minlength=len(cand)
+                    )
+                    if len(aexact):
+                        ei = np.searchsorted(aexact, qk)
+                        is_ex = (
+                            aexact[np.minimum(ei, len(aexact) - 1)] == qk
+                        ) & (ei < len(aexact))
+                        exact = np.bincount(
+                            cidx[is_ex], minlength=len(cand)
+                        )
+                    else:
+                        exact = np.zeros(len(cand), dtype=np.int64)
+                    v2 = v2 + 1.5 * exact + 0.5 * (partial - exact)
             else:
                 v2 = np.zeros(len(cand), dtype=np.float64)
             for p in phrase_ids:

@@ -12,10 +12,13 @@ actor-pool stage over Arrow batches:
 - term ids: murmur keyword hash (IndexJournalSlopWriter.java:70-75);
 - WordFlags for the code corpus (SURVEY.md §2.2 M5 mapping): Title for
   terms appearing in the filename, UrlPath for path tokens, UrlDomain for
-  repo-name tokens — assigned to *body* terms only (divergence from the
-  reference, which also injects synthetic non-body keywords; keeping the
-  indexed term set = body tokens makes the DuckDB correctness oracle
-  exactly expressible);
+  repo-name tokens — assigned to *body* terms by default; with
+  ``anchor_regions=True`` the reference's full position map applies
+  (DocumentPositionMapper.mapPositionsAndExtractSimpleKeywords:23-46):
+  URL words and external link texts are indexed in virtual position
+  regions after the body with their own span tags, so path tokens and
+  anchor texts become searchable terms exactly as in the reference
+  (oracle: bm25_linktext);
 - term meta: flags byte | coarse position bitmask
   (DocumentKeywordsBuilder.java:144-159);
 - combined id: rank<<57 | domain<<26 | ordinal (UrlIdCodec), rank injected
@@ -51,10 +54,19 @@ from ..functions import idcodec
 EARLY_MENTION_POS = 16
 
 # Span tags for the code corpus (HtmlTag analog, IndexSpansWriter/
-# SpansCodec S8): 'c' = comment lines, 'h' = head (first 16 tokens).
+# SpansCodec S8): 'c' = comment lines, 'h' = head (first 16 tokens),
+# 'u' = DOC_URL region, 'a' = EXTERNAL_LINKTEXT region (anchor texts).
 SPAN_COMMENT = ord("c")
 SPAN_HEAD = ord("h")
+SPAN_URL = ord("u")
+SPAN_LINKTEXT = ord("a")
 HEAD_SPAN_TOKENS = 16
+# Link-text repetition attenuation: (int) Math.max(1, min(sqrt(count), 12))
+# (DocumentPositionMapper.mapLinkTextPositions, DocumentPositionMapper
+# .java:165 — "a really big link has thousands of repetitions, attenuate
+# with math")
+MAX_LINKTEXT_REPS = 12
+MAX_SPAN_POINTS = 8192  # DocumentKeywordsBuilder.java:32
 _COMMENT_PREFIXES = ("//", "#", "--", "*", "/*")
 
 
@@ -205,8 +217,20 @@ class TokenizeStage:
 
     def __init__(self, registry_ref, tfdict_dir: str | None = None,
                  dict_doc_count: int = 0,
-                 doc_processors: dict[str, str] | None = None):
+                 doc_processors: dict[str, str] | None = None,
+                 anchor_regions: bool = False):
         import ray
+
+        # anchor regions (DocumentPositionMapper.mapPositionsAndExtract
+        # SimpleKeywords:23-46): after the body, +2 padding, then URL
+        # words (path tokens, DOC_URL span), +2 padding, then external
+        # link texts repeated max(1, min(sqrt(count), 12)) times with +2
+        # padding between repetitions (EXTERNAL_LINKTEXT spans).  Off by
+        # default: the indexed term set then stays body+synthetic, which
+        # every pre-existing oracle replicates.  Link texts arrive as
+        # optional corpus columns lt_texts (list<string>) / lt_counts
+        # (list<int64>) — see build_index.attach_link_texts.
+        self.anchor_regions = bool(anchor_regions)
 
         self.registry = (
             ray.get(registry_ref) if hasattr(registry_ref, "hex") else registry_ref
@@ -366,20 +390,95 @@ class TokenizeStage:
 
         lengths = np.array([len(t) for t in tok_lists], dtype=np.int64)
         sizes = lengths.astype(np.int32)
-        total = int(lengths.sum())
+        total_body = int(lengths.sum())
         doc_starts = np.cumsum(lengths) - lengths
+
+        # --- anchor regions (URL words + link texts) appended AFTER the
+        # body stream with explicit non-contiguous positions.  Within a
+        # (doc, term) group the stable lexsort below keeps body
+        # occurrences first and anchor occurrences after — positions stay
+        # strictly increasing because every anchor position > body length.
+        ext_toks: list[str] = []
+        ext_pos: list[int] = []
+        ext_doc: list[int] = []
+        ext_sets: list[set] | None = None
+        if self.anchor_regions:
+            import math
+
+            ext_sets = [set() for _ in range(n)]
+            cols = batch.column_names
+            lt_texts_col = (
+                batch["lt_texts"].to_pylist() if "lt_texts" in cols else None
+            )
+            lt_counts_col = (
+                batch["lt_counts"].to_pylist() if "lt_counts" in cols else None
+            )
+            for i in range(n):
+                L = len(tok_lists[i])
+                # mapDocumentPositions returns L+1; then +2 padding
+                p = L + 3
+                url_toks = tokenize(
+                    paths[i].replace("/", " ").replace(".", " ")
+                )
+                if url_toks:
+                    u_start = p + 1
+                    for w in url_toks:
+                        p += 1
+                        ext_toks.append(w)
+                        ext_pos.append(p)
+                        ext_doc.append(i)
+                        ext_sets[i].add(w)
+                    span_codes_col[i] += bytes([SPAN_URL])
+                    spans_col[i].append([u_start, p + 1])
+                # post-loop pos++ (unconditional in the reference), +2 pad
+                p += 3
+                texts = lt_texts_col[i] if lt_texts_col is not None else None
+                if texts:
+                    cnts = lt_counts_col[i]
+                    a_pairs: list[int] = []
+                    for text, cnt in zip(texts, cnts):
+                        t_toks = tokenize(text)
+                        if not t_toks:
+                            continue  # no admissible tokens: skip (the
+                            # reference would still advance pos per raw
+                            # word; ours numbers admitted tokens only,
+                            # consistently with the body stream)
+                        reps = int(max(1.0, min(math.sqrt(cnt), 12.0)))
+                        for _rep in range(reps):
+                            r_start = p + 1
+                            for w in t_toks:
+                                p += 1
+                                ext_toks.append(w)
+                                ext_pos.append(p)
+                                ext_doc.append(i)
+                                ext_sets[i].add(w)
+                            a_pairs.extend((r_start, p + 1))
+                            p += 2  # padding between repetitions
+                    if a_pairs:
+                        span_codes_col[i] += bytes([SPAN_LINKTEXT])
+                        spans_col[i].append(a_pairs[:MAX_SPAN_POINTS])
+
+        total = total_body + len(ext_toks)
 
         if total:
             flat = np.asarray(
-                [w for toks in tok_lists for w in toks], dtype=object
+                [w for toks in tok_lists for w in toks] + ext_toks,
+                dtype=object,
             ).astype("U48")
             # ONE unique per batch — docs share a Zipfian vocabulary
             uniq_batch, inv = np.unique(flat, return_inverse=True)
             tids_uniq = self.cache.hash_many(uniq_batch.tolist())
 
             doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
-            pos_in_doc = (np.arange(total, dtype=np.int64) -
+            pos_in_doc = (np.arange(total_body, dtype=np.int64) -
                           np.repeat(doc_starts, lengths) + 1)
+            if ext_toks:
+                doc_idx = np.concatenate(
+                    [doc_idx, np.asarray(ext_doc, dtype=np.int64)]
+                )
+                pos_in_doc = np.concatenate(
+                    [pos_in_doc, np.asarray(ext_pos, dtype=np.int64)]
+                )
 
             # group occurrences by (doc, term); stable sort keeps positions
             # strictly increasing within each segment
@@ -421,12 +520,23 @@ class TokenizeStage:
             # SubjectLikeKeywords prominence flag)
             seg_flags = np.zeros(len(starts), dtype=np.int64)
             first_pos = p_s[starts]
-            early = first_pos <= EARLY_MENTION_POS
+            # body-only occurrence counts per segment (== counts when no
+            # anchor regions): the reference's subject candidates and
+            # tf-idf admission are computed from the body dld, never from
+            # URL/link-text words (WordsTfIdfCounts is dld-derived)
+            if ext_toks:
+                is_body = (p_s <= lengths[d_s]).astype(np.int64)
+                counts_body = np.add.reduceat(is_body, starts)
+            else:
+                counts_body = counts
+            early = (first_pos <= EARLY_MENTION_POS) & (
+                first_pos <= lengths[seg_doc]
+            )
             if self.dict_ids is not None:
                 # reference admission: a subject candidate keeps the flag
                 # only when its tf-idf clears 100 (SubjectLikeKeywords)
                 early = early & self._subjects_gate(
-                    uniq_batch, seg_doc, seg_term, counts, n
+                    uniq_batch, seg_doc, seg_term, counts_body, n
                 )
             seg_flags |= early * np.int64(WordFlags.SUBJECTS)
             seg_words = uniq_batch[seg_term]
@@ -462,6 +572,7 @@ class TokenizeStage:
             seg_doc = np.array([], dtype=np.int64)
             seg_tids = np.array([], dtype=np.int64)
             counts = np.array([], dtype=np.int64)
+            counts_body = np.array([], dtype=np.int64)
             seg_meta = np.array([], dtype=np.int64)
             counts_capped = np.array([], dtype=np.int64)
             pos_vals = np.array([], dtype=np.int32)
@@ -487,7 +598,11 @@ class TokenizeStage:
             )
             k_syn = 2
             if "@" in contents[i]:
+                # putIfAbsent is against the full keyword set — body plus
+                # any anchor-region terms (DocumentKeywordsBuilder:185-191)
                 body = set(tok_lists[i])
+                if ext_sets is not None:
+                    body |= ext_sets[i]
                 arts = [
                     a for a in artifact_keywords(tok_lists[i]) if a not in body
                 ]
@@ -552,7 +667,9 @@ class TokenizeStage:
         asl = np.minimum(3, lengths64 // np.maximum(n_lines, 1))
         distinct = np.zeros(n, dtype=np.int64)
         if total:
-            np.add.at(distinct, seg_doc, 1)
+            # distinct BODY terms: quality (dup-token ratio) is a property
+            # of the document text, not of injected anchor regions
+            np.add.at(distinct, seg_doc[counts_body > 0], 1)
         quality = np.where(
             lengths64 > 0,
             np.minimum(15, (16 * (lengths64 - distinct)) // np.maximum(lengths64, 1)),

@@ -1,0 +1,215 @@
+"""Anchor regions: URL words + external link texts in virtual position
+regions after the body (DocumentPositionMapper.mapPositionsAndExtract
+SimpleKeywords:23-46, mapUrlWordPositions:111-143, mapLinkTextPositions
+:146-199).  Position arithmetic, sqrt-attenuated repetition, spans, and
+the body-only invariants (size, quality distinct, Subjects gate) are
+pinned against hand-computed values.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from marginaliasearch_ray.functions.murmur import hash_nearly_ascii
+from marginaliasearch_ray.stages.docids import DomainRegistry
+from marginaliasearch_ray.stages.tokenize import (
+    SPAN_LINKTEXT,
+    SPAN_URL,
+    TokenizeStage,
+)
+
+
+def _batch(content="alpha beta alpha", path="src/mod.py",
+           lt_texts=None, lt_counts=None):
+    cols = {
+        "repo": pa.array(["org/r"]),
+        "path": pa.array([path]),
+        "commit": pa.array(["c" * 40]),
+        "lang": pa.array(["py"]),
+        "content": pa.array([content]),
+        "ordinal": pa.array([0], pa.int32()),
+    }
+    if lt_texts is not None:
+        cols["lt_texts"] = pa.array([lt_texts], pa.list_(pa.string()))
+        cols["lt_counts"] = pa.array([lt_counts], pa.list_(pa.int64()))
+    return pa.table(cols)
+
+
+def _row(out):
+    tids = out["term_ids"][0].as_py()
+    tfs = out["term_tfs"][0].as_py()
+    pos = out["term_positions"][0].as_py()
+    return dict(zip(tids, zip(tfs, pos)))
+
+
+def test_anchor_positions_exact():
+    """Body L=3; URL words at L+4.. (7,8,9); first link token at L+7+u
+    (13); reps = floor(sqrt(9)) = 3 with +2 padding between repetitions."""
+    stage = TokenizeStage(DomainRegistry(["org/r"], num_parts=1),
+                          anchor_regions=True)
+    out = stage(_batch(lt_texts=["nav one"], lt_counts=[9]))
+    by = _row(out)
+
+    tf, pos = by[hash_nearly_ascii("alpha")]
+    assert (tf, pos) == (2, [1, 3])
+    # URL region: tokenize('src mod py') -> positions 7, 8, 9
+    assert by[hash_nearly_ascii("src")] == (1, [7])
+    assert by[hash_nearly_ascii("mod")] == (1, [8])
+    assert by[hash_nearly_ascii("py")] == (1, [9])
+    # link text 'nav one' repeated 3x: nav at 13, 17, 21; one at 14, 18, 22
+    assert by[hash_nearly_ascii("nav")] == (3, [13, 17, 21])
+    assert by[hash_nearly_ascii("one")] == (3, [14, 18, 22])
+    # size stays body-only
+    assert out["size"][0].as_py() == 3
+
+    codes = out["span_codes"][0].as_py()
+    spans = out["spans"][0].as_py()
+    span_of = dict(zip(codes, spans))
+    assert span_of[SPAN_URL] == [7, 10]
+    assert span_of[SPAN_LINKTEXT] == [13, 15, 17, 19, 21, 23]
+
+
+def test_anchor_repetition_attenuation():
+    """reps = (int) max(1, min(sqrt(count), 12)): cnt=1 -> 1, cnt=3 -> 1,
+    cnt=4 -> 2, cnt=200 -> 12 (capped)."""
+    stage = TokenizeStage(DomainRegistry(["org/r"], num_parts=1),
+                          anchor_regions=True)
+    for cnt, reps in [(1, 1), (3, 1), (4, 2), (145, 12), (20000, 12)]:
+        out = stage(_batch(lt_texts=["navword"], lt_counts=[cnt]))
+        tf, _pos = _row(out)[hash_nearly_ascii("navword")]
+        assert tf == reps, (cnt, tf, reps)
+
+
+def test_anchor_body_occurrence_merges():
+    """A term in body AND link text: one segment, body positions first,
+    anchor positions after, tf = total."""
+    stage = TokenizeStage(DomainRegistry(["org/r"], num_parts=1),
+                          anchor_regions=True)
+    out = stage(_batch(content="nav beta", lt_texts=["nav"], lt_counts=[4]))
+    # L=2, u=3 (src mod py): first link pos = 2+7+3 = 12; rep2 at 15
+    assert _row(out)[hash_nearly_ascii("nav")] == (3, [1, 12, 15])
+
+
+def test_anchor_off_is_byte_identical():
+    """anchor_regions=False ignores lt columns and matches the default
+    stage output exactly."""
+    reg = DomainRegistry(["org/r"], num_parts=1)
+    plain = TokenizeStage(reg)(_batch())
+    off = TokenizeStage(reg, anchor_regions=False)(
+        _batch(lt_texts=["nav"], lt_counts=[5])
+    )
+    assert plain.equals(off)
+
+
+def test_anchor_quality_and_sizes_body_only():
+    """Quality's distinct-token ratio ignores anchor terms: the packed doc
+    meta is identical with and without link texts."""
+    reg = DomainRegistry(["org/r"], num_parts=1)
+    base = TokenizeStage(reg, anchor_regions=True)(_batch())
+    with_links = TokenizeStage(reg, anchor_regions=True)(
+        _batch(lt_texts=["xyz abc"], lt_counts=[100])
+    )
+    assert base["document_meta"][0].as_py() == with_links["document_meta"][0].as_py()
+    assert base["size"][0].as_py() == with_links["size"][0].as_py()
+
+
+def test_anchor_null_lt_columns():
+    """Null lt entries (left-join misses) behave as no-links docs."""
+    stage = TokenizeStage(DomainRegistry(["org/r"], num_parts=1),
+                          anchor_regions=True)
+    cols = _batch().to_pydict()
+    cols["lt_texts"] = [None]
+    cols["lt_counts"] = [None]
+    out = stage(pa.table({
+        **{k: pa.array(v) if k != "ordinal" else pa.array(v, pa.int32())
+           for k, v in cols.items() if k not in ("lt_texts", "lt_counts")},
+        "lt_texts": pa.array([None], pa.list_(pa.string())),
+        "lt_counts": pa.array([None], pa.list_(pa.int64())),
+    }))
+    by = _row(out)
+    # URL region still maps (anchor_regions covers it), no link region
+    assert by[hash_nearly_ascii("src")] == (1, [7])
+    assert hash_nearly_ascii("nav") not in by
+    assert SPAN_LINKTEXT not in out["span_codes"][0].as_py()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_attach_link_texts_join_and_build(tmp_path):
+    """End-to-end: link table aggregated + left-joined, anchor index
+    built, a linktext-only term searchable with tf = repetitions."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.build_index import (
+        BuildConfig,
+        attach_link_texts,
+        build_index,
+    )
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+    from marginaliasearch_ray.sources.corpus import synthesize_corpus
+
+    corpus = synthesize_corpus(n_repos=3, files_per_repo=6)
+    repos = corpus["repo"].to_pylist()
+    paths = corpus["path"].to_pylist()
+    # every 3rd doc gets the anchor text 'navterm <k>' with cnt = 9+k
+    link_rows = {"repo": [], "path": [], "text": [], "cnt": []}
+    expected = {}
+    for j in range(0, len(repos), 3):
+        link_rows["repo"].append(repos[j])
+        link_rows["path"].append(paths[j])
+        link_rows["text"].append(f"navterm extra{j % 2}")
+        link_rows["cnt"].append(9 + j)
+        expected[(repos[j], paths[j])] = int(np.sqrt(9 + j))
+    # one EXACT-case doc: a width-1 link text on an otherwise unlinked doc
+    link_rows["repo"].append(repos[1])
+    link_rows["path"].append(paths[1])
+    link_rows["text"].append("navterm")
+    link_rows["cnt"].append(25)
+    exact_reps = 5
+    link_ds = ray.data.from_arrow(pa.table(link_rows))
+    corpus_ds = ray.data.from_arrow(corpus)
+
+    joined = attach_link_texts(corpus_ds, link_ds, num_partitions=4)
+    jt = joined.to_arrow_refs()
+    got = pa.concat_tables(
+        [ray.get(r) for r in jt], promote_options="default"
+    )
+    assert got.num_rows == corpus.num_rows
+    hit = {
+        (r, p): t
+        for r, p, t in zip(
+            got["repo"].to_pylist(), got["path"].to_pylist(),
+            got["lt_texts"].to_pylist(),
+        )
+        if t is not None
+    }
+    assert set(hit) == set(expected) | {(repos[1], paths[1])}
+
+    link_dir = str(tmp_path / "links.parquet")
+    pa.parquet.write_table(pa.table(link_rows), link_dir)
+    out = str(tmp_path / "idx")
+    build_index(
+        corpus_ds,
+        out,
+        BuildConfig(num_parts=2, num_buckets=4, anchor_regions=True,
+                    link_texts_dir=link_dir),
+    )
+    idx = IndexSearch(out, use_actors=False)
+    res = idx.search("navterm", k=50)
+    # every linked doc matches; tf equals the repetition count, which the
+    # BM25 scorer saturates — verify the match set at least
+    assert res.num_rows == len(expected) + 1  # +1: the exact-case doc
+
+    # single-word EXTERNAL_LINKTEXT verbatim branch (IndexResultRanking
+    # Service.java:470-481): score delta vs the no-verbatim run is
+    # weight * (1.5 * exact + 0.5 * partial) — 'navterm extraX' texts are
+    # width-2 spans (partial, one per repetition), the width-1 'navterm'
+    # text is exact
+    resv = idx.search("navterm", k=50, verbatim_tag_weight=2.0)
+    s0 = dict(zip(res["combined_id"].to_pylist(), res["score_r"].to_pylist()))
+    s1 = dict(zip(resv["combined_id"].to_pylist(), resv["score_r"].to_pylist()))
+    deltas = sorted(round(s1[d] - s0[d], 6) for d in s0)
+    want = sorted(
+        [round(2.0 * 0.5 * r, 6) for r in expected.values()]
+        + [round(2.0 * 1.5 * exact_reps, 6)]
+    )
+    assert deltas == want
