@@ -1037,6 +1037,7 @@ def near_dup_components(
     threshold: float = 0.5,
     max_rounds: int = 16,
     strict_exact: bool = False,
+    num_partitions: int | None = None,
 ):
     """(doc_id, component) — connected components over the exact
     near-dup pair graph (shingle Jaccard >= threshold), computed with
@@ -1045,8 +1046,15 @@ def near_dup_components(
     Rounds are bounded by the graph diameter; each round is one shuffle.
     Singleton documents are their own component."""
     import pyarrow.compute as pc
+    import ray
     import ray.data
     from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        # the per-round label join repartitions the corpus-cardinality
+        # label table — size it to the cluster, not a constant (a fixed 4
+        # would serialize the shuffle at scale)
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     pairs = ngram_jaccard_pairs(
         corpus_ds, threshold, strict_exact=strict_exact
@@ -1087,7 +1095,7 @@ def near_dup_components(
                 batch_format="pyarrow",
             ),
             join_type="inner",
-            num_partitions=4,
+            num_partitions=num_partitions,
             on=("src",),
         )
         candidate = joined.map_batches(
