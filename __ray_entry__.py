@@ -1577,6 +1577,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_linktext"] = lambda sf: _anchor_index_for(sf).search(
         "nav", k=10, first_position_weight=0.15, verbatim_tag_weight=1.0
     ).select(["doc_id", "score_r"])
+    # multi-word verbatim with EXTERNAL_LINKTEXT tag classification: the
+    # 'nav src3' phrase verbatim-matches inside every repetition span of
+    # the src3 docs' link texts (weights table :419-453)
+    q["bm25_linktext_phrase"] = lambda sf: _anchor_index_for(sf).search(
+        "nav src3", k=10, verbatim_tag_weight=1.0
+    ).select(["doc_id", "score_r"])
     q["bm25_repo"] = lambda sf: _search(sf, "customer repo:src3")
     q["bm25_size_limit"] = lambda sf: _search(sf, "customer size>40")
     q["bm25_priority"] = lambda sf: _search(sf, "customer ?merge")
@@ -2149,9 +2155,11 @@ _DRIVER_WINDOW_FIRST = [
     # unchanged code, locally swept — to slot 51)
     "bm25_phrase_gamma",
     # NEW this round: anchor regions — URL words + sqrt-attenuated
-    # link-text repetitions (never certified; displaces token_counts —
+    # link-text repetitions + linktext verbatim tag scoring (never
+    # certified; displace token_counts + winnow_fingerprints — both
     # r3-green, unchanged code, locally swept — past slot 50)
     "bm25_linktext",
+    "bm25_linktext_phrase",
     # --- (c) oldest evidence, ascending ---
     # last green r01 (2)
     "ann_cosine_top10",
@@ -2320,13 +2328,12 @@ def _bm25_sql(
         and (
             phrase or groups or exclude or priority or flags_weight
             or verbatim_weight or proximity_weight or proximity_all_weight
-            or (verbatim_tag_weight and len(terms) != 1)
             or head_tf_weight or positions_mask
             or explain or multiplicative_priority or normalize
         )
     ), (
         "link_texts oracle covers BM25 + first_position + the"
-        " single-word linktext verbatim branch only"
+        " linktext verbatim branches only"
     )
     # explain (DebugRankingFactors analog): emit per-factor fx_* columns
     # mirroring SearcherLogic's checkpoint deltas.  Score fragments are
@@ -2589,7 +2596,45 @@ def _bm25_sql(
             parts.append(f"1.5 * {bd}")
         return "(" + " + ".join(parts) + ")"
 
-    if verbatim_tag_weight > 0 and len(terms) >= 2:
+    if verbatim_tag_weight > 0 and len(terms) >= 2 and link_texts:
+        # link-aware VerbatimMatches: adjacency starts over the extended
+        # token list, classified head (s + Lg - 1 <= he) / EXTERNAL_
+        # LINKTEXT (s > body length — pads break adjacency, so any such
+        # match lies inside one repetition span) / body (the rest).
+        # Weights: head 3.0 att 1.0, body 1.0 att 0.5, linktext 2.0 att
+        # 1.0 (:419-453).  DOC_URL multi-token matches are impossible on
+        # this corpus (single path token), so no 'u' branch.
+        Lg = len(terms)
+        conds = " AND ".join(
+            f"any_value(c.etoks)[i + {j}] = '{t}'"
+            for j, t in enumerate(terms)
+        )
+        starts = (
+            f"[i for i in generate_series(1,"
+            f" len(any_value(c.etoks)) - {Lg - 1}) if {conds}]"
+        )
+        he = "least(16, any_value(c.dl))"
+        bl = "any_value(c.dl)"
+        cnt_h = f"len([s for s in {starts} if s + {Lg - 1} <= {he}])"
+        cnt_a = f"len([s for s in {starts} if s > {bl}])"
+        cnt_b = f"(len({starts}) - {cnt_h} - {cnt_a})"
+        bd = (
+            f"len([s for s in {starts} if s + {Lg - 1} <= {he}"
+            f" AND (s = 1 OR s + {Lg - 1} = {he})])"
+        )
+        vt = (
+            f"(CASE WHEN {cnt_h} > 0 THEN 3.0 * {Lg}"
+            f" * (1.0 + ln(1.0 + pow({cnt_h}, 1.0))) ELSE 0.0 END"
+            f" + CASE WHEN {cnt_b} > 0 THEN 1.0 * {Lg}"
+            f" * (1.0 + ln(1.0 + pow({cnt_b}, 0.5))) ELSE 0.0 END"
+            f" + CASE WHEN {cnt_a} > 0 THEN 2.0 * {Lg}"
+            f" * (1.0 + ln(1.0 + pow({cnt_a}, 1.0))) ELSE 0.0 END"
+            f" + 1.5 * {bd})"
+        )
+        frag = f" + {verbatim_tag_weight} * {vt}"
+        fp_expr += frag
+        fx_frag["fx_verbatim"] += frag
+    elif verbatim_tag_weight > 0 and len(terms) >= 2:
         vt = _vt_group(terms, 3.0, 1.0, 1.0, True)
         if phrase and list(phrase) != list(terms):
             import math
@@ -3604,6 +3649,9 @@ LIMIT {BROWSE_COUNT}""",
         "bm25_linktext": _bm25_sql(
             ["nav"], first_position_weight=0.15, verbatim_tag_weight=1.0,
             link_texts=True,
+        ),
+        "bm25_linktext_phrase": _bm25_sql(
+            ["nav", "src3"], verbatim_tag_weight=1.0, link_texts=True
         ),
         "bm25_repo": _bm25_sql(["customer"], source="src3"),
         "bm25_size_limit": _bm25_sql(["customer"], size_gt=40),

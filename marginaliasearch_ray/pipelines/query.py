@@ -234,6 +234,12 @@ VERBATIM_W_PART_HEAD = 2.25  # TITLE -> 2.25f
 VERBATIM_W_PART_BODY = 0.5  # BODY -> 0.5f
 VERBATIM_ATT_HEAD = 1.0  # default attenuation
 VERBATIM_ATT_BODY = 0.5  # BODY/HEADING -> 0.5f
+# anchor-region tags (weights_full/weights_partial tables,
+# IndexResultRankingService.java:419-453; attenuation default 1.0)
+VERBATIM_W_FULL_LINK = 2.0  # EXTERNAL_LINKTEXT -> 2.0f
+VERBATIM_W_PART_LINK = 1.5  # EXTERNAL_LINKTEXT -> 1.5f
+VERBATIM_W_FULL_URL = 0.75  # DOC_URL -> 0.75f
+VERBATIM_W_PART_URL = 0.5  # DOC_URL -> 0.5f
 VERBATIM_SINGLE_TITLE_BONUS = 4.0  # single-word title == query -> +4
 
 # ?tld: analog for the code corpus: '?org:<prefix>' boosts documents whose
@@ -786,6 +792,7 @@ class _Segment:
         self._pos_decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._cspans: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self._aspans: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        self._uspans: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
 
     def comment_spans(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Comment-span ('heading' analog) lookup structures, loaded
@@ -837,21 +844,14 @@ class _Segment:
         self._cspans = (keys, off, clen)
         return self._cspans
 
-    def linktext_spans(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """EXTERNAL_LINKTEXT ('a') span lookup structures (anchor-region
-        indexes; empty on default builds), loaded lazily:
-
-        - ``keys``/``off``: the interval-parity structure over flattened
-          [start, end) pairs, exactly like :meth:`comment_spans`;
-        - ``exact_keys``: sorted ``doc_row * _POS_SHIFT + start`` for the
-          width-1 spans — a single-word intersection [p, p+1) is an EXACT
-          span match (DocumentSpan.countRangeMatchesExact) iff its key is
-          present here."""
-        if self._aspans is not None:
-            return self._aspans
+    def _load_tag_spans(
+        self, code: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(keys, off, exact_keys) interval-parity structure for one span
+        tag (same key scheme as :meth:`comment_spans`); ``exact_keys`` =
+        sorted ``doc_row * _POS_SHIFT + start`` of the width-1 spans
+        (DocumentSpan.countRangeMatchesExact for single-word groups)."""
         import pyarrow.compute as pc
-
-        from ..stages.tokenize import SPAN_LINKTEXT
 
         jr = pq.read_table(
             os.path.join(self.out_dir, "journal", f"part={self.part}"),
@@ -867,21 +867,38 @@ class _Segment:
         outer = jr["spans"].combine_chunks()
         inner = pc.list_flatten(outer)
         parents = pc.list_parent_indices(outer).to_numpy(zero_copy_only=False)
-        sel = np.flatnonzero(codes_flat == SPAN_LINKTEXT)
+        sel = np.flatnonzero(codes_flat == code)
         inner_sel = inner.take(pa.array(sel))
         vals = pc.list_flatten(inner_sel).to_numpy(zero_copy_only=False)
         vals = vals.astype(np.int64)
         cnts = pc.list_value_length(inner_sel).to_numpy(zero_copy_only=False)
         per_doc = np.zeros(n, dtype=np.int64)
-        per_doc[parents[sel]] = cnts  # at most one 'a' sublist per doc
+        per_doc[parents[sel]] = cnts  # at most one sublist per tag per doc
         off = np.concatenate([[0], np.cumsum(per_doc)])
         rows = np.repeat(np.arange(n, dtype=np.int64), per_doc)
         keys = rows * _POS_SHIFT + vals
         starts = vals[0::2]
         widths = vals[1::2] - starts
         exact_keys = (rows[0::2] * _POS_SHIFT + starts)[widths == 1]
-        self._aspans = (keys, off, np.sort(exact_keys))
+        return keys, off, np.sort(exact_keys)
+
+    def linktext_spans(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """EXTERNAL_LINKTEXT ('a') span lookup structures (anchor-region
+        indexes; empty on default builds), loaded lazily."""
+        if self._aspans is None:
+            from ..stages.tokenize import SPAN_LINKTEXT
+
+            self._aspans = self._load_tag_spans(SPAN_LINKTEXT)
         return self._aspans
+
+    def url_spans(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """DOC_URL ('u') span lookup structures (anchor-region indexes;
+        empty on default builds), loaded lazily."""
+        if self._uspans is None:
+            from ..stages.tokenize import SPAN_URL
+
+            self._uspans = self._load_tag_spans(SPAN_URL)
+        return self._uspans
 
     def term_row(self, tid: int) -> int:
         i = int(np.searchsorted(self.term_ids, tid))
@@ -1146,13 +1163,22 @@ def _group_tag_score(
     scale: float,
     head_boundary_bonus: bool,
     keys: np.ndarray | None = None,
+    w_link: float = 0.0,
+    w_url: float = 0.0,
 ) -> np.ndarray:
     """Per-candidate tag-weighted verbatim score of one phrase group
     (VerbatimMatches full/optional-group matching, IndexResultRanking
     Service.java:456-554): count the group's exact-adjacency matches per
     tag (head span vs body), score w * |group| * scale *
     (1 + ln(1 + cnt^attenuation)) per tag with matches, plus the 1.5x
-    title(=head)-boundary bonus for the full group."""
+    title(=head)-boundary bonus for the full group.
+
+    ``w_link``/``w_url``: EXTERNAL_LINKTEXT / DOC_URL weights (reference
+    weight tables :419-453, attenuation 1.0) — matches whose whole range
+    lies inside an 'a'/'u' span class there instead of BODY.  Anchor
+    spans live past the body, so they never overlap the head class; on
+    default builds there are no such spans and the classification is
+    unchanged."""
     from ..stages.tokenize import HEAD_SPAN_TOKENS
 
     Lg = len(seq_ids)
@@ -1166,8 +1192,29 @@ def _group_tag_score(
     start = keys - cidx * _POS_SHIFT
     he = head_end[cidx]
     in_head = start + Lg - 1 <= he
+
+    def _contained(span_struct) -> np.ndarray:
+        skeys, soff, _ = span_struct
+        if len(skeys) == 0:
+            return np.zeros(len(keys), dtype=bool)
+        rows = np.searchsorted(seg.fwd_ids, cand[cidx])
+        g1 = np.searchsorted(skeys, rows * _POS_SHIFT + start, side="right")
+        g2 = np.searchsorted(
+            skeys, rows * _POS_SHIFT + (start + Lg - 1), side="right"
+        )
+        # whole range inside ONE span: start is at odd parity and no
+        # span boundary falls between start and start+Lg-1
+        return (((g1 - soff[rows]) % 2) == 1) & (g1 == g2)
+
+    in_a = np.zeros(len(keys), dtype=bool)
+    in_u = np.zeros(len(keys), dtype=bool)
+    if w_link > 0:
+        in_a = _contained(seg.linktext_spans())
+    if w_url > 0:
+        in_u = _contained(seg.url_spans()) & ~in_a
+    in_body = ~in_head & ~in_a & ~in_u
     cnt_h = np.bincount(cidx[in_head], minlength=n).astype(np.float64)
-    cnt_b = np.bincount(cidx[~in_head], minlength=n).astype(np.float64)
+    cnt_b = np.bincount(cidx[in_body], minlength=n).astype(np.float64)
     out = np.where(
         cnt_h > 0,
         w_head * Lg * scale * (1.0 + np.log1p(cnt_h**att_head)),
@@ -1178,6 +1225,20 @@ def _group_tag_score(
         w_body * Lg * scale * (1.0 + np.log1p(cnt_b**att_body)),
         0.0,
     )
+    if w_link > 0:
+        cnt_a = np.bincount(cidx[in_a], minlength=n).astype(np.float64)
+        out += np.where(
+            cnt_a > 0,
+            w_link * Lg * scale * (1.0 + np.log1p(cnt_a)),
+            0.0,
+        )
+    if w_url > 0:
+        cnt_u = np.bincount(cidx[in_u], minlength=n).astype(np.float64)
+        out += np.where(
+            cnt_u > 0,
+            w_url * Lg * scale * (1.0 + np.log1p(cnt_u)),
+            0.0,
+        )
     if head_boundary_bonus:
         bd = in_head & ((start == 1) | (start + Lg - 1 == he))
         out += 1.5 * np.bincount(cidx[bd], minlength=n).astype(np.float64)
@@ -1696,6 +1757,7 @@ class SearcherLogic:
                     VERBATIM_W_FULL_HEAD, VERBATIM_W_FULL_BODY,
                     VERBATIM_ATT_HEAD, VERBATIM_ATT_BODY, 1.0, True,
                     keys=_include_adjacency(),
+                    w_link=VERBATIM_W_FULL_LINK, w_url=VERBATIM_W_FULL_URL,
                 )
             elif L == 1:
                 # single-word query whose "title" (head span) is exactly
@@ -1748,6 +1810,8 @@ class SearcherLogic:
                         VERBATIM_W_PART_HEAD, VERBATIM_W_PART_BODY,
                         VERBATIM_ATT_HEAD, VERBATIM_ATT_BODY,
                         float(np.sqrt(len(p) / max(L, 1))), False,
+                        w_link=VERBATIM_W_PART_LINK,
+                        w_url=VERBATIM_W_PART_URL,
                     )
             score += verbatim_tag_weight * v2
         if explain:

@@ -213,3 +213,16 @@ def test_attach_link_texts_join_and_build(tmp_path):
         + [round(2.0 * 1.5 * exact_reps, 6)]
     )
     assert deltas == want
+
+    # multi-word DOC_URL classification (_group_tag_score w_url): the
+    # 'src mod0' phrase matches once inside each f%5==0 doc's URL span
+    # (url tokens [src, modN, file_NNN, ext]) — weight 0.75, att 1.0
+    r0 = idx.search("src mod0", k=100)
+    rv = idx.search("src mod0", k=100, verbatim_tag_weight=2.0)
+    assert r0.num_rows == 6  # 2 files per repo x 3 repos hit mod0
+    u0 = dict(zip(r0["combined_id"].to_pylist(), r0["score_r"].to_pylist()))
+    uv = dict(zip(rv["combined_id"].to_pylist(), rv["score_r"].to_pylist()))
+    want_u = 2.0 * 0.75 * 2 * (1.0 + np.log1p(1.0))
+    assert all(
+        abs((uv[d] - u0[d]) - want_u) < 2e-6 for d in u0
+    ), sorted(round(uv[d] - u0[d], 6) for d in u0)
