@@ -362,6 +362,16 @@ def build_delta_index(
         from dataclasses import replace
 
         cfg = replace(cfg, num_parts=base_parts)
+    # the delta must also tokenize with the base's region semantics: an
+    # anchor-enabled base expects URL-word/link-text terms in every
+    # segment of the chain (pre-anchor manifests lack the key -> False)
+    base_anchor = bool(
+        mf.read_manifest(base_dir, "journal").get("anchor_regions", False)
+    )
+    if cfg.anchor_regions != base_anchor:
+        from dataclasses import replace
+
+        cfg = replace(cfg, anchor_regions=base_anchor)
 
     if not mf.is_committed(delta_dir, "root"):
         # materialize the delta corpus ONCE: it is delta-sized by the
@@ -798,6 +808,13 @@ def compact_segments(
                 "num_parts": mf.read_manifest(segment_dirs[0], "root")[
                     "num_parts"
                 ],
+                # region semantics carry across compaction (the merged
+                # journal holds the segments' already-tokenized rows)
+                "anchor_regions": bool(
+                    mf.read_manifest(segment_dirs[0], "journal").get(
+                        "anchor_regions", False
+                    )
+                ),
                 # same per-part sha256-XOR lineage a fresh build records
                 # (the verifier's deep audit + trace-back contract holds
                 # across compactions)

@@ -226,3 +226,44 @@ def test_attach_link_texts_join_and_build(tmp_path):
     assert all(
         abs((uv[d] - u0[d]) - want_u) < 2e-6 for d in u0
     ), sorted(round(uv[d] - u0[d], 6) for d in u0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_delta_inherits_anchor_regions(tmp_path):
+    """A delta over an anchor-enabled base tokenizes with anchor regions
+    even when the caller's cfg says otherwise (same normalization as
+    num_parts): the updated doc's URL tokens stay searchable through the
+    chain, and the delta's journal manifest records the flag."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.build_index import (
+        BuildConfig,
+        build_index,
+    )
+    from marginaliasearch_ray.pipelines.delta import build_delta_index
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+    from marginaliasearch_ray.sources.corpus import synthesize_corpus
+    from marginaliasearch_ray.state import manifest as mf
+
+    corpus = synthesize_corpus(n_repos=2, files_per_repo=4)
+    base = str(tmp_path / "base")
+    build_index(
+        ray.data.from_arrow(corpus), base,
+        BuildConfig(num_parts=2, num_buckets=4, anchor_regions=True),
+    )
+    # update one existing doc (same repo/path/ordinal, new content)
+    delta = corpus.slice(0, 1).set_column(
+        corpus.schema.get_field_index("content"), "content",
+        pa.array(["totally fresh delta body"], pa.string()),
+    )
+    ddir = str(tmp_path / "delta")
+    build_delta_index(
+        ray.data.from_arrow(delta), [base], ddir,
+        BuildConfig(num_parts=2, num_buckets=4),  # anchor flag omitted
+    )
+    assert mf.read_manifest(ddir, "journal")["anchor_regions"] is True
+    s = IndexSearch([base, ddir], use_actors=False)
+    # 'src' is a URL token of every path; the updated doc must still
+    # match via its (re-tokenized) URL region, not its old base copy
+    res = s.search("src fresh", k=20)
+    assert res.num_rows == 1
