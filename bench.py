@@ -144,6 +144,42 @@ def run_bench() -> dict:
             want = unfolded.search(q, k=10)
             assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist(), q
 
+        # 1d) anchor-region build (round 5): the same corpus with URL-word
+        # + link-text virtual regions — the attach_link_texts join plus
+        # the extended tokenize; the delta vs index_build_sf is the
+        # anchor feature's cost.  Plus linktext query serving incl. the
+        # EXTERNAL_LINKTEXT verbatim branches.
+        import dataclasses as _dc
+
+        import pyarrow.parquet as _pq
+
+        adir = "/tmp/msray_bench_anchor"
+        shutil.rmtree(adir, ignore_errors=True)
+        os.makedirs(adir, exist_ok=True)
+        links = os.path.join(adir, "links.parquet")
+        _pq.write_table(e._link_texts_table(SF_DIR), links)
+        acfg = _dc.replace(
+            e._build_cfg(), anchor_regions=True, link_texts_dir=links
+        )
+        timed(
+            "index_build_anchor",
+            lambda: build_index(documents_corpus_dataset(SF_DIR), adir, acfg),
+        )
+        aidx = IndexSearch(adir, use_actors=False)
+
+        def run_linktext():
+            n = 0
+            for _ in range(5):
+                for q in ("nav", "nav src3", "nav -customer"):
+                    aidx.search(q, k=10, verbatim_tag_weight=1.0)
+                    n += 1
+            return n
+
+        nl = timed("query_linktext", run_linktext)
+        extras["linktext_queries_per_s"] = round(
+            nl / timings["query_linktext"], 1
+        )
+
     # 2) index build over the deterministic synthetic source-code corpus
     synth_path = _synth_corpus_path()
     synth_out = "/tmp/msray_bench_index"
