@@ -54,6 +54,11 @@ def _build_cfg(args):
             kw[f] = v
     if getattr(args, "salted", False):
         kw["premerge_salted"] = True
+    if getattr(args, "anchor_regions", False):
+        kw["anchor_regions"] = True
+    if getattr(args, "link_texts", None):
+        kw["anchor_regions"] = True
+        kw["link_texts_dir"] = args.link_texts
     return BuildConfig(**kw)
 
 
@@ -77,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--corpus", required=True,
                    help="parquet path/dir of (repo,path,commit,lang,content)")
     b.add_argument("--out", required=True)
+    b.add_argument("--anchor-regions", action="store_true",
+                   help="index URL words + link texts in virtual position "
+                        "regions after the body (DocumentPositionMapper)")
+    b.add_argument("--link-texts",
+                   help="(repo,path,text,cnt) parquet of anchor texts; "
+                        "implies --anchor-regions")
     _common(b)
 
     d = sub.add_parser("delta", help="incremental delta segment")
