@@ -882,13 +882,37 @@ class _Segment:
         exact_keys = (rows[0::2] * _POS_SHIFT + starts)[widths == 1]
         return keys, off, np.sort(exact_keys)
 
+    _EMPTY_SPANS = (
+        np.empty(0, dtype=np.int64),
+        np.zeros(1, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+
+    def _has_anchor_regions(self) -> bool:
+        """Journal-manifest flag: non-anchor segments skip the span-column
+        scan entirely (their journals hold no 'a'/'u' spans)."""
+        from ..state import manifest as mf
+
+        try:
+            return bool(
+                mf.read_manifest(self.out_dir, "journal").get(
+                    "anchor_regions", False
+                )
+            )
+        except Exception:
+            return True  # unknown provenance: fall back to reading
+
     def linktext_spans(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """EXTERNAL_LINKTEXT ('a') span lookup structures (anchor-region
         indexes; empty on default builds), loaded lazily."""
         if self._aspans is None:
             from ..stages.tokenize import SPAN_LINKTEXT
 
-            self._aspans = self._load_tag_spans(SPAN_LINKTEXT)
+            self._aspans = (
+                self._load_tag_spans(SPAN_LINKTEXT)
+                if self._has_anchor_regions()
+                else self._EMPTY_SPANS
+            )
         return self._aspans
 
     def url_spans(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -897,7 +921,11 @@ class _Segment:
         if self._uspans is None:
             from ..stages.tokenize import SPAN_URL
 
-            self._uspans = self._load_tag_spans(SPAN_URL)
+            self._uspans = (
+                self._load_tag_spans(SPAN_URL)
+                if self._has_anchor_regions()
+                else self._EMPTY_SPANS
+            )
         return self._uspans
 
     def term_row(self, tid: int) -> int:
