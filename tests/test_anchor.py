@@ -228,6 +228,69 @@ def test_attach_link_texts_join_and_build(tmp_path):
     ), sorted(round(uv[d] - u0[d], 6) for d in u0)
 
 
+def test_anchor_positions_randomized_vs_naive_model():
+    """25 random (body, path, texts, counts) documents vs an independent
+    per-token reimplementation of the position arithmetic — a different
+    code path from the vectorized stage (scalar loop, explicit pos
+    counter), so a shared bug cannot hide."""
+    import math
+    import random
+
+    from marginaliasearch_ray.functions.wordpattern import tokenize
+
+    rng = random.Random(7)
+    stage = TokenizeStage(DomainRegistry(["org/r"], num_parts=1),
+                          anchor_regions=True)
+    vocab = ["alpha", "beta", "gamma", "x1", "y2", "nav"]
+    paths = ["a/b.py", "deep/path/with.many.parts.js", "f.c", "one_token"]
+    for _trial in range(25):
+        body = " ".join(rng.choices(vocab, k=rng.randrange(0, 12)))
+        path = rng.choice(paths)
+        n_texts = rng.randrange(0, 3)
+        texts = [
+            " ".join(rng.choices(vocab, k=rng.randrange(1, 4)))
+            for _ in range(n_texts)
+        ]
+        cnts = [rng.randrange(1, 300) for _ in texts]
+
+        # naive scalar model of DocumentPositionMapper
+        want: dict[str, list[int]] = {}
+
+        def rec(w, p):
+            want.setdefault(w, []).append(p)
+
+        pos = 0
+        for w in tokenize(body):
+            pos += 1
+            rec(w, pos)
+        pos += 1  # mapDocumentPositions' trailing pos++
+        pos += 2  # padding
+        for w in tokenize(path.replace("/", " ").replace(".", " ")):
+            pos += 1
+            rec(w, pos)
+        pos += 1  # mapUrlWordPositions' trailing pos++
+        pos += 2  # padding
+        for text, cnt in zip(texts, cnts):
+            toks = tokenize(text)
+            if not toks:
+                continue
+            for _ in range(int(max(1.0, min(math.sqrt(cnt), 12.0)))):
+                for w in toks:
+                    pos += 1
+                    rec(w, pos)
+                pos += 2
+
+        out = stage(
+            _batch(content=body, path=path,
+                   lt_texts=texts if texts else None,
+                   lt_counts=cnts if texts else None)
+        )
+        got = _row(out)
+        for w, plist in want.items():
+            tf, ppos = got[hash_nearly_ascii(w)]
+            assert (tf, ppos) == (len(plist), plist), (body, path, texts, w)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_delta_inherits_anchor_regions(tmp_path):
     """A delta over an anchor-enabled base tokenizes with anchor regions
