@@ -2156,8 +2156,9 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_phrase_gamma",
     # NEW this round: anchor regions — URL words + sqrt-attenuated
     # link-text repetitions + linktext verbatim tag scoring (never
-    # certified; displace token_counts + winnow_fingerprints — both
-    # r3-green, unchanged code, locally swept — past slot 50)
+    # certified; with bm25_phrase_gamma these displace span_stats,
+    # token_counts and winnow_fingerprints — all r3-green, unchanged
+    # code, locally swept 124/124 every sweep — to slots 51-53)
     "bm25_linktext",
     "bm25_linktext_phrase",
     # --- (c) oldest evidence, ascending ---
