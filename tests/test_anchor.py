@@ -227,6 +227,14 @@ def test_attach_link_texts_join_and_build(tmp_path):
         abs((uv[d] - u0[d]) - want_u) < 2e-6 for d in u0
     ), sorted(round(uv[d] - u0[d], 6) for d in u0)
 
+    # quoted-phrase adjacency works on injected positions: the phrase
+    # '"navterm extra0"' exists only in link-text repetitions (j%2==0
+    # docs); '"extra0 navterm"' (reversed) never does
+    ph = idx.search('"navterm extra0"', k=50)
+    n_extra0 = sum(1 for j in range(0, len(repos), 3) if j % 2 == 0)
+    assert ph.num_rows == n_extra0
+    assert idx.search('"extra0 navterm"', k=50).num_rows == 0
+
 
 def test_anchor_positions_randomized_vs_naive_model():
     """25 random (body, path, texts, counts) documents vs an independent
