@@ -254,6 +254,89 @@ def _lt_unpack(batch: pa.Table) -> pa.Table:
     )
 
 
+_LINK_REF_RE = None  # compiled per worker in _extract_links_batch
+
+
+def _extract_links_batch(batch: pa.Table, *, pattern: str) -> pa.Table:
+    """Per-batch anchor extraction: each ``pattern`` match names a target
+    (repo[, path]); the anchor TEXT is the match's line with the
+    reference stripped (the code analog of a link's display text).
+    Compiled-regex scan per document — the stage is stateless, the regex
+    cached per worker process."""
+    import re
+
+    global _LINK_REF_RE
+    if _LINK_REF_RE is None or _LINK_REF_RE.pattern != pattern:
+        _LINK_REF_RE = re.compile(pattern, re.MULTILINE)
+    repos_out: list[str] = []
+    paths_out: list[str] = []
+    texts_out: list[str] = []
+    for content in batch["content"].to_pylist():
+        for m in _LINK_REF_RE.finditer(content):
+            target = m.group(1)
+            parts = target.split("/")
+            if len(parts) < 2:
+                continue
+            repo = "/".join(parts[:2])
+            path = "/".join(parts[2:])
+            line_start = content.rfind("\n", 0, m.start()) + 1
+            line_end = content.find("\n", m.end())
+            if line_end == -1:
+                line_end = len(content)
+            line = content[line_start:m.start()] + content[m.end():line_end]
+            text = line.strip().lstrip("/#*- ").strip()
+            if not text:
+                continue
+            repos_out.append(repo)
+            paths_out.append(path)
+            texts_out.append(text)
+    return pa.table(
+        {
+            "repo": pa.array(repos_out, pa.string()),
+            "path": pa.array(paths_out, pa.string()),
+            "text": pa.array(texts_out, pa.string()),
+        }
+    )
+
+
+def extract_link_texts(
+    corpus_ds,
+    pattern: str = r"(?:see|ref):?\s+(\S+/\S+/\S+)",
+):
+    """Corpus-derived anchor-text side table — the analog of the
+    reference's atags ingestion (the converting process reads anchor
+    texts from a side file keyed by URL; here the corpus itself is
+    scanned for cross-document references).  Each ``pattern`` match in a
+    document contributes one (target repo, target path, anchor text)
+    observation; identical observations are counted corpus-wide
+    (groupby) into the ``cnt`` the tokenizer's sqrt-attenuated
+    repetition consumes.
+
+    Returns a Dataset in ``attach_link_texts``'s input shape
+    (repo, path, text, cnt).  Streaming: a stateless regex map over
+    content batches, then an observation-cardinality groupby — raw
+    documents never shuffle."""
+    import functools
+
+    from ray.data.aggregate import Count
+
+    counted = (
+        corpus_ds.select_columns(["content"])
+        .map_batches(
+            functools.partial(_extract_links_batch, pattern=pattern),
+            batch_format="pyarrow",
+        )
+        .groupby(["repo", "path", "text"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    def cast_cnt(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("cnt")
+        return batch.set_column(i, "cnt", pc.cast(batch["cnt"], pa.int64()))
+
+    return counted.map_batches(cast_cnt, batch_format="pyarrow")
+
+
 def attach_link_texts(corpus_ds, link_ds, num_partitions: int = 64):
     """LEFT-JOIN per-(repo, path) anchor texts onto the corpus as
     ``lt_texts``/``lt_counts`` list columns — the converting process's

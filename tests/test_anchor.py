@@ -300,6 +300,83 @@ def test_anchor_positions_randomized_vs_naive_model():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_extract_link_texts_from_corpus(tmp_path):
+    """Corpus-derived anchor extraction: 'see <repo>/<path>' references
+    yield (target, stripped-line-text) observations counted corpus-wide,
+    and the result feeds attach_link_texts/build unchanged."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.build_index import (
+        BuildConfig,
+        build_index,
+        extract_link_texts,
+    )
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+
+    target = "org/core"
+    tpath = "src/parser.py"
+    docs = []
+    # 3 docs reference the same target with the same anchor line text,
+    # 1 with a different text, 1 has no reference
+    for i in range(3):
+        docs.append(
+            f"filler line {i}\n// blazing parser, see {target}/{tpath}\nmore"
+        )
+    docs.append(f"# other mention ref: {target}/{tpath}\nrest")
+    docs.append("nothing to see here at all")
+    corpus = pa.table(
+        {
+            "repo": pa.array(["org/core", "org/a", "org/b", "org/c", "org/d"]),
+            "path": pa.array([tpath, "x.py", "y.py", "z.py", "w.py"]),
+            "commit": pa.array(["c" * 40] * 5),
+            "lang": pa.array(["py"] * 5),
+            "content": pa.array(
+                ["def parse(): pass  # body of the target"] + docs[:4]
+            ),
+            "ordinal": pa.array(list(range(5)), pa.int32()),
+        }
+    )
+    corpus_ds = ray.data.from_arrow(corpus)
+    link_ds = extract_link_texts(corpus_ds)
+    rows = {
+        (r["repo"], r["path"], r["text"]): r["cnt"]
+        for r in link_ds.take_all()
+    }
+    assert rows == {
+        (target, tpath, "blazing parser,"): 3,
+        (target, tpath, "other mention"): 1,
+    }
+
+    link_dir = str(tmp_path / "xlinks.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "repo": pa.array([k[0] for k in rows], pa.string()),
+                "path": pa.array([k[1] for k in rows], pa.string()),
+                "text": pa.array([k[2] for k in rows], pa.string()),
+                "cnt": pa.array(list(rows.values()), pa.int64()),
+            }
+        ),
+        link_dir,
+    )
+    out = str(tmp_path / "xidx")
+    build_index(
+        corpus_ds, out,
+        BuildConfig(num_parts=1, num_buckets=4, anchor_regions=True,
+                    link_texts_dir=link_dir),
+    )
+    idx = IndexSearch(out, use_actors=False)
+    # 'blazing' lives in the 3 referrers' bodies AND — via the extracted
+    # anchor text — in the TARGET doc's linktext region: 4 matches, and
+    # the target (ordinal 0) is only reachable through the injection
+    res = idx.search("blazing", k=10)
+    assert res.num_rows == 4
+    assert 0 in set(res["doc_id"].to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_delta_inherits_anchor_regions(tmp_path):
     """A delta over an anchor-enabled base tokenizes with anchor regions
     even when the caller's cfg says otherwise (same normalization as
