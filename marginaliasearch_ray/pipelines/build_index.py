@@ -122,10 +122,17 @@ class BuildConfig:
     #    through a hash shuffle — only right when the corpus is about
     #    to shuffle anyway.
     link_texts_mode: str = "store"
-    # FIFO cap on per-actor cached store buckets (a real anchor table is
-    # ~1% of corpus scale; the cap bounds worker heap, eviction just
-    # costs a re-read)
-    link_store_cache_buckets: int = 64
+    # Store geometry: corpus batches carry RANDOM keys, so every batch
+    # touches ~min(batch_size, num_buckets) buckets — the cache MUST
+    # cover num_buckets or lookups thrash into a parquet read per doc
+    # (measured: a 256-bucket store behind a 64-bucket cache stalled the
+    # 960k journal phase indefinitely).  Defaults keep cache >= buckets:
+    # each actor reads each bucket at most once, then serves from RAM.
+    # At real scale raise BOTH so one bucket stays worker-RAM-sized; the
+    # aggregate side store must fit a worker's heap once hot — the same
+    # property the reference's converting-process atags side input has.
+    link_store_buckets: int = 64
+    link_store_cache_buckets: int = 256
     # Block-max side index (add_block_stats): posting lists longer than
     # this gain per-block (last doc, max tf, byte offset) entries so the
     # query side can decode only candidate-bearing blocks and
@@ -356,7 +363,7 @@ def extract_link_texts(
 
 
 def build_link_store(
-    link_ds, store_dir: str, num_buckets: int = 256
+    link_ds, store_dir: str, num_buckets: int = 64
 ) -> dict:
     """Shuffle the LINK TABLE ALONE into a bucketed side store the
     tokenize actors read with pruning — the 100-TB shape for anchor
@@ -671,6 +678,7 @@ def build_index(
                     meta = build_link_store(
                         _rdl.read_parquet(cfg.link_texts_dir),
                         link_store_dir,
+                        num_buckets=cfg.link_store_buckets,
                     )
                     mf.commit_manifest(out_dir, "link_store", meta)
             else:

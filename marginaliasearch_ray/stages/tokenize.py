@@ -163,14 +163,20 @@ class LinkStoreLookup:
     only eviction cost).  Hash collisions are resolved exactly by
     comparing the stored repo/path strings along the equal-key run."""
 
-    def __init__(self, store_dir: str, cache_buckets: int = 64):
+    def __init__(self, store_dir: str, cache_buckets: int = 256):
         import json
         import os
+
+        from ..functions.murmur import hash_nearly_ascii
 
         self.store_dir = store_dir
         with open(os.path.join(store_dir, "_store.json")) as f:
             self.num_buckets = int(json.load(f)["num_buckets"])
+        # cache < num_buckets thrashes into a parquet read per lookup
+        # under random key order — warn-by-construction: floor at
+        # num_buckets unless the caller explicitly wants eviction
         self.cache_buckets = max(1, int(cache_buckets))
+        self._hash = hash_nearly_ascii
         self._cache: dict[int, tuple] = {}  # bucket -> (keys, rows)
 
     def _bucket(self, b: int):
@@ -210,9 +216,7 @@ class LinkStoreLookup:
 
     def get(self, repo: str, path: str):
         """(texts, counts) lists for one document, or None."""
-        from ..functions.murmur import hash_nearly_ascii
-
-        key = hash_nearly_ascii(f"{repo}\x1f{path}")
+        key = self._hash(f"{repo}\x1f{path}")
         b = int((key % self.num_buckets + self.num_buckets) % self.num_buckets)
         keys, repos, paths, tpk, cpk = self._bucket(b)
         i = int(np.searchsorted(keys, key))
