@@ -376,10 +376,6 @@ def build_link_store(
 
     from ..functions.murmur import hash_nearly_ascii
 
-    agg = link_ds.groupby(["repo", "path"]).map_groups(
-        _lt_agg_group, batch_format="pyarrow"
-    )
-
     def keyed(batch: pa.Table) -> pa.Table:
         keys = np.fromiter(
             (
@@ -396,9 +392,56 @@ def build_link_store(
             "key", pa.array(keys, pa.int64())
         ).append_column("bucket", pa.array(bucket.astype(np.int32), pa.int32()))
 
+    def bucket_agg(group: pa.Table) -> pa.Table:
+        # ONE vectorized pass per bucket (a per-(repo, path) map_groups
+        # measured ~30 s at 320k keys — Ray group dispatch per
+        # single-row group): lexsort by (key, repo, path, text), pack
+        # each key run into the store row.  One block (= one parquet
+        # file) per bucket, rows key-sorted — a bucket load is a single
+        # file read; without that the partitioned write scattered each
+        # bucket over one file per upstream task (~0.9 s per open).
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        repos = np.asarray(group["repo"].to_pylist(), dtype=object)
+        paths = np.asarray(group["path"].to_pylist(), dtype=object)
+        texts = np.asarray(group["text"].to_pylist(), dtype=object)
+        cnts = group["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((texts, paths, repos, keys))
+        k, r, p, t, c = keys[o], repos[o], paths[o], texts[o], cnts[o]
+        new = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            new[1:] = (
+                (k[1:] != k[:-1]) | (r[1:] != r[:-1]) | (p[1:] != p[:-1])
+            )
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k))
+        return pa.table(
+            {
+                "repo": pa.array(r[starts], pa.string()),
+                "path": pa.array(p[starts], pa.string()),
+                "lt_texts_pk": pa.array(
+                    [_LT_SEP.join(t[s:e]) for s, e in zip(starts, ends)],
+                    pa.string(),
+                ),
+                "lt_counts_pk": pa.array(
+                    [
+                        ",".join(str(int(x)) for x in c[s:e])
+                        for s, e in zip(starts, ends)
+                    ],
+                    pa.string(),
+                ),
+                "key": pa.array(k[starts], pa.int64()),
+                "bucket": group["bucket"].take(
+                    pa.array(o[starts].astype(np.int64))
+                ),
+            }
+        )
+
     _clear_dir(store_dir)
-    agg.map_batches(keyed, batch_format="pyarrow").write_parquet(
-        store_dir, partition_cols=["bucket"]
+    (
+        link_ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_agg, batch_format="pyarrow")
+        .write_parquet(store_dir, partition_cols=["bucket"])
     )
     meta = {"num_buckets": num_buckets}
     with open(os.path.join(store_dir, "_store.json"), "w") as f:
