@@ -114,9 +114,10 @@ class BuildConfig:
     #  - "store" (default): the link table ALONE shuffles into a bucketed
     #    sorted side store (build_link_store); tokenize actors lazily
     #    read + cache only the buckets their batches touch.  The corpus
-    #    never re-shuffles — measured 1.57x plain-build cost for the
-    #    join mode at 960k docs vs ~1.07x for the store mode (the
-    #    residual is the extra tokenize/position work itself).
+    #    never re-shuffles — at 960k docs / 320k linked the store-mode
+    #    build measured WITHIN WINDOW NOISE of the plain build (0.81x in
+    #    its window) while join mode measured 1.24-1.75x across windows
+    #    (tools/anchor_probe.py; BASELINE.md).
     #  - "join": left-join the aggregated link table onto the corpus
     #    (attach_link_texts).  Simple, but moves every corpus row
     #    through a hash shuffle — only right when the corpus is about
