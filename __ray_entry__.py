@@ -131,7 +131,7 @@ _ANCHOR_HANDLES: dict[str, Any] = {}
 # bump when the synthesized link-text table or anchor semantics change —
 # build_index resumes committed phases, so a stale cached dir would
 # otherwise serve the old table silently
-_ANCHOR_VERSION = 2
+_ANCHOR_VERSION = 3
 
 
 def _link_texts_table(sf_dir: str) -> "pa.Table":
