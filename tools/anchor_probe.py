@@ -1,9 +1,10 @@
 """Anchor-region overhead probe at scale: build the 960k-doc synthetic
-corpus twice — plain and with anchor regions + a link-text side table
-covering 1/3 of the docs — and report docs/s for both plus linktext
-query serving.  The delta between the two builds is the anchor
-feature's cost (attach_link_texts join + extended tokenize) at a
-corpus size where the join is a real shuffle.
+corpus three ways — plain, anchor via the bucketed link STORE
+(default), and anchor via the corpus JOIN — with a link-text side
+table covering 1/3 of the docs, and report docs/s for each plus
+linktext query serving.  The deltas vs the plain build are each
+ingestion mode's cost at a corpus size where the join is a real
+shuffle (measured numbers in BASELINE.md).
 
 Usage: python tools/anchor_probe.py [repos files cpus]
 (defaults 1200 800 32 — the scaling-bench corpus shape)
