@@ -356,6 +356,41 @@ def test_link_store_mode_is_byte_identical_to_join_mode(tmp_path):
         assert got is not None and len(got[0]) == n_texts, j
 
 
+def test_link_store_lookup_collision_run(tmp_path):
+    """Two different (repo, path) keys sharing one 64-bit hash resolve
+    exactly: the lookup scans the equal-key run comparing the stored
+    strings (hand-written store + a forced constant hash — real
+    collisions are 2^-64)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from marginaliasearch_ray.stages.tokenize import LinkStoreLookup
+
+    store = str(tmp_path / "store")
+    os.makedirs(os.path.join(store, "bucket=5"))
+    pq.write_table(
+        pa.table(
+            {
+                "key": pa.array([77, 77], pa.int64()),
+                "repo": pa.array(["org/a", "org/b"]),
+                "path": pa.array(["x.py", "x.py"]),
+                "lt_texts_pk": pa.array(["alpha", "beta\x1fgamma"]),
+                "lt_counts_pk": pa.array(["9", "4,16"]),
+            }
+        ),
+        os.path.join(store, "bucket=5", "part.parquet"),
+    )
+    with open(os.path.join(store, "_store.json"), "w") as f:
+        json.dump({"num_buckets": 8}, f)
+    lk = LinkStoreLookup(store)
+    lk._hash = lambda s: 77  # force every key into the colliding run
+    assert lk.get("org/a", "x.py") == (["alpha"], [9])
+    assert lk.get("org/b", "x.py") == (["beta", "gamma"], [4, 16])
+    assert lk.get("org/c", "x.py") is None  # same hash, no stored match
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_extract_link_texts_from_corpus(tmp_path):
     """Corpus-derived anchor extraction: 'see <repo>/<path>' references
