@@ -1538,6 +1538,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["facet_lang"] = lambda sf: _index_for(sf).facets("merge", by="lang")
 
+    # search-service result display pipeline (SearchOperator.doSearch
+    # post-processing): retrieve top-100 normalized -> UrlDeduplicator
+    # (superficial (path,title) + content hash + domain cap 5, in the
+    # reference's check order) -> cluster by repo, <=25 clusters, with
+    # the ClusteredUrlDetails flag-protected sibling prune.  On this
+    # corpus the normalized scores sit far above the 4.0 score-limit
+    # cap, so the prune keeps every sibling via the score branch; the
+    # prune/flag branches are pinned by tests/test_result_clustering.py
+    q["search_clustered"] = lambda sf: _index_for(sf).search_clustered(
+        "customer merge"
+    )
+
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
     # batched query evaluation as a Ray Dataset (SURVEY §3.2's own RD
@@ -2125,7 +2137,10 @@ _DRIVER_WINDOW_FIRST = [
     # evidence is already within the last round; the ledger in
     # IMPLEMENTATION_NOTES.md tracks every displacement.
     #
-    # --- (a) never certified before this round (9) ---
+    # --- (a) never certified before this round (10) ---
+    # NEW this round: search-service result display pipeline
+    # (UrlDeduplicator + byDomain clustering + sibling prune)
+    "search_clustered",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2914,6 +2929,115 @@ LIMIT {k} OFFSET {offset}
 """
 
 
+def _clustered_sql(
+    terms: list[str], k: int = 100, domain_cap: int = 5, total: int = 25
+) -> str:
+    """Oracle for IndexSearch.search_clustered — the search service's
+    retrieve -> deduplicate -> cluster-by-domain display pipeline
+    (SearchOperator.getResultsFromQuery + UrlDeduplicator +
+    SearchResultClusterer.byDomain + the ClusteredUrlDetails sibling
+    prune).  Wraps the normalized decorated BM25 oracle and replays the
+    reference's check order with window functions:
+
+    * superficial (path, title) dedup: first sighting in presentation
+      order survives — registration happens the moment a result reaches
+      the check, so ``row_number() OVER (PARTITION BY path, title)``
+      over ALL retrieved rows is exact even when the first sighting is
+      later dropped by the hash or domain checks;
+    * content-hash dedup among superficial survivors;
+    * per-domain cap among hash survivors (the reference increments the
+      count for every result reaching the check, kept or dropped, so
+      rank-within-partition <= cap is exact);
+    * clusters ordered by their best member's presentation rank, capped
+      at ``total``; a non-first member survives iff its score exceeds
+      least(4.0, best * 1.25) or a non-SYNTHETIC query keyword carries
+      Title/Subjects/UrlPath/UrlDomain (the reference's ExternalLink
+      check can never fire: the flag's bit overflows the byte-wide
+      flags field).  Title/UrlPath membership = the term under the
+      engine's path/filename token rule (path is 'doc_<id>' on this
+      corpus, no '/' or '.' to split); UrlDomain = source tokens;
+      Subjects = early mention + the tf-idf admission gate."""
+    base = _bm25_sql(terms, k=k, normalize=True, decorate=True)
+
+    def _tokens_sql(expr: str) -> str:
+        return sql_tokenize_expr(
+            f"replace(replace({expr}, '/', ' '), '.', ' ')"
+        )
+
+    path_toks = _tokens_sql("('doc_' || CAST(t.doc_id AS VARCHAR))")
+    dom_toks = _tokens_sql("t.source")
+    prot_parts = []
+    for t in terms:
+        early = (
+            f"(list_position(t.toks, '{t}') BETWEEN 1 AND 16"
+            f" AND {_subj_gate_sql('t.toks', 't.maxtf', t)})"
+        )
+        prot_parts.append(
+            f"(list_contains({path_toks}, '{t}')"
+            f" OR list_contains({dom_toks}, '{t}')"
+            f" OR {early})"
+        )
+    protect = " OR ".join(prot_parts)
+    return f"""
+WITH base AS (
+{base}
+),
+tok AS (
+  SELECT doc_id, source, {_tok()} AS toks,
+         list_max(list_transform(list_distinct({_tok()}),
+           y -> len(list_filter({_tok()}, x -> x = y)))) AS maxtf
+  FROM documents
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ord AS (
+  SELECT base.*, row_number() OVER (ORDER BY score_r ASC, doc_id) AS rn
+  FROM base
+),
+sup AS (
+  SELECT ord.*, row_number() OVER (
+    PARTITION BY path, title ORDER BY rn) AS sup_rn
+  FROM ord
+),
+s1 AS (SELECT * FROM sup WHERE sup_rn = 1),
+h AS (
+  SELECT s1.*, row_number() OVER (
+    PARTITION BY data_hash ORDER BY rn) AS h_rn
+  FROM s1
+),
+s2 AS (SELECT * FROM h WHERE h_rn = 1),
+d AS (
+  SELECT s2.*, row_number() OVER (PARTITION BY repo ORDER BY rn) AS d_rn
+  FROM s2
+),
+kept AS (SELECT * FROM d WHERE d_rn <= {domain_cap} ORDER BY rn LIMIT {k}),
+cl AS (
+  SELECT repo AS crepo, min(rn) AS best_rn, min(score_r) AS best_score
+  FROM kept GROUP BY repo
+),
+cr AS (
+  SELECT crepo, best_rn, best_score,
+         row_number() OVER (ORDER BY best_rn) AS cluster_rank
+  FROM cl
+),
+mem AS (
+  SELECT k.*, c.cluster_rank, c.best_rn, c.best_score
+  FROM kept k JOIN cr c ON c.crepo = k.repo
+  WHERE c.cluster_rank <= {total}
+),
+pruned AS (
+  SELECT m.* FROM mem m JOIN tok t ON t.doc_id = m.doc_id
+  WHERE m.rn = m.best_rn
+     OR m.score_r > least(4.0, m.best_score * 1.25)
+     OR ({protect})
+)
+SELECT cluster_rank,
+       row_number() OVER (PARTITION BY repo ORDER BY rn) AS member_rank,
+       repo, doc_id, score_r
+FROM pruned
+ORDER BY cluster_rank, member_rank
+"""
+
+
 def _bm25_nested_sql(tree_query: str, k: int = 10) -> str:
     """Oracle for nested compiled query trees: per-term BM25 pivot, then
     the CqExpression aggregate written out as SQL arithmetic — sum over
@@ -3585,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, lang ASC
             LIMIT 20
         """,
+        "search_clustered": _clustered_sql(["customer", "merge"]),
         "bm25_filter_spec": _bm25_sql(
             ["scan", "filter"],
             exclude=["customer"],

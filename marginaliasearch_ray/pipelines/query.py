@@ -720,6 +720,7 @@ class _Segment:
         self.tfs_blobs = post["tfs"].combine_chunks()
         self.pos_blobs = post["positions"].combine_chunks()
         self.pos_cnts = post["pos_cnts"].combine_chunks()
+        self.metas_blobs = post["metas"].combine_chunks()
         if self.has_blocks:
             # block-max side index (add_block_stats): flat values + ragged
             # offsets, numpy-sliced per term at query time
@@ -957,6 +958,26 @@ class _Segment:
         if len(self._decoded) < 4096:
             self._decoded[tid] = out
         return out
+
+    def term_flag_bytes(self, tid: int) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted combined ids, WordFlags byte per posting) for a term —
+        the per-keyword flags surface the search service reads off each
+        result (SearchResultKeywordScore.flags,
+        code/functions/search-query/api/.../SearchResultKeywordScore
+        .java:10-24).  The flag byte is the low byte of the posting's
+        term-meta word (stages/reverse.py run schema, ``metas``).
+        Aligned with ``postings()``: tombstoned postings are dropped via
+        the same mask, so ``docs`` here equals the first element of
+        ``postings(tid)``."""
+        docs, _tfs = self.postings(tid)  # ensures _tomb_mask is populated
+        r = self.term_row(tid)
+        if r < 0:
+            return docs, np.empty(0, dtype=np.int64)
+        metas = np.frombuffer(_blob(self.metas_blobs, r), dtype=np.int64)
+        mask = self._tomb_mask.get(tid)
+        if mask is not None:
+            metas = metas[mask]
+        return docs, metas & 0xFF
 
     def block_meta(self, tid: int):
         """(term row, blk_last, blk_maxtf) of the term's block-max side
@@ -1990,6 +2011,10 @@ class SearcherLogic:
             out["positions_mask"] = SearcherLogic._positions_mask(
                 seg, cand[top], plan["include_ids"]
             ).tolist()
+        if plan.get("collect_flags"):
+            out["flags_or"] = SearcherLogic._collect_flags(
+                seg, cand[top], plan
+            ).tolist()
         if fx is not None:
             from ..functions import metadata as mdmod
 
@@ -2006,6 +2031,34 @@ class SearcherLogic:
                 mdmod.PUBDATE_ENCODING_OFFSET + mdmod.decode_year_byte(metas)
             ).tolist()
         return out
+
+    @staticmethod
+    def _collect_flags(
+        seg: "_Segment", docs_top: np.ndarray, plan: dict
+    ) -> np.ndarray:
+        """Per-result OR of the WordFlags bytes over the query's scored
+        keywords (conjunction terms + OR-group members) — the data the
+        search service's keywordScores loop reads (ClusteredUrlDetails
+        .java:48-63).  A per-doc SYNTHETIC occurrence contributes nothing
+        (isKeywordSpecial, SearchResultKeywordScore.java:26-28); ':'
+        keywords never appear here because compile_query routes them to
+        advice/meta terms, which are unscored."""
+        from ..functions.metadata import WordFlags
+
+        fb = np.zeros(len(docs_top), dtype=np.int64)
+        terms = list(plan["include_ids"])
+        for g in plan.get("group_ids") or []:
+            terms.extend(g)
+        for t in terms:
+            docs, flags = seg.term_flag_bytes(t)
+            if not len(docs):
+                continue
+            ix = np.minimum(np.searchsorted(docs, docs_top), len(docs) - 1)
+            present = docs[ix] == docs_top
+            f = flags[ix]
+            f = np.where((f & int(WordFlags.SYNTHETIC)) != 0, 0, f)
+            fb |= np.where(present, f, 0)
+        return fb
 
     @staticmethod
     def _apply_filters(seg: "_Segment", cand: np.ndarray, plan: dict,
@@ -2960,6 +3013,7 @@ class IndexSearch:
         facet_k: int = 20,
         facet_with: str | None = None,
         explain: bool = False,
+        collect_flags: bool = False,
     ) -> "pa.Table | tuple[pa.Table, pa.Table]":
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -3012,6 +3066,9 @@ class IndexSearch:
             "proximity_all_weight": proximity_all_weight,
             "heading_bonus_weight": heading_bonus_weight,
             "positions_mask": positions_mask,
+            # per-result OR of non-SYNTHETIC query-keyword flag bytes
+            # (the keywordScores surface the result clusterer reads)
+            "collect_flags": collect_flags,
             "verbatim_weight": verbatim_weight,
             "verbatim_tag_weight": verbatim_tag_weight,
             "flags_weight": flags_weight,
@@ -3182,6 +3239,8 @@ class IndexSearch:
         deco_cols = ["repo", "path", "title", "description", "data_hash"]
         if positions_mask:
             deco_cols.append("positions_mask")
+        if collect_flags:
+            deco_cols.append("flags_or")
         deco = {col: sum((r[col] for r in results), []) for col in deco_cols}
         if explain:
             # empty partitions short-circuit before _package and carry no
@@ -3222,6 +3281,8 @@ class IndexSearch:
             out_cols["positions_mask"] = [
                 int(deco["positions_mask"][j]) for j in keep
             ]
+        if collect_flags:
+            out_cols["flags_or"] = [int(deco["flags_or"][j]) for j in keep]
         if explain:
             for nm in FX_SCORE_COLS:
                 out_cols[nm] = [float(deco[nm][j]) for j in keep]
@@ -3241,6 +3302,132 @@ class IndexSearch:
     def count(self, query: str, **kw) -> int:
         """Total matching documents (no scoring, exhaustive candidates)."""
         return int(self.search(query, count_only=True, **kw)["n"][0].as_py())
+
+    def search_clustered(
+        self,
+        query: str,
+        k: int = 100,
+        domain_cap: int = 5,
+        total: int = 25,
+        score_limit_cap: float = 4.0,
+        **kw,
+    ) -> pa.Table:
+        """Search-service result post-processing: the full
+        retrieve → deduplicate → cluster-by-domain display pipeline.
+
+        Faithful to SearchOperator.getResultsFromQuery
+        (code/services-application/search-service/.../SearchOperator
+        .java:191-215) with the reference's defaultLimits
+        (resultsTotal=100, resultsByDomain=5), UrlDeduplicator
+        (results/UrlDeduplicator.java:29-68) and
+        SearchResultClusterer.byDomain + the ClusteredUrlDetails
+        sibling prune (SearchResultClusterer.java:38-52,
+        ClusteredUrlDetails.java:29-66):
+
+        * retention order — the reference pre-sorts by an https/raw-IP
+          preference before deduplicating; the code corpus has no URL
+          scheme, so retention order equals presentation order (score
+          ascending under normalized scoring, then combined id);
+        * superficial dedup — first sighting of a (path, title) pair
+          survives, later ones are removed (Objects.hash(path, title)
+          set membership, deduplicateOnSuperficialHash);
+        * content-hash dedup — exact sha256 stand-in for the EasyLSH
+          near-match walk (dataHash here IS the exact content hash,
+          mirroring the engine-wide D2 contract);
+        * per-domain cap — the count increments for every result that
+          reaches the check, kept or not (adjustOrPutValue semantics);
+        * clustering — results grouped by repo; cluster order is the
+          best member's presentation order; at most ``total`` clusters;
+        * sibling prune — a non-first member survives iff its
+          normalized score exceeds min(score_limit_cap, best * 1.25)
+          (i.e. it is NOT a near-tie of the cluster's best) or one of
+          its non-SYNTHETIC query keywords carries a protecting
+          WordFlag.  The protecting set is Title | Subjects | UrlPath |
+          UrlDomain: the reference also lists ExternalLink, but that
+          flag's bit (1 << 8) overflows the byte-wide flags field in
+          Java exactly as it does here, so the check can never fire.
+
+        Returns one row per displayed member:
+        (cluster_rank, member_rank, repo, doc_id, score_r), member_rank
+        1 being the cluster's "first" result.
+        """
+        from ..functions.metadata import WordFlags
+
+        protect = int(
+            WordFlags.TITLE
+            | WordFlags.SUBJECTS
+            | WordFlags.URL_PATH
+            | WordFlags.URL_DOMAIN
+        )
+        tbl = self.search(
+            query,
+            k=k,
+            normalize_score=True,
+            decorate=True,
+            collect_flags=True,
+            **kw,
+        )
+        paths = tbl["path"].to_pylist()
+        titles = tbl["title"].to_pylist()
+        hashes = tbl["data_hash"].to_pylist()
+        repos = tbl["repo"].to_pylist()
+        doc_ids = tbl["doc_id"].to_pylist()
+        scores = tbl["score_r"].to_pylist()
+        flags = tbl["flags_or"].to_pylist()
+
+        # UrlDeduplicator, in the reference's exact check order: each
+        # check registers its key the moment a result REACHES it, so a
+        # result dropped late still blocks/advances the earlier sets
+        seen_urls: set[tuple[str, str]] = set()
+        seen_hashes: set[str] = set()
+        dom_count: dict[str, int] = {}
+        kept: list[int] = []
+        for i in range(tbl.num_rows):
+            url_key = (paths[i], titles[i])
+            if url_key in seen_urls:
+                continue
+            seen_urls.add(url_key)
+            if hashes[i] in seen_hashes:
+                continue
+            seen_hashes.add(hashes[i])
+            c = dom_count.get(repos[i], 0) + 1
+            dom_count[repos[i]] = c
+            if c > domain_cap:
+                continue
+            kept.append(i)
+        kept = kept[:k]  # .limit(resultsTotal) — no-op unless dedup grew
+
+        # byDomain clustering: first-occurrence order of repos IS the
+        # best-member order because ``kept`` is presentation-sorted
+        clusters: dict[str, list[int]] = {}
+        repo_order: list[str] = []
+        for i in kept:
+            if repos[i] not in clusters:
+                clusters[repos[i]] = []
+                repo_order.append(repos[i])
+            clusters[repos[i]].append(i)
+
+        rows: list[tuple[int, int, str, int, float]] = []
+        for crank, r in enumerate(repo_order[:total], start=1):
+            members = clusters[r]
+            best = scores[members[0]]
+            score_limit = min(score_limit_cap, best * 1.25)
+            shown = [members[0]]
+            for i in members[1:]:
+                if scores[i] > score_limit or (flags[i] & protect):
+                    shown.append(i)
+            for mrank, i in enumerate(shown, start=1):
+                rows.append((crank, mrank, r, doc_ids[i], scores[i]))
+
+        return pa.table(
+            {
+                "cluster_rank": pa.array([r[0] for r in rows], pa.int64()),
+                "member_rank": pa.array([r[1] for r in rows], pa.int64()),
+                "repo": pa.array([r[2] for r in rows], pa.string()),
+                "doc_id": pa.array([r[3] for r in rows], pa.int64()),
+                "score_r": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
 
     def _merge_facet_partials(
         self, partials: list[dict], facet: str, facet_k: int
@@ -3375,6 +3562,8 @@ def _result_table(
                 cols[col] = pa.array(deco[col], pa.string())
         if "positions_mask" in deco:
             cols["positions_mask"] = pa.array(deco["positions_mask"], pa.int64())
+        if "flags_or" in deco:
+            cols["flags_or"] = pa.array(deco["flags_or"], pa.int64())
         for col in FX_SCORE_COLS:
             if col in deco:
                 cols[col] = pa.array(deco[col], pa.float64())
