@@ -194,6 +194,30 @@ def _anchor_index_for(sf_dir: str) -> IndexSearch:
     return handle
 
 
+_LINKKW_HANDLES: dict[str, Any] = {}
+
+
+def _links_index_for(sf_dir: str) -> IndexSearch:
+    """Index built with synthetic ``links:<dst>`` external-link keywords
+    (BuildConfig.link_keywords; HtmlDocumentProcessorPlugin.
+    createLinkKeywords:308-323) — the substrate for backlink search
+    ("links:x", SearchOperator.doBacklinkSearch:103-115) and
+    site-to-site link search ("repo:a links:b", doLinkSearch:117-128).
+    Targets come from the deterministic ring derivation shared with the
+    link-graph pipelines (ranking.link_edges)."""
+    handle = _LINKKW_HANDLES.get(sf_dir)
+    if handle is not None:
+        return handle
+    import dataclasses
+
+    out = _index_dir_for(sf_dir) + "_linkkw1"
+    cfg = dataclasses.replace(_build_cfg(), link_keywords=True)
+    build_index(documents_corpus_dataset(sf_dir), out, cfg)
+    handle = IndexSearch(out, use_actors=False)
+    _LINKKW_HANDLES[sf_dir] = handle
+    return handle
+
+
 _GAMMA_HANDLES: dict[str, Any] = {}
 
 
@@ -1595,6 +1619,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_linktext_phrase"] = lambda sf: _anchor_index_for(sf).search(
         "nav src3", k=10, verbatim_tag_weight=1.0
     ).select(["doc_id", "score_r"])
+    # external-link keywords (links: index variant): backlink search —
+    # every document whose ring-derived outgoing links hit src2, scored
+    # as an ordinary keyword (links: is NOT an advice prefix in the
+    # reference, QueryParser.java:240-252; doBacklinkSearch:103-115)
+    q["backlink_search"] = lambda sf: _links_index_for(sf).search(
+        "links:src2", k=100
+    ).select(["doc_id", "score_r"])
+    # site-to-site link search (doLinkSearch:117-128): src1's documents
+    # that link to src10 (the ring derivation gives src1 the sorted-index
+    # 2/3 targets, i.e. src10/src11 — src1->src2 does not exist)
+    q["link_search"] = lambda sf: _links_index_for(sf).search(
+        "repo:src1 links:src10", k=100
+    ).select(["doc_id", "score_r"])
     q["bm25_repo"] = lambda sf: _search(sf, "customer repo:src3")
     q["bm25_size_limit"] = lambda sf: _search(sf, "customer size>40")
     q["bm25_priority"] = lambda sf: _search(sf, "customer ?merge")
@@ -2137,10 +2174,14 @@ _DRIVER_WINDOW_FIRST = [
     # evidence is already within the last round; the ledger in
     # IMPLEMENTATION_NOTES.md tracks every displacement.
     #
-    # --- (a) never certified before this round (10) ---
+    # --- (a) never certified before this round (12) ---
     # NEW this round: search-service result display pipeline
     # (UrlDeduplicator + byDomain clustering + sibling prune)
     "search_clustered",
+    # NEW this round: links:<dst> external-link keywords — backlink and
+    # site-to-site link search over the link-keyword index variant
+    "backlink_search",
+    "link_search",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2328,6 +2369,7 @@ def _bm25_sql(
     positions_mask: bool = False,
     explain: bool = False,
     link_texts: bool = False,
+    link_keywords: bool = False,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -2783,6 +2825,33 @@ fdf AS (
     bonus_add = ""
     if document_bonus_weight > 0:
         bonus_add = f" + {document_bonus_weight} * any_value(c.bonus)"
+    tok_from = "documents"
+    synth_links = ""
+    if link_keywords:
+        # synthetic links:<dst> / links:<top-domain> keywords from the
+        # ring-derived per-doc target set (TokenizeStage link_keywords;
+        # HtmlDocumentProcessorPlugin.createLinkKeywords:308-323).  lks =
+        # the source's 0-based sorted index, lkarr/lknn the sorted repo
+        # list and its size — hoisted into the FROM subquery because
+        # DuckDB lambdas cannot contain subqueries.
+        tok_from = (
+            "(SELECT d0.*,"
+            " (dense_rank() OVER (ORDER BY d0.source)) - 1 AS lks,"
+            " (SELECT list(source ORDER BY source) FROM"
+            "  (SELECT DISTINCT source FROM documents))"
+            " AS lkarr,"
+            " (SELECT count(DISTINCT source) FROM documents) AS lknn"
+            " FROM documents d0) documents"
+        )
+        synth_links = (
+            " || list_distinct(flatten(list_transform("
+            "list_filter(list_distinct("
+            "[(lks + 1 + (doc_id*7 + 13*j + length(text))"
+            " % (1 + lks % 7)) % lknn for j in [1, 2]]"
+            "), x -> x != lks),"
+            " x -> ['links:' || lkarr[x+1],"
+            " 'links:' || split_part(lkarr[x+1], '/', 1)])))"
+        )
     scored = f"""
 WITH tok AS (
   SELECT doc_id, source, {_tok()} AS toks,
@@ -2790,10 +2859,10 @@ WITH tok AS (
           CASE WHEN doc_id % 7 = 3 THEN 'generator:wiki'
                ELSE 'generator:docs' END]
            || list_filter({sql_artifact_expr('toks')},
-                          a -> NOT list_contains(toks, a)) AS synth,
+                          a -> NOT list_contains(toks, a)){synth_links} AS synth,
          '|' || array_to_string({_tok()}, '|') || '|' AS joined,
          sha256(text) AS data_hash{tok_extra}
-  FROM documents
+  FROM {tok_from}
 ),
 n AS (SELECT count(*)::DOUBLE AS n FROM documents),
 terms(term, w, grp) AS (VALUES {vals}),
@@ -3710,6 +3779,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "search_clustered": _clustered_sql(["customer", "merge"]),
+        "backlink_search": _bm25_sql(
+            ["links:src2"], k=100, link_keywords=True
+        ),
+        "link_search": _bm25_sql(
+            ["links:src10"], k=100, source="src1", link_keywords=True
+        ),
         "bm25_filter_spec": _bm25_sql(
             ["scan", "filter"],
             exclude=["customer"],

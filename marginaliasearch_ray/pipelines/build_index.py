@@ -110,6 +110,21 @@ class BuildConfig:
     # must set the same flags (journal manifest records them).
     anchor_regions: bool = False
     link_texts_dir: str | None = None
+    # External-link keywords (HtmlDocumentProcessorPlugin.createLink
+    # Keywords:308-323): every document gets synthetic ``links:<dst>``
+    # terms (plus the ``links:<top-domain>`` variant — the org part of
+    # an org/repo name) for each of its outgoing-link target domains,
+    # powering backlink search ("links:x") and site-to-site link search
+    # ("repo:a links:b") exactly like the reference's doBacklinkSearch /
+    # doLinkSearch.  The sandbox has no crawl-derived per-document link
+    # set, so targets come from the same deterministic ring derivation
+    # the link-graph/PageRank pipelines use (pipelines/ranking.
+    # link_edges) — the per-doc keyword set covers exactly that edge
+    # table's (src, dst) pairs (the keyword set dedups a doc's parallel
+    # duplicate targets, like the reference's Set; link_edges counts
+    # them in its weight).  Off by default: the indexed term set then
+    # stays unchanged for every pre-existing oracle.
+    link_keywords: bool = False
     # How link texts reach the tokenizer:
     #  - "store" (default): the link table ALONE shuffles into a bucketed
     #    sorted side store (build_link_store); tokenize actors lazily
@@ -216,6 +231,7 @@ _TOKENIZE_CACHE: dict = {}
 def _tokenize_task(
     batch: pa.Table, *, reg_ref, tfdict_dir, doc_count, doc_processors=None,
     anchor_regions=False, link_store_dir=None, link_store_cache=64,
+    link_keywords=False,
 ) -> pa.Table:
     key = (
         reg_ref.hex() if hasattr(reg_ref, "hex") else id(reg_ref),
@@ -223,13 +239,14 @@ def _tokenize_task(
         tuple(sorted((doc_processors or {}).items())),
         bool(anchor_regions),
         link_store_dir,
+        bool(link_keywords),
     )
     st = _TOKENIZE_CACHE.get(key)
     if st is None:
         _TOKENIZE_CACHE.clear()  # one live stage per worker
         st = TokenizeStage(
             reg_ref, tfdict_dir, doc_count, doc_processors, anchor_regions,
-            link_store_dir, link_store_cache,
+            link_store_dir, link_store_cache, link_keywords,
         )
         _TOKENIZE_CACHE[key] = st
     return st(batch)
@@ -744,6 +761,7 @@ def build_index(
                 "anchor_regions": cfg.anchor_regions,
                 "link_store_dir": link_store_dir,
                 "link_store_cache": cfg.link_store_cache_buckets,
+                "link_keywords": cfg.link_keywords,
             },
             batch_size=cfg.tokenize_batch_size,
             batch_format="pyarrow",
@@ -807,6 +825,7 @@ def build_index(
                 "n_repos": len(registry.repos),
                 "num_parts": cfg.num_parts,
                 "anchor_regions": cfg.anchor_regions,
+                "link_keywords": cfg.link_keywords,
                 "per_part_lineage": lineage,
                 "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "journal"),

@@ -372,6 +372,16 @@ def build_delta_index(
         from dataclasses import replace
 
         cfg = replace(cfg, anchor_regions=base_anchor)
+    # same inheritance for links:<dst> keywords: a delta over a
+    # link-keyword base must inject them too, or updated documents
+    # silently fall out of every backlink query
+    base_links = bool(
+        mf.read_manifest(base_dir, "journal").get("link_keywords", False)
+    )
+    if cfg.link_keywords != base_links:
+        from dataclasses import replace
+
+        cfg = replace(cfg, link_keywords=base_links)
 
     if not mf.is_committed(delta_dir, "root"):
         # materialize the delta corpus ONCE: it is delta-sized by the
@@ -813,6 +823,11 @@ def compact_segments(
                 "anchor_regions": bool(
                     mf.read_manifest(segment_dirs[0], "journal").get(
                         "anchor_regions", False
+                    )
+                ),
+                "link_keywords": bool(
+                    mf.read_manifest(segment_dirs[0], "journal").get(
+                        "link_keywords", False
                     )
                 ),
                 # same per-part sha256-XOR lineage a fresh build records

@@ -497,6 +497,17 @@ def compile_query(
             out.repo = word[5:]
         elif word.startswith("lang:") and len(word) > 5:
             out.lang = word[5:]
+        elif word.startswith("links:") and len(word) > 6:
+            # external-link keyword (doBacklinkSearch "links:x" /
+            # doLinkSearch "site:a links:b", SearchOperator.java:103-128).
+            # links: is NOT in the reference's advice-prefix list
+            # (QueryParser.java:240-252), so the token is an ORDINARY
+            # scored include term whose literal string hashes against
+            # the synthetic links:<dst> keywords the build injects
+            # (HtmlDocumentProcessorPlugin.createLinkKeywords:308-323)
+            w = word.lower()
+            if w not in out.include:
+                out.include.append(w)
         elif word.startswith(ADVICE_PREFIXES) and ":" in word:
             # advisory term: the whole prefixed token is the keyword
             # (admitted by the code tokenizer — ':' is a separator char)

@@ -295,7 +295,8 @@ class TokenizeStage:
                  doc_processors: dict[str, str] | None = None,
                  anchor_regions: bool = False,
                  link_store_dir: str | None = None,
-                 link_store_cache: int = 64):
+                 link_store_cache: int = 64,
+                 link_keywords: bool = False):
         import ray
 
         # anchor regions (DocumentPositionMapper.mapPositionsAndExtract
@@ -316,9 +317,21 @@ class TokenizeStage:
             if link_store_dir is not None
             else None
         )
+        # links:<dst> external-link keywords (HtmlDocumentProcessor
+        # Plugin.createLinkKeywords:308-323): per-doc targets from the
+        # deterministic ring derivation shared with the link-graph
+        # pipelines (pipelines/ranking.link_edges).  ``s`` must be the
+        # repo's index in the SORTED repo list even for delta registries
+        # whose insertion-stable domain ids diverge from sorted order.
+        self.link_keywords = bool(link_keywords)
 
         self.registry = (
             ray.get(registry_ref) if hasattr(registry_ref, "hex") else registry_ref
+        )
+        self._lk_index = (
+            {r: i for i, r in enumerate(self.registry.repos)}
+            if self.link_keywords
+            else None
         )
         # per-lang document processors (SURVEY §2.10 plugin seam);
         # unmapped langs fall back to the code processor.  Names resolve
@@ -688,6 +701,29 @@ class TokenizeStage:
                 "generator:wiki" if ordinals[i] % 7 == 3 else "generator:docs"
             )
             k_syn = 2
+            if self.link_keywords:
+                # links:<dst> + links:<top-domain> per outgoing-link
+                # target (createLinkKeywords:311-314; a Set in the
+                # reference, so duplicate targets and coinciding forms
+                # dedup); self-links dropped, same ring derivation as
+                # ranking.link_edges — the keyword set covers that edge
+                # table's (src, dst) pairs, deduping the parallel
+                # duplicates link_edges counts in its weight
+                s = self._lk_index[repos[i]]
+                nrep = len(self.registry.repos)
+                span = 1 + s % 7
+                nc = len(contents[i])
+                seen_lk: set[str] = set()
+                for j in (1, 2):
+                    t = (s + 1 + (ordinals[i] * 7 + 13 * j + nc) % span) % nrep
+                    if t == s:
+                        continue
+                    rt = self.registry.repos[t]
+                    for kw in (f"links:{rt}", f"links:{rt.split('/', 1)[0]}"):
+                        if kw not in seen_lk:
+                            seen_lk.add(kw)
+                            syn_flat.append(kw)
+                            k_syn += 1
             if "@" in contents[i]:
                 # putIfAbsent is against the full keyword set — body plus
                 # any anchor-region terms (DocumentKeywordsBuilder:185-191)
