@@ -1662,6 +1662,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_head_weighted"] = lambda sf: _search(
         sf, "customer merge", head_tf_weight=0.5
     )
+    # query strategy REQUIRE_FIELD_SUBJECT via the qs= token
+    # (QueryToken.QsTerm -> meetsQueryStrategyRequirements,
+    # IndexResultRankingService.java:226-260): only documents where the
+    # scored keyword carries the Subjects flag survive — flag bytes read
+    # from the posting metas partition-side.  Title/Url/Domain variants
+    # cannot fire on this corpus (paths are 'doc_<id>'); they are pinned
+    # by tests/test_query_strategy.py on a synthetic corpus
+    q["bm25_require_subject"] = lambda sf: _search(
+        sf, "dup qs=REQUIRE_FIELD_SUBJECT"
+    )
     # nested compiled query trees (CompiledQueryParser n-ary And/Or)
     q["bm25_nested"] = lambda sf: _search(
         sf, "customer ( merge | sort ( table | scan ) )"
@@ -2182,6 +2192,8 @@ _DRIVER_WINDOW_FIRST = [
     # site-to-site link search over the link-keyword index variant
     "backlink_search",
     "link_search",
+    # NEW this round: qs= REQUIRE_FIELD_* flag-presence filtering
+    "bm25_require_subject",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2286,6 +2298,13 @@ def _tok(col: str = "text") -> str:
     return sql_tokenize_expr(col)
 
 
+def _key_tokens_sql(expr: str) -> str:
+    """SQL twin of TokenizeStage._tokens_of: the filename/path/repo token
+    set used by the Title/UrlPath/UrlDomain flag extractors ('/' and '.'
+    become separators before the word tokenizer)."""
+    return sql_tokenize_expr(f"replace(replace({expr}, '/', ' '), '.', ' ')")
+
+
 def _names(col: str = "text") -> str:
     from marginaliasearch_ray.functions.wordpattern import sql_name_like_expr
 
@@ -2370,6 +2389,7 @@ def _bm25_sql(
     explain: bool = False,
     link_texts: bool = False,
     link_keywords: bool = False,
+    query_strategy: str | None = None,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -2527,6 +2547,43 @@ def _bm25_sql(
         extra.append(f"c.dl > {size_gt}")
     if size_lt is not None:
         extra.append(f"c.dl < {size_lt}")
+    if query_strategy:
+        # REQUIRE_FIELD_* flag-presence filtering (meetsQueryStrategy
+        # Requirements, IndexResultRankingService.java:226-260): every
+        # conjunction term must carry the strategy's flag in the doc.
+        # Flat conjunctions only — the oracle queries use no OR groups.
+        assert not groups and not flags_weight, (
+            "query_strategy oracle covers flat BM25 conjunctions"
+        )
+        from marginaliasearch_ray.stages.tokenize import EARLY_MENTION_POS
+
+        if query_strategy == "REQUIRE_FIELD_SUBJECT":
+            tok_extra += (
+                ", list_max(list_transform(list_distinct(toks),"
+                " y -> len(list_filter(toks, x -> x = y)))) AS maxtf"
+            )
+            cand_bonus += ", t.maxtf AS maxtf"
+            for t in terms:
+                extra.append(
+                    f"(list_position(c.toks, '{t}')"
+                    f" BETWEEN 1 AND {EARLY_MENTION_POS}"
+                    f" AND {_subj_gate_sql('c.toks', 'c.maxtf', t)})"
+                )
+        elif query_strategy in ("REQUIRE_FIELD_TITLE", "REQUIRE_FIELD_URL"):
+            # path is 'doc_<id>' on this corpus; title = its basename
+            ptoks = _key_tokens_sql("('doc_' || c.doc_id)")
+            for t in terms:
+                extra.append(f"list_contains({ptoks}, '{t}')")
+        elif query_strategy == "REQUIRE_FIELD_DOMAIN":
+            for t in terms:
+                extra.append(
+                    f"list_contains({_key_tokens_sql('c.source')}, '{t}')"
+                )
+        else:
+            # SITE is never assigned by this corpus's flag extractors;
+            # LINK's bit overflows the byte-wide flags field (Java and
+            # engine alike) — both filters are provably empty
+            extra.append("FALSE")
     where = (" AND " + " AND ".join(extra)) if extra else ""
     term_score = sql_bm25_term_expr("tf.tf", "df.df", "n.n", "c.dl")
     fp_expr = ""
@@ -3027,14 +3084,8 @@ def _clustered_sql(
       corpus, no '/' or '.' to split); UrlDomain = source tokens;
       Subjects = early mention + the tf-idf admission gate."""
     base = _bm25_sql(terms, k=k, normalize=True, decorate=True)
-
-    def _tokens_sql(expr: str) -> str:
-        return sql_tokenize_expr(
-            f"replace(replace({expr}, '/', ' '), '.', ' ')"
-        )
-
-    path_toks = _tokens_sql("('doc_' || CAST(t.doc_id AS VARCHAR))")
-    dom_toks = _tokens_sql("t.source")
+    path_toks = _key_tokens_sql("('doc_' || CAST(t.doc_id AS VARCHAR))")
+    dom_toks = _key_tokens_sql("t.source")
     prot_parts = []
     for t in terms:
         early = (
@@ -3876,6 +3927,9 @@ LIMIT {BROWSE_COUNT}""",
         "bm25_verbatim": _bm25_sql(["fast", "table"], verbatim_weight=1.0),
         "bm25_flags": _bm25_sql(["customer", "merge"], flags_weight=1.0),
         "bm25_flags_tfidf": _bm25_sql(["dup"], flags_weight=1.0),
+        "bm25_require_subject": _bm25_sql(
+            ["dup"], query_strategy="REQUIRE_FIELD_SUBJECT"
+        ),
         "bm25_head_weighted": _bm25_sql(
             ["customer", "merge"], head_tf_weight=0.5
         ),

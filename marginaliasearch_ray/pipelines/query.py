@@ -61,6 +61,8 @@ class CompiledQuery:
     # ParamMatchingQueryFilter meta limits (CombinedIndexReader.java:349-450):
     # (field, op, value) with field in year/rank/quality, op in <, >, =
     meta_limits: list[tuple[str, str, int]] = field(default_factory=list)
+    # qs=<strategy> token (QueryToken.QsTerm, QueryParser.java:238-239)
+    query_strategy: str | None = None
 
     @property
     def include_ids(self) -> list[int]:
@@ -410,6 +412,25 @@ ADVICE_PREFIXES = (
     "site:", "format:", "file:", "tld:", "ip:", "as:", "asn:", "generator:"
 )
 
+# QueryStrategy REQUIRE_FIELD_* -> the WordFlags bit every scored query
+# keyword must carry in a result document (meetsQueryStrategyRequirements,
+# IndexResultRankingService.java:226-260; booleanAggregate over the
+# compiled query: AND terms all required, OR groups any member).
+# EXTERNAL_LINK's bit (1 << 8) overflows the byte-wide flags field in
+# Java exactly as it does here, so REQUIRE_FIELD_LINK can never match;
+# SITE is never assigned by this corpus's flag extractors — same effect.
+QUERY_STRATEGY_FLAG = {
+    "REQUIRE_FIELD_SITE": 1 << 4,
+    "REQUIRE_FIELD_TITLE": 1 << 0,
+    "REQUIRE_FIELD_SUBJECT": 1 << 1,
+    "REQUIRE_FIELD_URL": 1 << 6,
+    "REQUIRE_FIELD_DOMAIN": 1 << 7,
+    "REQUIRE_FIELD_LINK": 1 << 8,
+}
+# SENTENCE/TOPIC are scoring-era legacy values: no filtering (the
+# reference returns true for them, :230-234)
+QUERY_STRATEGIES = ("AUTO", "SENTENCE", "TOPIC", *QUERY_STRATEGY_FLAG)
+
 _SEP_SPLIT_RE = re.compile(r"[.\-_]+")
 
 
@@ -522,6 +543,10 @@ def compile_query(
         elif m := _META_SPEC_RE.fullmatch(word):
             fieldname = {"q": "quality"}.get(m.group(1), m.group(1))
             out.meta_limits.append((fieldname, m.group(2), int(m.group(3))))
+        elif word.startswith("qs=") and len(word) > 3:
+            # query-strategy token (QueryToken.QsTerm,
+            # QueryParser.java:238-239); validated at search time
+            out.query_strategy = word[3:].upper()
         elif word.startswith("?org:") and len(word) > 5:
             out.priority_orgs.append(word[5:])
         elif word.startswith("?") and len(word) > 1:
@@ -2137,7 +2162,52 @@ class SearcherLogic:
                 else:
                     mask &= v == val
             cand = cand[mask]
+        strategy = plan.get("query_strategy")
+        if strategy in QUERY_STRATEGY_FLAG and len(cand):
+            cand = cand[
+                SearcherLogic._strategy_mask(
+                    seg, cand, plan, QUERY_STRATEGY_FLAG[strategy]
+                )
+            ]
         return cand
+
+    @staticmethod
+    def _strategy_mask(
+        seg: "_Segment", cand: np.ndarray, plan: dict, bit: int
+    ) -> np.ndarray:
+        """booleanAggregate of per-keyword flag presence over the compiled
+        query (meetsQueryStrategyRequirements + CompiledQueryAggregates
+        booleanAggregate): every AND term must carry ``bit`` in the doc,
+        each OR group needs one member, nested trees evaluate their
+        And/Or structure over the same leaf predicate."""
+
+        def has_flag(t: int) -> np.ndarray:
+            docs, fl = seg.term_flag_bytes(t)
+            if not len(docs):
+                return np.zeros(len(cand), dtype=bool)
+            ix = np.minimum(np.searchsorted(docs, cand), len(docs) - 1)
+            return (docs[ix] == cand) & ((fl[ix] & bit) != 0)
+
+        def tree_ok(node) -> np.ndarray:
+            if node[0] == "word":
+                return has_flag(node[1])
+            parts = [tree_ok(p) for p in node[1]]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if node[0] == "and" else (out | p)
+            return out
+
+        ok = np.ones(len(cand), dtype=bool)
+        for t in plan["include_ids"]:
+            ok &= has_flag(t)
+        for g in plan.get("group_ids") or []:
+            gok = np.zeros(len(cand), dtype=bool)
+            for t in g:
+                gok |= has_flag(t)
+            ok &= gok
+        if plan.get("tree") is not None:
+            ok &= tree_ok(plan["tree"])
+        return ok
 
     @staticmethod
     def _facet_partial(seg: "_Segment", cand: np.ndarray, by: str) -> dict:
@@ -2605,6 +2675,7 @@ def _empty_partition_result() -> dict:
         "description": [],
         "data_hash": [],
         "positions_mask": [],
+        "flags_or": [],
     }
 
 
@@ -3025,6 +3096,7 @@ class IndexSearch:
         facet_with: str | None = None,
         explain: bool = False,
         collect_flags: bool = False,
+        query_strategy: str = "AUTO",
     ) -> "pa.Table | tuple[pa.Table, pa.Table]":
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -3050,6 +3122,15 @@ class IndexSearch:
             expand_wordnum=expand_wordnum,
             expand_ngram_all=expand_ngram_all,
         )
+        # qs= token in the query string wins over the call parameter
+        # (QueryParser's QsTerm lands in the spec the same way); validate
+        # on the driver, before any fan-out
+        strategy = (cq.query_strategy or query_strategy or "AUTO").upper()
+        if strategy not in QUERY_STRATEGIES:
+            raise ValueError(
+                f"unknown query strategy {strategy!r}; expected one of "
+                f"{QUERY_STRATEGIES}"
+            )
 
         domain_range = None
         if cq.repo is not None:
@@ -3080,6 +3161,9 @@ class IndexSearch:
             # per-result OR of non-SYNTHETIC query-keyword flag bytes
             # (the keywordScores surface the result clusterer reads)
             "collect_flags": collect_flags,
+            # REQUIRE_FIELD_* flag-presence filtering (qs= token /
+            # meetsQueryStrategyRequirements)
+            "query_strategy": strategy,
             "verbatim_weight": verbatim_weight,
             "verbatim_tag_weight": verbatim_tag_weight,
             "flags_weight": flags_weight,
@@ -3378,6 +3462,18 @@ class IndexSearch:
             collect_flags=True,
             **kw,
         )
+        if tbl.num_rows == 0:
+            # covers the early-return empty shapes too (repo: miss /
+            # empty filter_spec repo set), which carry no deco columns
+            return pa.table(
+                {
+                    "cluster_rank": pa.array([], pa.int64()),
+                    "member_rank": pa.array([], pa.int64()),
+                    "repo": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_r": pa.array([], pa.float64()),
+                }
+            )
         paths = tbl["path"].to_pylist()
         titles = tbl["title"].to_pylist()
         hashes = tbl["data_hash"].to_pylist()
