@@ -478,8 +478,10 @@ def _search(sf_dir: str, query: str, k: int = 10, **kw):
             "doc_id", "score_r", "repo", "path", "title", "description",
             "data_hash",
         ]
-    if kw.get("positions_mask"):
+    if kw.get("positions_mask") or kw.get("positions_render"):
         cols.append("positions_mask")
+    if kw.get("positions_render"):
+        cols.append("positions")
     if kw.get("explain"):
         from marginaliasearch_ray.pipelines.query import (
             FX_PARAM_COLS,
@@ -1709,6 +1711,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_positions_mask"] = lambda sf: _search(
         sf, "customer merge", positions_mask=True
     )
+    # braille punch-card rendering of the mask (UrlDetails.positions;
+    # BrailleBlockPunchCards.printBits(mask, 64), bit-shuffle port in
+    # functions/bbpc.py) alongside the raw mask
+    q["bm25_positions_braille"] = lambda sf: _search(
+        sf, "customer merge", positions_render=True
+    )
     # all-keywords-in-a-heading bonus (getProximitiyFac:394-400; heading
     # analog = comment spans).  The sf documents are single-line (no
     # comment lines can exist), so this query builds a small side index
@@ -2194,6 +2202,8 @@ _DRIVER_WINDOW_FIRST = [
     "link_search",
     # NEW this round: qs= REQUIRE_FIELD_* flag-presence filtering
     "bm25_require_subject",
+    # NEW this round: braille punch-card positions rendering
+    "bm25_positions_braille",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -3158,6 +3168,30 @@ ORDER BY cluster_rank, member_rank
 """
 
 
+def _braille_sql(base: str) -> str:
+    """Wrap a positions_mask oracle with the braille punch-card string
+    (BrailleBlockPunchCards.printBits(mask, 64):8-52 — one U+2800-block
+    char per byte, LSB first, dots shuffled (v&0x87)|((v&0x70)>>1)|
+    ((v&0x08)<<3)).  Arithmetic ``>>`` then ``& 255`` equals Java's
+    unsigned shift per byte lane for the int64 mask."""
+    chars = []
+    for b in range(8):
+        byte = f"((positions_mask >> {8 * b}) & 255)"
+        chars.append(
+            f"chr(CAST(10240 + (({byte} & 135)"
+            f" | (({byte} & 112) // 2)"
+            f" | (({byte} & 8) * 8)) AS INTEGER))"
+        )
+    braille = " || ".join(chars)
+    return f"""
+WITH base AS (
+{base}
+)
+SELECT base.*, {braille} AS positions FROM base
+ORDER BY score_r DESC, doc_id
+"""
+
+
 def _bm25_nested_sql(tree_query: str, k: int = 10) -> str:
     """Oracle for nested compiled query trees: per-term BM25 pivot, then
     the CqExpression aggregate written out as SQL arithmetic — sum over
@@ -3959,6 +3993,9 @@ LIMIT {BROWSE_COUNT}""",
         ),
         "bm25_positions_mask": _bm25_sql(
             ["customer", "merge"], positions_mask=True
+        ),
+        "bm25_positions_braille": _braille_sql(
+            _bm25_sql(["customer", "merge"], positions_mask=True)
         ),
         # closed-form replica of the constructed heading corpus (see
         # _heading_index_for): tf/df/dl/bonus all derive from id

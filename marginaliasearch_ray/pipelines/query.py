@@ -3097,6 +3097,7 @@ class IndexSearch:
         explain: bool = False,
         collect_flags: bool = False,
         query_strategy: str = "AUTO",
+        positions_render: bool = False,
     ) -> "pa.Table | tuple[pa.Table, pa.Table]":
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -3105,6 +3106,10 @@ class IndexSearch:
         adds repo/path/title/description/data_hash columns (docdb
         decoration join).  Returns a (results, facets) tuple when
         ``facet_with`` is set."""
+        # the rendered positions string (UrlDetails.positions) is a pure
+        # driver-side view of the mask
+        if positions_render:
+            positions_mask = True
         # validate facet keys on the DRIVER, before any fan-out or
         # candidate enumeration — a typo'd key from a serve-loop request
         # must not crash partition actors mid-query
@@ -3378,6 +3383,14 @@ class IndexSearch:
             ]
         if collect_flags:
             out_cols["flags_or"] = [int(deco["flags_or"][j]) for j in keep]
+        if positions_render:
+            # braille punch-card view of the mask (UrlDetails.positions,
+            # SearchOperator.createDetails:252 printBits(mask, 64))
+            from ..functions.bbpc import print_bits
+
+            out_cols["positions"] = [
+                print_bits(int(deco["positions_mask"][j])) for j in keep
+            ]
         if explain:
             for nm in FX_SCORE_COLS:
                 out_cols[nm] = [float(deco[nm][j]) for j in keep]
@@ -3671,6 +3684,8 @@ def _result_table(
             cols["positions_mask"] = pa.array(deco["positions_mask"], pa.int64())
         if "flags_or" in deco:
             cols["flags_or"] = pa.array(deco["flags_or"], pa.int64())
+        if "positions" in deco:
+            cols["positions"] = pa.array(deco["positions"], pa.string())
         for col in FX_SCORE_COLS:
             if col in deco:
                 cols[col] = pa.array(deco[col], pa.float64())
