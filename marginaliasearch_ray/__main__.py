@@ -199,6 +199,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="serve newline-delimited queries from FILE "
                         "concurrently (8 in flight) instead of one "
                         "positional query")
+    q.add_argument("--clustered", action="store_true",
+                   help="search-service display pipeline: URL dedup + "
+                        "by-domain clusters with the sibling prune "
+                        "(SearchOperator.doSearch post-processing)")
+    q.add_argument("--positions", action="store_true",
+                   help="add the positions mask and its braille "
+                        "punch-card rendering (UrlDetails.positions)")
     q.add_argument("query", nargs="?", default=None)
 
     srv = sub.add_parser(
@@ -1009,6 +1016,10 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("query needs exactly one of --batch/positional query")
             if args.facet and (args.count or args.batch):
                 p.error("--facet cannot be combined with --count or --batch")
+            if args.clustered and (
+                args.count or args.batch or args.facet or args.explain
+            ):
+                p.error("--clustered takes a single plain query")
             if args.batch:
                 with open(args.batch) as f:
                     batch = [ln.strip() for ln in f if ln.strip()]
@@ -1030,10 +1041,15 @@ def main(argv: list[str] | None = None) -> int:
                 t = s.facets(args.query, by=args.facet, k=args.facet_k)
                 for row in t.to_pylist():
                     print(json.dumps(row))
+            elif args.clustered:
+                t = s.search_clustered(args.query)
+                for row in t.to_pylist():
+                    print(json.dumps(row))
             else:
                 t = s.search(
                     args.query, k=args.k, decorate=args.decorate,
                     pruned=args.pruned, explain=args.explain,
+                    positions_render=args.positions,
                 )
                 for row in t.to_pylist():
                     print(json.dumps(row))

@@ -438,3 +438,31 @@ def test_cli_spell(ray_session, tmp_path, capsys):
     assert rows["mrege"]["suggestions"][0]["dist"] == 1
     assert rows["tabel"]["suggestions"][0]["term"] == "table"
     assert rows["zzz"]["suggestions"] == []
+
+
+def test_cli_clustered_and_positions(cli_dirs, capsys):
+    """--clustered (display pipeline) and --positions (braille punch
+    cards) on the query command."""
+    root, corpus, delta = cli_dirs
+    out = _run(
+        ["query", "--index", str(root / "base"), "--clustered", "license"],
+        capsys,
+    )
+    rows = [json.loads(l) for l in out]
+    assert rows and all(
+        set(r) == {"cluster_rank", "member_rank", "repo", "doc_id", "score_r"}
+        for r in rows
+    )
+    assert rows[0]["cluster_rank"] == 1 and rows[0]["member_rank"] == 1
+    out2 = _run(
+        ["query", "--index", str(root / "base"), "--positions", "-k", "2",
+         "license"],
+        capsys,
+    )
+    rows2 = [json.loads(l) for l in out2]
+    assert rows2 and all(
+        len(r["positions"]) == 8
+        and all(0x2800 <= ord(c) <= 0x28FF for c in r["positions"])
+        and "positions_mask" in r
+        for r in rows2
+    )
