@@ -211,7 +211,8 @@ def main(argv: list[str] | None = None) -> int:
     srv = sub.add_parser(
         "serve",
         help="long-running query loop: one query per stdin line (plain "
-             "text or {\"query\":..., \"k\":..., \"count\":...} JSON), "
+             "text or {\"query\":..., \"k\":..., \"count\":...,"
+             " \"facet\":..., \"clustered\":...} JSON), "
              "NDJSON results on stdout; follows chain-pointer flips "
              "between queries (StatefulIndex switch analog)",
     )
@@ -670,6 +671,10 @@ def main(argv: list[str] | None = None) -> int:
                         )
                         out = {"query": req["query"],
                                "facets": t.to_pylist()}
+                    elif req.get("clustered"):
+                        t = s.search_clustered(req["query"])
+                        out = {"query": req["query"],
+                               "clusters": t.to_pylist()}
                     else:
                         t = s.search(
                             req["query"],

@@ -466,3 +466,29 @@ def test_cli_clustered_and_positions(cli_dirs, capsys):
         and "positions_mask" in r
         for r in rows2
     )
+
+
+def test_cli_serve_clustered(cli_dirs, capsys, monkeypatch):
+    """serve answers a clustered display request line."""
+    import sys as _sys
+
+    from marginaliasearch_ray.state import manifest as mf
+
+    root, _corpus, _delta = cli_dirs
+    chain = str(root / "SERVE_CLUSTER.json")
+    mf.publish_chain([str(root / "base")], chain)
+
+    class Lines:
+        def __iter__(self):
+            yield '{"query": "license", "clustered": true}\n'
+
+    monkeypatch.setattr(_sys, "stdin", Lines())
+    out = _run(["serve", "--chain", chain], capsys)
+    rows = [json.loads(l) for l in out]
+    clusters = rows[0]["clusters"]
+    assert clusters and clusters[0]["cluster_rank"] == 1
+    assert all(
+        {"cluster_rank", "member_rank", "repo", "doc_id", "score_r"}
+        <= set(c)
+        for c in clusters
+    )
