@@ -1881,6 +1881,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         + hashlib.sha256(os.path.abspath(sf).encode()).hexdigest()[:12],
         16,
     )
+    # seeded sample-of-domains export (SampleDataExporter.java:36-100):
+    # count-bounded pool, sha256-seeded shuffle pick, one parquet dir
+    # per picked domain + manifest; summary read back from the files
+    q["export_sample"] = lambda sf: textops.export_sample(
+        documents_corpus_dataset(sf),
+        "/tmp/msray_export_sample_"
+        + hashlib.sha256(os.path.abspath(sf).encode()).hexdigest()[:12],
+        size=4,
+        seed=0,
+    )
 
     # ArtifactKeywords over a corpus that actually contains mail-like
     # tokens: contact lines derived deterministically from customer keys
@@ -2204,6 +2214,8 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_require_subject",
     # NEW this round: braille punch-card positions rendering
     "bm25_positions_braille",
+    # NEW this round: seeded sample-of-domains export
+    "export_sample",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -4281,6 +4293,17 @@ LIMIT {BROWSE_COUNT}""",
                    len(regexp_extract_all(text, '{textops.PII_PATTERNS["urls"]}'))::BIGINT AS urls,
                    len(regexp_extract_all(text, '{textops.PII_PATTERNS["ipv4s"]}'))::BIGINT AS ipv4s
             FROM documents
+        """,
+        "export_sample": """
+            WITH cnt AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ),
+            pool AS (SELECT * FROM cnt WHERE n BETWEEN 2 AND 5000),
+            picked AS (
+              SELECT * FROM pool ORDER BY sha256('0:' || source) LIMIT 4
+            )
+            SELECT source AS repo, n::BIGINT AS n_docs
+            FROM picked ORDER BY repo
         """,
         "export_shards": """
             WITH d AS (

@@ -594,6 +594,99 @@ def export_shards(corpus_ds, out_dir: str, num_shards: int = 16):
     return summary
 
 
+def export_sample(
+    corpus_ds,
+    out_dir: str,
+    size: int = 4,
+    min_docs: int = 2,
+    max_docs: int = 5000,
+    seed: int = 0,
+    name: str = "sample",
+):
+    """Seeded sample-of-domains export — the SampleDataExporter analog
+    (code/processes/export-task-process/.../SampleDataExporter.java:
+    36-100): domains whose document counts land in [min_docs, max_docs]
+    enter the pool (the reference skips too-small / too-big crawl-log
+    parcels), a seeded shuffle picks ``size`` of them
+    (Collections.shuffle → the browse pipelines' deterministic
+    sha256("{seed}:{domain}") order so the oracle can replay the pick),
+    and the picked domains' documents are written one parquet directory
+    per domain (``dom=<pick index>``, the tar-of-parcels analog —
+    resumable per domain, never one giant file) plus a committed
+    manifest {"description": name, "type": "CRAWL_DATA"} mirroring the
+    reference's manifest.json.
+
+    Returns the per-domain (repo, n_docs) summary read back from the
+    WRITTEN files, repo-sorted.  Re-runs over a committed ``out_dir``
+    skip the write; uncommitted partials are cleared first (the
+    export_shards commit protocol)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..state import manifest as mf
+    from .browse import shuffle_key
+
+    if not mf.is_committed(out_dir, "export"):
+        shutil.rmtree(out_dir, ignore_errors=True)  # uncommitted partials
+        counts = (
+            corpus_ds.select_columns(["repo"]).groupby("repo").count()
+        ).take_all()  # |domains|-bounded: the in-RAM domain list
+        pool = [
+            r["repo"]
+            for r in counts
+            if min_docs <= int(r["count()"]) <= max_docs
+        ]
+        picked = sorted(pool, key=lambda d: shuffle_key(seed, d))[:size]
+        dom_of = {r: i for i, r in enumerate(picked)}
+        dom_ref = ray.put(dom_of)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            m = ray.get(dom_ref)
+            keep = pc.is_in(
+                batch["repo"], value_set=pa.array(list(m), pa.string())
+            )
+            sub = batch.filter(keep)
+            doms = [m[r] for r in sub["repo"].to_pylist()]
+            return sub.append_column("dom", pa.array(doms, pa.int64()))
+
+        (
+            corpus_ds.map_batches(pick, batch_format="pyarrow")
+            .write_parquet(out_dir, partition_cols=["dom"])
+        )
+        mf.commit_manifest(
+            out_dir,
+            "export",
+            {
+                "description": name,
+                "type": "CRAWL_DATA",
+                "seed": seed,
+                "domains": picked,
+                "files": mf.list_phase_files(out_dir, ""),
+            },
+        )
+
+    summary = (
+        rd.read_parquet(out_dir, columns=["repo"])
+        .groupby("repo")
+        .count()
+    ).take_all()
+    return pa.table(
+        {
+            "repo": pa.array(sorted(r["repo"] for r in summary), pa.string()),
+            "n_docs": pa.array(
+                [
+                    int(r["count()"])
+                    for r in sorted(summary, key=lambda r: r["repo"])
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def pc_mod(arr: pa.ChunkedArray | pa.Array, m: int) -> pa.Array:
     vals = (
         arr.to_numpy(zero_copy_only=False)
