@@ -55,6 +55,7 @@ from marginaliasearch_ray.functions.wordpattern import (  # noqa: E402
 )
 from marginaliasearch_ray.pipelines import (  # noqa: E402
     events as events_ops,
+    profiles,
     similarity,
     textops,
 )
@@ -755,6 +756,20 @@ def _connectivity_table(sf_dir: str) -> "pa.Table":
             ),
         }
     )
+
+
+def _profile_search_sets(sf_dir: str) -> dict[str, list[str]]:
+    """Search-set resolution for the built-in profiles (the reference's
+    SearchSetsService): POPULAR = top-5 PageRank repos, SMALLWEB = the
+    complement."""
+    from marginaliasearch_ray.pipelines import ranking
+
+    repos, edges = _link_graph(sf_dir)
+    scores = ranking.pagerank(
+        edges, repos, max_iterations=PAGERANK_ITERS, tolerance=0.0
+    )
+    top = ranking.ranking_search_set(repos, scores, 5)
+    return {"POPULAR": top, "SMALLWEB": sorted(set(repos) - set(top))}
 
 
 def _ranked_search_set(sf_dir: str):
@@ -2184,6 +2199,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     q["pagerank_weighted"] = lambda sf: _pagerank_table(sf, weighted=True)
     q["ranked_search_set"] = _ranked_search_set
+    # named search profiles (SearchProfile.java:8-48 + the verbatim
+    # resources/filters/*.xml payloads, parsed by the SearchFilterParser
+    # port in pipelines/profiles.py) composed onto queries:
+    # docs = terms-require generator:docs (advice path); vintage =
+    # promote absent format keywords + OLD temporal bias + year<2003;
+    # modern = the SMALLWEB complement search set + size/year limits
+    # (its 'type' limit is ignored exactly as the reference parser
+    # ignores it)
+    q["profile_docs"] = lambda sf: profiles.search_with_profile(
+        _index_for(sf), "customer", "docs"
+    ).select(["doc_id", "score_r"])
+    q["profile_vintage"] = lambda sf: profiles.search_with_profile(
+        _index_for(sf), "customer", "vintage"
+    ).select(["doc_id", "score_r"])
+    q["profile_smallweb"] = lambda sf: profiles.search_with_profile(
+        _index_for(sf),
+        "customer",
+        "modern",
+        search_sets=_profile_search_sets(sf),
+    ).select(["doc_id", "score_r"])
     q["connectivity_sets"] = _connectivity_table
 
     # document classification (classifier-net / NsfwDocumentFilter):
@@ -2250,6 +2285,10 @@ _DRIVER_WINDOW_FIRST = [
     # NEW this round: DomainLinks serving-side store lookups
     "links_from_domain",
     "links_to_domain",
+    # NEW this round: named search profiles (filter XML parser)
+    "profile_docs",
+    "profile_vintage",
+    "profile_smallweb",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2302,9 +2341,6 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_page2",
     "bm25_verbatim_tags",
     "bm25_prox_all",
-    "bm25_advice",
-    "bm25_ngram_all",
-    "bm25_or_top",
     "doc_length_histogram",
     "exact_dedup",
     "lang_id",
@@ -2318,8 +2354,14 @@ _DRIVER_WINDOW_FIRST = [
     # then the core build-phase certifications (11)
     "bm25_match_count",
     "bm25_filter_spec",
+    # displaced variant/sibling-covered entries (ledger): doc_bonus /
+    # verbatim_tags base entries, r4-certified bm25_advice_site /
+    # bm25_segmented / bm25_or_group siblings
     "bm25_doc_bonus_recent",
     "bm25_verbatim_tags_opt",
+    "bm25_advice",
+    "bm25_ngram_all",
+    "bm25_or_top",
     "journal_sizes",
     "forward_docmeta",
     "posting_list_merge",
@@ -3462,6 +3504,12 @@ edges AS MATERIALIZED (
     body = prefix + ",\n" + ",\n".join(ctes)
     if mode == "search_set":
         return body + "\nSELECT repo FROM ranked WHERE pos < 5"
+    if mode == "search_set_complement":
+        # the SMALLWEB profile set: every domain OUTSIDE the top-5
+        return body + (
+            "\nSELECT repo FROM repos WHERE repo NOT IN"
+            " (SELECT repo FROM ranked WHERE pos < 5)"
+        )
     return body + f"""
 SELECT repo, pr, pos,
        CAST(trunc(least(255.0, greatest(1.0,
@@ -3946,6 +3994,22 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_domains": _pagerank_sql("plain"),
         "pagerank_personalized": _pagerank_sql("personalized"),
         "pagerank_weighted": _pagerank_sql("weighted"),
+        "profile_docs": _bm25_sql(
+            ["customer"], advice=["generator:docs"]
+        ),
+        "profile_vintage": _bm25_sql(
+            ["customer"],
+            priority=["format:html123", "js:false"],
+            temporal_bias="old",
+            document_bonus_weight=1.0,
+            meta_limits=[("year", "<", 2003)],
+        ),
+        "profile_smallweb": _bm25_sql(
+            ["customer"],
+            sources_sql=_pagerank_sql("search_set_complement"),
+            size_lt=500,
+            meta_limits=[("year", ">", 2015)],
+        ),
         "ranked_search_set": _bm25_sql(
             ["customer", "merge"], sources_sql=_pagerank_sql("search_set")
         ),

@@ -2124,6 +2124,13 @@ class SearcherLogic:
             for lo, hi in ranges:
                 m |= (cand >= lo) & (cand < hi)
             cand = cand[m]
+        ex_ranges = plan.get("domain_ranges_exclude")
+        if ex_ranges is not None and len(cand):
+            # domain-SET reject (SearchFilterSpec domainsExclude)
+            m = np.zeros(len(cand), dtype=bool)
+            for lo, hi in ex_ranges:
+                m |= (cand >= lo) & (cand < hi)
+            cand = cand[~m]
         lang = plan.get("lang")
         if lang is not None and len(cand):
             cand = _retain(cand, seg.lang_ids(lang))
@@ -3225,12 +3232,40 @@ class IndexSearch:
                         count_only, facet, facet_with
                     )
                 plan["domain_ranges"] = ranges
+            repos_ex = filter_spec.get("repos_exclude")
+            if repos_ex:
+                # domainsExclude: reject the union of those repos' ranges
+                ex_ranges = []
+                for r in repos_ex:
+                    ent = self._registry.get(r)
+                    if ent is not None:
+                        dom, rank, _part = ent
+                        ex_ranges.append(
+                            idcodec.domain_id_range(int(rank), int(dom))
+                        )
+                if ex_ranges:
+                    plan["domain_ranges_exclude"] = ex_ranges
+            promo_repos = filter_spec.get("promote_repos")
+            if promo_repos:
+                # domainsPromote: exact repo names join the
+                # priority-domain set (?org: uses prefixes; specs list
+                # full names)
+                plan["priority_domains"] = sorted(
+                    {
+                        int(self._registry[r][0])
+                        for r in promo_repos
+                        if r in self._registry
+                    }
+                )
 
         if cq.priority_orgs:
             plan["priority_domains"] = sorted(
-                d
-                for r, (d, _rk, _p) in self._registry.items()
-                if any(r.startswith(o) for o in cq.priority_orgs)
+                set(plan.get("priority_domains") or [])
+                | {
+                    d
+                    for r, (d, _rk, _p) in self._registry.items()
+                    if any(r.startswith(o) for o in cq.priority_orgs)
+                }
             )
         if flags_weight > 0:
             pmissing = [
