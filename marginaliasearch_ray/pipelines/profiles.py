@@ -379,6 +379,91 @@ def _expand_domains(index, domains: list[str]) -> list[str]:
     return out
 
 
+class FilterStore:
+    """Per-(user, name) saved-filter store — SearchFilterStore
+    (searchfilter/SearchFilterStore.java:23-180) with the SEARCH_FILTER
+    table replaced by a directory of XML files (one per user/name,
+    atomically replaced on save; the reference's REPLACE INTO).
+
+    Semantics preserved: ``get_filter`` returns the PARSED spec or None
+    (an unparseable stored definition reads as absent, like the
+    reference's logged-and-empty path); ``get_filter_definition``
+    returns the raw XML; saves go through the parser first so an
+    invalid filter never lands; ``load_default_configs`` seeds the
+    SYSTEM user with every built-in profile payload."""
+
+    SYSTEM_USER_ID = "SYSTEM"
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, user_id: str, name: str) -> str:
+        import hashlib
+        import os
+
+        key = hashlib.sha256(f"{user_id}\x00{name}".encode()).hexdigest()[:24]
+        return os.path.join(self.root, f"{key}.xml")
+
+    def _meta_path(self, user_id: str) -> str:
+        import hashlib
+        import os
+
+        key = hashlib.sha256(user_id.encode()).hexdigest()[:24]
+        return os.path.join(self.root, f"user_{key}.names")
+
+    def save_filter(self, user_id: str, name: str, xml: str) -> None:
+        import os
+
+        parse_filter(xml, user_id=user_id, identifier=name)  # validate
+        tmp = self._path(user_id, name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(xml)
+        os.replace(tmp, self._path(user_id, name))
+        names = set(self.get_filter_ids(user_id))
+        if name not in names:
+            names.add(name)
+            tmp = self._meta_path(user_id) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("\n".join(sorted(names)))
+            os.replace(tmp, self._meta_path(user_id))
+
+    def get_filter_definition(self, user_id: str, name: str) -> str | None:
+        import os
+
+        p = self._path(user_id, name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read()
+
+    def get_filter(self, user_id: str, name: str) -> SearchFilterSpec | None:
+        xml = self.get_filter_definition(user_id, name)
+        if xml is None:
+            return None
+        try:
+            return parse_filter(xml, user_id=user_id, identifier=name)
+        except SearchFilterParserException:
+            return None  # stored-but-unparseable reads as absent
+
+    def get_filter_ids(self, user_id: str) -> list[str]:
+        import os
+
+        p = self._meta_path(user_id)
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [ln for ln in f.read().splitlines() if ln]
+
+    def load_default_configs(self) -> None:
+        """Seed the SYSTEM user with the built-in profiles
+        (loadDefaultConfigs:34-54)."""
+        for pid, xml in PROFILE_FILTERS.items():
+            self.save_filter(self.SYSTEM_USER_ID, pid, xml)
+
+
 def search_with_profile(
     index,
     query: str,

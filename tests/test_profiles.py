@@ -167,3 +167,35 @@ def test_unresolvable_search_set_raises(prof_index):
     )
     assert set(t["doc_id"].to_pylist()) == {o for o in range(28)
                                             if o % 4 == 0}
+
+
+def test_filter_store_crud(tmp_path):
+    store = pf.FilterStore(str(tmp_path / "filters"))
+    store.load_default_configs()
+    assert sorted(store.get_filter_ids("SYSTEM")) == \
+        sorted(pf.PROFILE_FILTERS)
+    spec = store.get_filter("SYSTEM", "vintage")
+    assert spec is not None and spec.temporal_bias == "OLD"
+    # per-user custom filter with validate-on-save
+    store.save_filter("alice", "mine",
+                      "<filter><terms-require>generator:docs"
+                      "</terms-require></filter>")
+    assert store.get_filter_ids("alice") == ["mine"]
+    assert store.get_filter("bob", "mine") is None, "per-user isolation"
+    with pytest.raises(pf.SearchFilterParserException):
+        store.save_filter("alice", "bad", "<nope/>")
+    assert "bad" not in store.get_filter_ids("alice")
+    # REPLACE INTO: same (user, name) overwrites
+    store.save_filter("alice", "mine",
+                      "<filter><terms-require>generator:wiki"
+                      "</terms-require></filter>")
+    assert store.get_filter("alice", "mine").terms_require == \
+        ["generator:wiki"]
+    assert store.get_filter_ids("alice") == ["mine"]
+    # stored-but-corrupted reads as absent, raw definition still visible
+    import os
+    p = store._path("alice", "mine")
+    with open(p, "w") as f:
+        f.write("garbage not xml")
+    assert store.get_filter("alice", "mine") is None
+    assert store.get_filter_definition("alice", "mine") == "garbage not xml"
