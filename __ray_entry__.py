@@ -1614,6 +1614,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["search_clustered"] = lambda sf: _index_for(sf).search_clustered(
         "customer merge"
     )
+    # site-focused display pipeline: repo: query lifts the per-domain
+    # cap (QueryFactory.java:170-175) and the clusterer degrades to
+    # noOp — one cluster per result (selectStrategy:19-24)
+    q["search_clustered_site"] = lambda sf: _index_for(sf).search_clustered(
+        "customer repo:src2"
+    )
 
     # BM25 search (the north-star surface)
     q["bm25_single"] = lambda sf: _search(sf, "customer")
@@ -2219,6 +2225,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modern",
         search_sets=_profile_search_sets(sf),
     ).select(["doc_id", "score_r"])
+    # set:<name> query token (QueryToken.SetTerm -> userSearchSet,
+    # QueryFactory.java:154; SearchSetsService name resolution) — same
+    # oracle as the filter-spec ranked_search_set composition
+    q["bm25_set_term"] = lambda sf: _index_for(sf).search(
+        "customer merge set:popular",
+        search_sets=_profile_search_sets(sf),
+    ).select(["doc_id", "score_r"])
     q["connectivity_sets"] = _connectivity_table
 
     # document classification (classifier-net / NsfwDocumentFilter):
@@ -2289,6 +2302,9 @@ _DRIVER_WINDOW_FIRST = [
     "profile_docs",
     "profile_vintage",
     "profile_smallweb",
+    # NEW this round: set: query token + site-focused noOp clustering
+    "bm25_set_term",
+    "search_clustered_site",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2332,9 +2348,7 @@ _DRIVER_WINDOW_FIRST = [
     # r3/r4 windows, now all re-certified
     "bm25_single",
     "bm25_proximity",
-    "bm25_verbatim",
     "bm25_meta_quality",
-    "bm25_doc_bonus",
     "bm25_first_position",
     "bm25_head_weighted",
     "bm25_nested",
@@ -2362,6 +2376,12 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_advice",
     "bm25_ngram_all",
     "bm25_or_top",
+    # verbatim/proximity/doc-bonus components value-certified via
+    # bm25_explain's fx_verbatim / fx_proximity / fx_doc_bonus columns
+    # (r4-green)
+    "bm25_verbatim",
+    "bm25_prox_all",
+    "bm25_doc_bonus",
     "journal_sizes",
     "forward_docmeta",
     "posting_list_merge",
@@ -3157,7 +3177,12 @@ LIMIT {k} OFFSET {offset}
 
 
 def _clustered_sql(
-    terms: list[str], k: int = 100, domain_cap: int = 5, total: int = 25
+    terms: list[str],
+    k: int = 100,
+    domain_cap: int = 5,
+    total: int = 25,
+    source: str | None = None,
+    no_cluster: bool = False,
 ) -> str:
     """Oracle for IndexSearch.search_clustered — the search service's
     retrieve -> deduplicate -> cluster-by-domain display pipeline
@@ -3184,7 +3209,13 @@ def _clustered_sql(
       engine's path/filename token rule (path is 'doc_<id>' on this
       corpus, no '/' or '.' to split); UrlDomain = source tokens;
       Subjects = early mention + the tf-idf admission gate."""
-    base = _bm25_sql(terms, k=k, normalize=True, decorate=True)
+    base = _bm25_sql(terms, k=k, normalize=True, decorate=True,
+                     source=source)
+    if no_cluster:
+        # site-focused query: per-domain cap lifted (resultsByDomain =
+        # resultsTotal) and the noOp cluster strategy — one cluster per
+        # deduped result, presentation order, no cluster-total limit
+        domain_cap = k
     path_toks = _key_tokens_sql("('doc_' || CAST(t.doc_id AS VARCHAR))")
     dom_toks = _key_tokens_sql("t.source")
     prot_parts = []
@@ -3199,6 +3230,21 @@ def _clustered_sql(
             f" OR {early})"
         )
     protect = " OR ".join(prot_parts)
+    if no_cluster:
+        final = (
+            "SELECT row_number() OVER (ORDER BY rn) AS cluster_rank,\n"
+            "       1::BIGINT AS member_rank, repo, doc_id, score_r\n"
+            "FROM kept ORDER BY cluster_rank"
+        )
+    else:
+        final = (
+            "SELECT cluster_rank,\n"
+            "       row_number() OVER (PARTITION BY repo ORDER BY rn)"
+            " AS member_rank,\n"
+            "       repo, doc_id, score_r\n"
+            "FROM pruned\n"
+            "ORDER BY cluster_rank, member_rank"
+        )
     return f"""
 WITH base AS (
 {base}
@@ -3251,11 +3297,7 @@ pruned AS (
      OR m.score_r > least(4.0, m.best_score * 1.25)
      OR ({protect})
 )
-SELECT cluster_rank,
-       row_number() OVER (PARTITION BY repo ORDER BY rn) AS member_rank,
-       repo, doc_id, score_r
-FROM pruned
-ORDER BY cluster_rank, member_rank
+{final}
 """
 
 
@@ -3974,6 +4016,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "search_clustered": _clustered_sql(["customer", "merge"]),
+        "search_clustered_site": _clustered_sql(
+            ["customer"], source="src2", no_cluster=True
+        ),
+        "bm25_set_term": _bm25_sql(
+            ["customer", "merge"], sources_sql=_pagerank_sql("search_set")
+        ),
         "backlink_search": _bm25_sql(
             ["links:src2"], k=100, link_keywords=True
         ),

@@ -63,6 +63,11 @@ class CompiledQuery:
     meta_limits: list[tuple[str, str, int]] = field(default_factory=list)
     # qs=<strategy> token (QueryToken.QsTerm, QueryParser.java:238-239)
     query_strategy: str | None = None
+    # set:<name> token (QueryToken.SetTerm -> userSearchSet,
+    # QueryFactory.java:154); resolved against the search_sets mapping
+    # at search time (SearchSetsService.getSearchSetByName:95-105 —
+    # NONE/blank means any, an unknown name is an error)
+    search_set: str | None = None
 
     @property
     def include_ids(self) -> list[int]:
@@ -547,6 +552,8 @@ def compile_query(
             # query-strategy token (QueryToken.QsTerm,
             # QueryParser.java:238-239); validated at search time
             out.query_strategy = word[3:].upper()
+        elif word.startswith("set:") and len(word) > 4:
+            out.search_set = word[4:].upper()
         elif word.startswith("?org:") and len(word) > 5:
             out.priority_orgs.append(word[5:])
         elif word.startswith("?") and len(word) > 1:
@@ -3105,6 +3112,7 @@ class IndexSearch:
         collect_flags: bool = False,
         query_strategy: str = "AUTO",
         positions_render: bool = False,
+        search_sets: "dict[str, list[str]] | None" = None,
     ) -> "pa.Table | tuple[pa.Table, pa.Table]":
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -3143,6 +3151,21 @@ class IndexSearch:
                 f"unknown query strategy {strategy!r}; expected one of "
                 f"{QUERY_STRATEGIES}"
             )
+        # set:<name> token: resolve the user search set and fold it into
+        # the filter-spec repo restriction (SearchSetsService semantics:
+        # NONE/blank = any set, unknown name = error)
+        if cq.search_set and cq.search_set != "NONE":
+            sets = search_sets or {}
+            if cq.search_set not in sets:
+                raise ValueError(f"Unknown search set {cq.search_set!r}")
+            set_repos = list(sets[cq.search_set])
+            fs = dict(filter_spec or {})
+            if "repos" in fs:
+                # both a spec repo list and a set: both must hold
+                fs["repos"] = sorted(set(fs["repos"]) & set(set_repos))
+            else:
+                fs["repos"] = set_repos
+            filter_spec = fs
 
         domain_range = None
         if cq.repo is not None:
@@ -3502,6 +3525,14 @@ class IndexSearch:
             | WordFlags.URL_PATH
             | WordFlags.URL_DOMAIN
         )
+        # site-focused queries: the reference lifts the per-domain cap
+        # (QueryFactory.java:170-175 sets resultsByDomain=resultsTotal
+        # when a site: domain is present) and the clusterer degrades to
+        # noOp — one cluster per result (SearchResultClusterer.
+        # selectStrategy:19-24)
+        no_cluster = compile_query(query).repo is not None
+        if no_cluster:
+            domain_cap = k
         tbl = self.search(
             query,
             k=k,
@@ -3551,6 +3582,30 @@ class IndexSearch:
                 continue
             kept.append(i)
         kept = kept[:k]  # .limit(resultsTotal) — no-op unless dedup grew
+
+        if no_cluster:
+            # noOp strategy: every kept result is its own cluster, in
+            # presentation order (ClusteredUrlDetails(onlyFirst)) — noOp
+            # ignores the cluster total (SearchResultClusterer:27-34)
+            rows_noop = [
+                (ci, 1, repos[i], doc_ids[i], scores[i])
+                for ci, i in enumerate(kept, start=1)
+            ]
+            return pa.table(
+                {
+                    "cluster_rank": pa.array(
+                        [r[0] for r in rows_noop], pa.int64()
+                    ),
+                    "member_rank": pa.array(
+                        [r[1] for r in rows_noop], pa.int64()
+                    ),
+                    "repo": pa.array([r[2] for r in rows_noop], pa.string()),
+                    "doc_id": pa.array([r[3] for r in rows_noop], pa.int64()),
+                    "score_r": pa.array(
+                        [r[4] for r in rows_noop], pa.float64()
+                    ),
+                }
+            )
 
         # byDomain clustering: first-occurrence order of repos IS the
         # best-member order because ``kept`` is presentation-sorted

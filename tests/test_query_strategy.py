@@ -140,3 +140,22 @@ def test_pruned_path_applies_strategy(strat_index):
     pruned = strat_index.search("widget qs=REQUIRE_FIELD_URL", k=10,
                                 pruned=True)
     assert _ids(plain) == _ids(pruned) == {1, 2}
+
+
+def test_set_token_restricts_and_validates(strat_index):
+    sets = {"MINE": ["orgA/plain"], "EMPTY": []}
+    t = strat_index.search("widget set:mine", k=10, search_sets=sets)
+    assert set(t["doc_id"].to_pylist()) == {1, 2, 4, 5}  # orgA/plain docs
+    with pytest.raises(ValueError, match="Unknown search set"):
+        strat_index.search("widget set:nope", k=10, search_sets=sets)
+    # intersection with an explicit filter-spec repo list
+    t2 = strat_index.search(
+        "widget set:mine", k=10, search_sets=sets,
+        filter_spec={"repos": ["orgA/plain", "orgB/widget"]},
+    )
+    assert set(t2["doc_id"].to_pylist()) == {1, 2, 4, 5}
+    t3 = strat_index.search(
+        "widget set:mine", k=10, search_sets=sets,
+        filter_spec={"repos": ["orgB/widget"]},
+    )
+    assert t3.num_rows == 0  # empty intersection

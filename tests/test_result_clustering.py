@@ -174,3 +174,17 @@ def test_clustered_display(cluster_index):
 def test_cluster_total_limit(cluster_index):
     tbl = cluster_index.search_clustered("pad", total=3)
     assert max(tbl["cluster_rank"].to_pylist() or [0]) <= 3
+
+
+def test_site_query_noop_clustering(cluster_index):
+    """repo: queries lift the per-domain cap (QueryFactory.java:170-175)
+    and cluster noOp — one cluster per result, no cluster-total limit."""
+    t = cluster_index.search_clustered("zqalpha repo:orgA/repoA", total=2)
+    # 6 repoA docs match; cap would have kept 5 and byDomain would have
+    # folded them into ONE cluster — noOp emits one cluster per result
+    # and ignores the total
+    assert t.num_rows == 6
+    assert t["cluster_rank"].to_pylist() == list(range(1, 7))
+    assert t["member_rank"].to_pylist() == [1] * 6
+    scores = t["score_r"].to_pylist()
+    assert scores == sorted(scores)
