@@ -219,6 +219,26 @@ def _links_index_for(sf_dir: str) -> IndexSearch:
     return handle
 
 
+_FEATURES_HANDLES: dict[str, Any] = {}
+
+
+def _features_index_for(sf_dir: str) -> IndexSearch:
+    """Index built with HtmlFeature bits + DocumentFlags + special:*
+    keywords (BuildConfig.html_features; HtmlFeature.java:5-40,
+    flagsPenalty IndexResultRankingService.java:633-683)."""
+    handle = _FEATURES_HANDLES.get(sf_dir)
+    if handle is not None:
+        return handle
+    import dataclasses
+
+    out = _index_dir_for(sf_dir) + "_feats1"
+    cfg = dataclasses.replace(_build_cfg(), html_features=True)
+    build_index(documents_corpus_dataset(sf_dir), out, cfg)
+    handle = IndexSearch(out, use_actors=False)
+    _FEATURES_HANDLES[sf_dir] = handle
+    return handle
+
+
 _GAMMA_HANDLES: dict[str, Any] = {}
 
 
@@ -2225,6 +2245,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modern",
         search_sets=_profile_search_sets(sf),
     ).select(["doc_id", "score_r"])
+    # HtmlFeature keywords + flagsPenalty over the feature index
+    # variant: special:ads is an ORDINARY scored keyword; the penalty
+    # joins the document-bonus family (truncated like the Java cast)
+    q["bm25_special_term"] = lambda sf: _features_index_for(sf).search(
+        "special:ads", k=100
+    ).select(["doc_id", "score_r"])
+    q["bm25_feature_penalty"] = lambda sf: _features_index_for(sf).search(
+        "customer merge", k=20, document_bonus_weight=1.0
+    ).select(["doc_id", "score_r"])
     # set:<name> query token (QueryToken.SetTerm -> userSearchSet,
     # QueryFactory.java:154; SearchSetsService name resolution) — same
     # oracle as the filter-spec ranked_search_set composition
@@ -2305,6 +2334,9 @@ _DRIVER_WINDOW_FIRST = [
     # NEW this round: set: query token + site-focused noOp clustering
     "bm25_set_term",
     "search_clustered_site",
+    # NEW this round: HtmlFeature keywords + flagsPenalty
+    "bm25_special_term",
+    "bm25_feature_penalty",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2347,9 +2379,7 @@ _DRIVER_WINDOW_FIRST = [
     # last green r02 (22) — the scoring-variant family displaced by the
     # r3/r4 windows, now all re-certified
     "bm25_single",
-    "bm25_proximity",
     "bm25_meta_quality",
-    "bm25_first_position",
     "bm25_head_weighted",
     "bm25_nested",
     "bm25_page2",
@@ -2382,6 +2412,8 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_verbatim",
     "bm25_prox_all",
     "bm25_doc_bonus",
+    "bm25_proximity",
+    "bm25_first_position",
     "journal_sizes",
     "forward_docmeta",
     "posting_list_merge",
@@ -2511,6 +2543,7 @@ def _bm25_sql(
     link_texts: bool = False,
     link_keywords: bool = False,
     query_strategy: str | None = None,
+    html_features: bool = False,
 ) -> str:
     from marginaliasearch_ray.pipelines.query import PRIORITY_WEIGHT
 
@@ -2590,6 +2623,28 @@ def _bm25_sql(
             temporal = " + (-abs((1996 + t.yrb) - 2027) * 5.0)"
         elif temporal_bias == "old":
             temporal = " + (-abs((1996 + t.yrb) - 1995) * 5.0)"
+        fp_frag = ""
+        if html_features:
+            # flagsPenalty (IndexResultRankingService.java:633-683):
+            # every doc here carries a generator DocumentFlag, so
+            # largeSiteFactor stays 1 and the KEBAB/LONG_URL escalation
+            # branch never fires; the sum truncates toward zero (the
+            # Java (int) cast)
+            def _ind(cond):
+                return f"(CASE WHEN {cond} THEN 1.0 ELSE 0.0 END)"
+
+            fp_frag = (
+                " - trunc("
+                f"7.5 * {_ind('doc_id % 11 = 5')}"
+                f" + 2.5 * {_ind('doc_id % 17 = 3')}"
+                f" + 2.5 * {_ind('doc_id % 19 = 4')}"
+                f" + 5.0 * {_ind('doc_id % 29 = 7')}"
+                f" + 5.0 * {_ind('doc_id % 31 = 9')}"
+                f" + 2.5 * {_ind('doc_id % 13 = 5')}"
+                f" + 2.5 * {_ind('doc_id % 13 = 2')}"
+                f" + 5.0 * {_ind('len(toks) < 20')}"
+                ")"
+            )
         cand_bonus += (
             ", (CASE WHEN least(3, len(t.toks) // t.nl) >= 2"
             " THEN 0.0 ELSE -5.0 END)"
@@ -2598,7 +2653,7 @@ def _bm25_sql(
             f" AND ({q_expr}) < 5 THEN 0.0 ELSE -({q_expr}) * (1.0/15.0) END)"
             " + (255.0 - 4.0 * t.rnk) / 100.0"
             " + 0.2 * ln(1 + t.topo)"
-            f"{temporal} AS bonus"
+            f"{temporal}{fp_frag} AS bonus"
         )
         if explain:
             # raw packed-meta fields for the documentParam.* fx columns
@@ -3005,6 +3060,25 @@ fdf AS (
         bonus_add = f" + {document_bonus_weight} * any_value(c.bonus)"
     tok_from = "documents"
     synth_links = ""
+    if html_features:
+        # synthetic special:*/category:/format: keywords, one per set
+        # HtmlFeature bit (HtmlFeature.getKeyword; derivations mirror
+        # TokenizeStage html_features exactly)
+        synth_links += (
+            " || list_filter(["
+            "CASE WHEN lang = 'js' THEN 'special:scripts' END,"
+            "CASE WHEN contains('doc_' || doc_id, '-')"
+            " THEN 'special:kcurl' END,"
+            "CASE WHEN doc_id % 11 = 5 THEN 'special:ads' END,"
+            "CASE WHEN doc_id % 13 = 2 THEN 'special:tracking' END,"
+            "CASE WHEN doc_id % 29 = 7 THEN 'special:adtech' END,"
+            "CASE WHEN doc_id % 31 = 9 THEN 'special:affiliate' END,"
+            "CASE WHEN doc_id % 17 = 3 THEN 'special:consent' END,"
+            "CASE WHEN doc_id % 19 = 4 THEN 'special:popover' END,"
+            "CASE WHEN doc_id % 13 = 5 THEN 'special:cookies' END,"
+            "CASE WHEN len(toks) < 20 THEN 'special:shorty' END"
+            "], x -> x IS NOT NULL)"
+        )
     if link_keywords:
         # synthetic links:<dst> / links:<top-domain> keywords from the
         # ring-derived per-doc target set (TokenizeStage link_keywords;
@@ -3021,7 +3095,7 @@ fdf AS (
             " (SELECT count(DISTINCT source) FROM documents) AS lknn"
             " FROM documents d0) documents"
         )
-        synth_links = (
+        synth_links += (
             " || list_distinct(flatten(list_transform("
             "list_filter(list_distinct("
             "[(lks + 1 + (doc_id*7 + 13*j + length(text))"
@@ -4021,6 +4095,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_set_term": _bm25_sql(
             ["customer", "merge"], sources_sql=_pagerank_sql("search_set")
+        ),
+        "bm25_special_term": _bm25_sql(
+            ["special:ads"], k=100, html_features=True
+        ),
+        "bm25_feature_penalty": _bm25_sql(
+            ["customer", "merge"],
+            k=20,
+            document_bonus_weight=1.0,
+            html_features=True,
         ),
         "backlink_search": _bm25_sql(
             ["links:src2"], k=100, link_keywords=True

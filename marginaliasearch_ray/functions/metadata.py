@@ -35,6 +35,59 @@ class WordFlags(IntFlag):
     EXTERNAL_LINK = 1 << 8  # note: overflows the stored byte exactly as in Java
 
 
+class DocumentFlags(IntFlag):
+    """DocumentFlags.java:5-14 — bit = 1 << ordinal; the low byte of the
+    packed document meta."""
+
+    JAVASCRIPT = 1 << 0
+    PLAIN_TEXT = 1 << 1
+    GENERATOR_DOCS = 1 << 2
+    GENERATOR_FORUM = 1 << 3
+    GENERATOR_WIKI = 1 << 4
+    SIDELOADED = 1 << 5
+    PDF_FILE = 1 << 6
+
+
+class HtmlFeature(IntFlag):
+    """HtmlFeature.java:5-40 — bit = 1 << ordinal (first 32 are the
+    encoded FEATURES bitmask); only the subset this engine derives is
+    listed, at the reference ordinals."""
+
+    MEDIA = 1 << 0
+    JS = 1 << 1
+    AFFILIATE_LINK = 1 << 2
+    TRACKING = 1 << 3
+    TRACKING_ADTECH = 1 << 4
+    KEBAB_CASE_URL = 1 << 5
+    LONG_URL = 1 << 6
+    COOKIES = 1 << 10
+    CATEGORY_FOOD = 1 << 11
+    ADVERTISEMENT = 1 << 12
+    PDF = 1 << 15
+    POPOVER = 1 << 16
+    CONSENT = 1 << 17
+    SHORT_DOCUMENT = 1 << 18
+
+
+# HtmlFeature.getKeyword() — the synthetic keyword each feature injects
+HTML_FEATURE_KEYWORD = {
+    HtmlFeature.MEDIA: "special:media",
+    HtmlFeature.JS: "special:scripts",
+    HtmlFeature.AFFILIATE_LINK: "special:affiliate",
+    HtmlFeature.TRACKING: "special:tracking",
+    HtmlFeature.TRACKING_ADTECH: "special:adtech",
+    HtmlFeature.KEBAB_CASE_URL: "special:kcurl",
+    HtmlFeature.LONG_URL: "special:longurl",
+    HtmlFeature.COOKIES: "special:cookies",
+    HtmlFeature.CATEGORY_FOOD: "category:food",
+    HtmlFeature.ADVERTISEMENT: "special:ads",
+    HtmlFeature.PDF: "format:pdf",
+    HtmlFeature.POPOVER: "special:popover",
+    HtmlFeature.CONSENT: "special:consent",
+    HtmlFeature.SHORT_DOCUMENT: "special:shorty",
+}
+
+
 # DocumentMetadata.java:46-67
 ASL_SHIFT, ASL_MASK = 56, 0x03
 RANK_SHIFT, RANK_MASK = 48, 0xFF
@@ -118,14 +171,68 @@ SHORT_SENTENCE_PENALTY = 5.0
 TEMPORAL_BIAS_WEIGHT = 5.0
 
 
+def flags_penalty(
+    features: np.ndarray, doc_flags: np.ndarray, size: np.ndarray
+) -> np.ndarray:
+    """flagsPenalty — IndexResultRankingService.java:633-683, vectorized.
+
+    features==0 short-circuits to 0 (the index-service path without
+    feature flags).  Generator-flagged documents (docs/forum/wiki) skip
+    the large-site escalation: largeSiteFactor stays 1 and the
+    KEBAB/LONG_URL url-shape penalties never apply.  The return is
+    ``(int) -penalty`` — truncated toward zero like the Java cast."""
+    f = np.asarray(features, dtype=np.int64)
+    d = np.asarray(doc_flags, dtype=np.int64)
+    size = np.asarray(size, dtype=np.float64)
+
+    def has(bit):
+        return ((f & int(bit)) != 0).astype(np.float64)
+
+    is_gen = (
+        d
+        & int(
+            DocumentFlags.GENERATOR_DOCS
+            | DocumentFlags.GENERATOR_FORUM
+            | DocumentFlags.GENERATOR_WIKI
+        )
+    ) != 0
+    big = (~is_gen) & (size > 400)
+    factor = np.where(big, 2.0, 1.0)
+    penalty = np.where(
+        big,
+        np.where(
+            has(HtmlFeature.KEBAB_CASE_URL) > 0,
+            5.0,
+            np.where(has(HtmlFeature.LONG_URL) > 0, 5.0, 0.0),
+        ),
+        0.0,
+    )
+    penalty = penalty + factor * (
+        7.5 * has(HtmlFeature.ADVERTISEMENT)
+        + 2.5 * has(HtmlFeature.CONSENT)
+        + 2.5 * has(HtmlFeature.POPOVER)
+        + 5.0 * has(HtmlFeature.TRACKING_ADTECH)
+        + 5.0 * has(HtmlFeature.AFFILIATE_LINK)
+        + 2.5 * has(HtmlFeature.COOKIES)
+        + 2.5 * has(HtmlFeature.TRACKING)
+        + 5.0 * has(HtmlFeature.SHORT_DOCUMENT)
+    )
+    out = -np.trunc(penalty)
+    return np.where(f == 0, 0.0, out)
+
+
 def document_bonus(
-    meta: np.ndarray, length: np.ndarray, temporal_bias: str = "none"
+    meta: np.ndarray,
+    length: np.ndarray,
+    temporal_bias: str = "none",
+    features: np.ndarray | None = None,
 ) -> np.ndarray:
     """calculateDocumentBonus — IndexResultRankingService.java:281-358 with
     the PrototypeRankingParameters defaults.  Connectivity is UNKNOWN
-    (penalty 0) and features==0 short-circuits flagsPenalty, both matching
-    the reference's index-service path.  ``length`` is the document token
-    count (docSize)."""
+    (penalty 0), matching the reference's index-service path.
+    ``length`` is the document token count (docSize).  ``features``
+    (the per-doc HtmlFeature bitmask) adds the flagsPenalty component;
+    None or all-zero reproduces the featureless short-circuit."""
     m = np.asarray(meta, dtype=np.int64)
     length = np.asarray(length, dtype=np.float64)
     asl = decode_asl(m).astype(np.float64)
@@ -154,6 +261,11 @@ def document_bonus(
         temporal = -np.abs(year - PUBDATE_MIN_YEAR) * TEMPORAL_BIAS_WEIGHT
     else:
         temporal = np.zeros(len(m), dtype=np.float64)
+    fp = (
+        flags_penalty(features, m & 0xFF, size)
+        if features is not None
+        else np.zeros(len(m), dtype=np.float64)
+    )
     return (
         asl_penalty
         + doclen_penalty
@@ -161,6 +273,7 @@ def document_bonus(
         + ranking_bonus
         + topology_bonus
         + temporal
+        + fp
     )
 
 

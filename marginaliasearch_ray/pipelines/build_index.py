@@ -125,6 +125,14 @@ class BuildConfig:
     # them in its weight).  Off by default: the indexed term set then
     # stays unchanged for every pre-existing oracle.
     link_keywords: bool = False
+    # HtmlFeature bitmask + DocumentFlags byte + special:* keywords
+    # (HtmlFeature.java:5-40, DocumentFlags.java:5-14, flagsPenalty
+    # IndexResultRankingService.java:633-683).  Crawler-only signals
+    # derive from doc-ordinal arithmetic (the generator: precedent),
+    # content-derivable ones from lang/path/length.  Off by default:
+    # features stay 0 and the flags byte stays 0, so every
+    # pre-existing oracle and the flagsPenalty short-circuit hold.
+    html_features: bool = False
     # How link texts reach the tokenizer:
     #  - "store" (default): the link table ALONE shuffles into a bucketed
     #    sorted side store (build_link_store); tokenize actors lazily
@@ -231,7 +239,7 @@ _TOKENIZE_CACHE: dict = {}
 def _tokenize_task(
     batch: pa.Table, *, reg_ref, tfdict_dir, doc_count, doc_processors=None,
     anchor_regions=False, link_store_dir=None, link_store_cache=64,
-    link_keywords=False,
+    link_keywords=False, html_features=False,
 ) -> pa.Table:
     key = (
         reg_ref.hex() if hasattr(reg_ref, "hex") else id(reg_ref),
@@ -240,13 +248,14 @@ def _tokenize_task(
         bool(anchor_regions),
         link_store_dir,
         bool(link_keywords),
+        bool(html_features),
     )
     st = _TOKENIZE_CACHE.get(key)
     if st is None:
         _TOKENIZE_CACHE.clear()  # one live stage per worker
         st = TokenizeStage(
             reg_ref, tfdict_dir, doc_count, doc_processors, anchor_regions,
-            link_store_dir, link_store_cache, link_keywords,
+            link_store_dir, link_store_cache, link_keywords, html_features,
         )
         _TOKENIZE_CACHE[key] = st
     return st(batch)
@@ -762,6 +771,7 @@ def build_index(
                 "link_store_dir": link_store_dir,
                 "link_store_cache": cfg.link_store_cache_buckets,
                 "link_keywords": cfg.link_keywords,
+                "html_features": cfg.html_features,
             },
             batch_size=cfg.tokenize_batch_size,
             batch_format="pyarrow",
@@ -826,6 +836,7 @@ def build_index(
                 "num_parts": cfg.num_parts,
                 "anchor_regions": cfg.anchor_regions,
                 "link_keywords": cfg.link_keywords,
+                "html_features": cfg.html_features,
                 "per_part_lineage": lineage,
                 "seconds": round(time.time() - t_phase, 3),
                 "files": mf.list_phase_files(out_dir, "journal"),

@@ -382,6 +382,13 @@ def build_delta_index(
         from dataclasses import replace
 
         cfg = replace(cfg, link_keywords=base_links)
+    base_feats = bool(
+        mf.read_manifest(base_dir, "journal").get("html_features", False)
+    )
+    if cfg.html_features != base_feats:
+        from dataclasses import replace
+
+        cfg = replace(cfg, html_features=base_feats)
 
     if not mf.is_committed(delta_dir, "root"):
         # materialize the delta corpus ONCE: it is delta-sized by the
@@ -828,6 +835,11 @@ def compact_segments(
                 "link_keywords": bool(
                     mf.read_manifest(segment_dirs[0], "journal").get(
                         "link_keywords", False
+                    )
+                ),
+                "html_features": bool(
+                    mf.read_manifest(segment_dirs[0], "journal").get(
+                        "html_features", False
                     )
                 ),
                 # same per-part sha256-XOR lineage a fresh build records

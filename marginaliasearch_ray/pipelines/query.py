@@ -523,14 +523,16 @@ def compile_query(
             out.repo = word[5:]
         elif word.startswith("lang:") and len(word) > 5:
             out.lang = word[5:]
-        elif word.startswith("links:") and len(word) > 6:
-            # external-link keyword (doBacklinkSearch "links:x" /
-            # doLinkSearch "site:a links:b", SearchOperator.java:103-128).
-            # links: is NOT in the reference's advice-prefix list
-            # (QueryParser.java:240-252), so the token is an ORDINARY
-            # scored include term whose literal string hashes against
-            # the synthetic links:<dst> keywords the build injects
-            # (HtmlDocumentProcessorPlugin.createLinkKeywords:308-323)
+        elif (
+            word.startswith(("links:", "special:", "category:", "js:"))
+            and len(word.split(":", 1)[1]) > 0
+        ):
+            # ordinary colon keywords: links:<dst> (backlink/link search,
+            # SearchOperator.java:103-128), special:*/category:*/js:*
+            # (HtmlFeature.getKeyword synthetic terms).  None of these are
+            # advice prefixes in the reference (QueryParser.java:240-252),
+            # so the token is an ORDINARY scored include term whose
+            # literal string hashes against the injected synthetic keyword
             w = word.lower()
             if w not in out.include:
                 out.include.append(w)
@@ -792,6 +794,11 @@ class _Segment:
         self.fwd_ids = cid[o]
         self.fwd_size = fwd["size"].to_numpy(zero_copy_only=False)[o]
         self.fwd_meta = fwd["document_meta"].to_numpy(zero_copy_only=False)[o]
+        # HtmlFeature bitmask per doc (zeros unless the segment was built
+        # with html_features — the flagsPenalty short-circuit then holds)
+        self.fwd_features = fwd["features"].to_numpy(zero_copy_only=False)[
+            o
+        ].astype(np.int64)
 
         # prio posting lists (flagged terms, gamma/delta coded) for the
         # bFlags score component
@@ -2009,7 +2016,10 @@ class SearcherLogic:
 
             fi = np.searchsorted(seg.fwd_ids, cand)
             bonus = document_bonus(
-                seg.fwd_meta[fi], sizes, plan.get("temporal_bias", "none")
+                seg.fwd_meta[fi],
+                sizes,
+                plan.get("temporal_bias", "none"),
+                features=seg.fwd_features[fi],
             )
             if document_bonus_weight > 0:
                 score += document_bonus_weight * bonus

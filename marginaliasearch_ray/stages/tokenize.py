@@ -296,7 +296,8 @@ class TokenizeStage:
                  anchor_regions: bool = False,
                  link_store_dir: str | None = None,
                  link_store_cache: int = 64,
-                 link_keywords: bool = False):
+                 link_keywords: bool = False,
+                 html_features: bool = False):
         import ray
 
         # anchor regions (DocumentPositionMapper.mapPositionsAndExtract
@@ -324,6 +325,12 @@ class TokenizeStage:
         # repo's index in the SORTED repo list even for delta registries
         # whose insertion-stable domain ids diverge from sorted order.
         self.link_keywords = bool(link_keywords)
+        # HtmlFeature bitmask + DocumentFlags byte + special:* keywords
+        # (HtmlFeature.java:5-40, DocumentFlags.java:5-14).  The corpus
+        # has no crawler, so the crawler-only signals derive from doc
+        # ordinal arithmetic (the generator: precedent) and the content-
+        # derivable ones from lang/path/length — all SQL-replicable.
+        self.html_features = bool(html_features)
 
         self.registry = (
             ray.get(registry_ref) if hasattr(registry_ref, "hex") else registry_ref
@@ -488,6 +495,51 @@ class TokenizeStage:
 
         lengths = np.array([len(t) for t in tok_lists], dtype=np.int64)
         sizes = lengths.astype(np.int32)
+
+        feats = np.zeros(n, dtype=np.int64)
+        doc_flags = np.zeros(n, dtype=np.int64)
+        feat_kws: list[list[str]] | None = None
+        if self.html_features:
+            from ..functions.metadata import (
+                HTML_FEATURE_KEYWORD,
+                DocumentFlags,
+                HtmlFeature,
+            )
+
+            ordn = np.asarray(ordinals, dtype=np.int64)
+            larr = np.asarray(langs, dtype=object)
+            feats |= (larr == "js").astype(np.int64) * int(HtmlFeature.JS)
+            feats |= (
+                np.array(["-" in p for p in paths]).astype(np.int64)
+                * int(HtmlFeature.KEBAB_CASE_URL)
+            )
+            feats |= (ordn % 11 == 5) * int(HtmlFeature.ADVERTISEMENT)
+            feats |= (ordn % 13 == 2) * int(HtmlFeature.TRACKING)
+            feats |= (ordn % 29 == 7) * int(HtmlFeature.TRACKING_ADTECH)
+            feats |= (ordn % 31 == 9) * int(HtmlFeature.AFFILIATE_LINK)
+            feats |= (ordn % 17 == 3) * int(HtmlFeature.CONSENT)
+            feats |= (ordn % 19 == 4) * int(HtmlFeature.POPOVER)
+            feats |= (ordn % 13 == 5) * int(HtmlFeature.COOKIES)
+            feats |= (lengths < 20) * int(HtmlFeature.SHORT_DOCUMENT)
+            doc_flags = np.where(
+                ordn % 7 == 3,
+                np.int64(DocumentFlags.GENERATOR_WIKI),
+                np.int64(DocumentFlags.GENERATOR_DOCS),
+            )
+            doc_flags |= (larr == "js").astype(np.int64) * int(
+                DocumentFlags.JAVASCRIPT
+            )
+            doc_flags |= (larr == "md").astype(np.int64) * int(
+                DocumentFlags.PLAIN_TEXT
+            )
+            feat_kws = [
+                [
+                    kw
+                    for bit, kw in HTML_FEATURE_KEYWORD.items()
+                    if feats[i] & int(bit)
+                ]
+                for i in range(n)
+            ]
         total_body = int(lengths.sum())
         doc_starts = np.cumsum(lengths) - lengths
 
@@ -701,6 +753,11 @@ class TokenizeStage:
                 "generator:wiki" if ordinals[i] % 7 == 3 else "generator:docs"
             )
             k_syn = 2
+            if feat_kws is not None:
+                # one synthetic special:*/category:/format: keyword per
+                # set feature bit (HtmlFeature.getKeyword)
+                syn_flat.extend(feat_kws[i])
+                k_syn += len(feat_kws[i])
             if self.link_keywords:
                 # links:<dst> + links:<top-domain> per outgoing-link
                 # target (createLinkKeywords:311-314; a Set in the
@@ -809,7 +866,7 @@ class TokenizeStage:
             topology=dom & 0xFF,
             year=np.asarray(ordinals, dtype=np.int64) % 30,
             quality=quality,
-            flags=0,
+            flags=doc_flags,
         )
 
         return pa.table(
@@ -817,7 +874,7 @@ class TokenizeStage:
                 "part": pa.array(part, pa.int32()),
                 "combined_id": pa.array(combined, pa.int64()),
                 "document_meta": pa.array(doc_meta, pa.int64()),
-                "features": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                "features": pa.array(feats.astype(np.int32), pa.int32()),
                 "size": pa.array(sizes, pa.int32()),
                 "lang": pa.array(langs, pa.string()),
                 "term_ids": term_ids_arr,

@@ -1,0 +1,158 @@
+"""HtmlFeature bits + DocumentFlags + flagsPenalty
+(HtmlFeature.java:5-40, DocumentFlags.java:5-14,
+IndexResultRankingService.flagsPenalty:633-683) and the special:*
+synthetic keywords they inject (BuildConfig.html_features)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from marginaliasearch_ray.functions.metadata import (
+    DocumentFlags,
+    HtmlFeature,
+    flags_penalty,
+)
+from marginaliasearch_ray.pipelines.build_index import BuildConfig, build_index
+from marginaliasearch_ray.pipelines.query import IndexSearch
+
+
+def _fp(features, doc_flags, size):
+    return float(
+        flags_penalty(
+            np.array([features], dtype=np.int64),
+            np.array([doc_flags], dtype=np.int64),
+            np.array([size], dtype=np.float64),
+        )[0]
+    )
+
+
+def test_flags_penalty_scalar_vectors():
+    gen = int(DocumentFlags.GENERATOR_DOCS)
+    # featureFlags == 0 short-circuits regardless of anything else
+    assert _fp(0, 0, 10_000) == 0.0
+    # single-bit penalties on a generator site (factor 1), Java
+    # (int) truncation toward zero
+    assert _fp(int(HtmlFeature.ADVERTISEMENT), gen, 100) == -7.0   # 7.5
+    assert _fp(int(HtmlFeature.CONSENT), gen, 100) == -2.0         # 2.5
+    assert _fp(int(HtmlFeature.TRACKING_ADTECH), gen, 100) == -5.0
+    assert _fp(int(HtmlFeature.SHORT_DOCUMENT), gen, 100) == -5.0
+    # JS carries no penalty but defeats the ==0 short-circuit
+    assert _fp(int(HtmlFeature.JS), gen, 100) == 0.0
+    # non-generator large site: factor 2 + url-shape penalty
+    ads = int(HtmlFeature.ADVERTISEMENT)
+    assert _fp(ads, 0, 500) == -15.0                    # 7.5 * 2
+    assert _fp(ads | int(HtmlFeature.KEBAB_CASE_URL), 0, 500) == -20.0
+    # small non-generator site: factor stays 1, no url-shape penalty
+    assert _fp(ads | int(HtmlFeature.KEBAB_CASE_URL), 0, 100) == -7.0
+    # combined truncation: 7.5 + 2.5 = 10.0 exactly
+    assert _fp(ads | int(HtmlFeature.CONSENT), gen, 100) == -10.0
+
+
+def _corpus() -> pa.Table:
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": [],
+            "ordinal": []}
+    for ordn in range(70):
+        rows["repo"].append(f"org{ordn % 2}/r{ordn % 2}")
+        rows["path"].append(f"f_{ordn}.py")
+        rows["commit"].append("0" * 40)
+        rows["lang"].append("js" if ordn % 4 == 0 else "py")
+        rows["content"].append(
+            "alpha beta " + " ".join(f"w{k}" for k in range(5 + ordn % 40))
+        )
+        rows["ordinal"].append(ordn)
+    return pa.table(
+        {
+            "repo": pa.array(rows["repo"], pa.string()),
+            "path": pa.array(rows["path"], pa.string()),
+            "commit": pa.array(rows["commit"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "content": pa.array(rows["content"], pa.string()),
+            "ordinal": pa.array(rows["ordinal"], pa.int32()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def feats_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("feats_idx"))
+    build_index(
+        ray.data.from_arrow(_corpus()),
+        out,
+        BuildConfig(num_parts=2, num_buckets=4, num_salts=1,
+                    hot_df_threshold=1000, html_features=True),
+    )
+    return IndexSearch(out, use_actors=False)
+
+
+def test_special_keywords_searchable(feats_index):
+    ads = set(feats_index.search("special:ads", k=70)["doc_id"].to_pylist())
+    assert ads == {o for o in range(70) if o % 11 == 5}
+    js = set(
+        feats_index.search("special:scripts", k=70)["doc_id"].to_pylist()
+    )
+    assert js == {o for o in range(70) if o % 4 == 0}
+    # conjunction with a body term works like any other keyword
+    both = set(
+        feats_index.search("alpha special:tracking", k=70)["doc_id"]
+        .to_pylist()
+    )
+    assert both == {o for o in range(70) if o % 13 == 2}
+
+
+def test_penalty_applies_in_document_bonus(feats_index):
+    t = feats_index.search("alpha", k=70, document_bonus_weight=1.0)
+    scores = dict(zip(t["doc_id"].to_pylist(), t["score_r"].to_pylist()))
+    # docs 5 and 16 carry ADVERTISEMENT (-7); compare against feature-free
+    # twins with identical length (ordinal % 40 equal => same content
+    # shape): 5 vs 45 differs only in ads/cookies bits... use the exact
+    # penalty delta instead: rebuild the expectation from flags_penalty
+    from marginaliasearch_ray.functions.metadata import HtmlFeature as HF
+
+    def feats_of(o):
+        f = 0
+        if o % 4 == 0:
+            f |= int(HF.JS)
+        if o % 11 == 5:
+            f |= int(HF.ADVERTISEMENT)
+        if o % 13 == 2:
+            f |= int(HF.TRACKING)
+        if o % 29 == 7:
+            f |= int(HF.TRACKING_ADTECH)
+        if o % 31 == 9:
+            f |= int(HF.AFFILIATE_LINK)
+        if o % 17 == 3:
+            f |= int(HF.CONSENT)
+        if o % 19 == 4:
+            f |= int(HF.POPOVER)
+        if o % 13 == 5:
+            f |= int(HF.COOKIES)
+        if (7 + o % 40) < 20:
+            f |= int(HF.SHORT_DOCUMENT)
+        return f
+
+    gen = int(DocumentFlags.GENERATOR_DOCS)
+    # doc pairs with the same content length (o and o+40 share o%40) let
+    # the penalty difference show up as an exact score difference
+    for a, b in ((5, 45), (7, 47), (9, 49)):
+        pa_ = _fp(feats_of(a), gen, 100)
+        pb_ = _fp(feats_of(b), gen, 100)
+        assert scores[a] - scores[b] == pytest.approx(pa_ - pb_, abs=1e-6)
+
+
+def test_default_build_is_featureless(ray_session, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("plain_idx"))
+    build_index(
+        ray.data.from_arrow(_corpus()),
+        out,
+        BuildConfig(num_parts=2, num_buckets=4, num_salts=1,
+                    hot_df_threshold=1000),
+    )
+    ix = IndexSearch(out, use_actors=False)
+    assert ix.search("special:ads", k=5).num_rows == 0
+    seg = ix.searchers[0].seg
+    assert int(np.abs(seg.fwd_features).sum()) == 0
+    assert int(np.abs(seg.fwd_meta & 0xFF).sum()) == 0
