@@ -203,6 +203,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="search-service display pipeline: URL dedup + "
                         "by-domain clusters with the sibling prune "
                         "(SearchOperator.doSearch post-processing)")
+    q.add_argument("--profile", default=None,
+                   help="named search profile (docs/wiki/vintage/modern/"
+                        "...; unknown ids fall back to no-filter like the "
+                        "reference)")
+    q.add_argument("--search-set", action="append", default=[],
+                   metavar="NAME=repo1,repo2",
+                   help="resolve a profile's search-set name to a repo "
+                        "list (repeatable)")
     q.add_argument("--positions", action="store_true",
                    help="add the positions mask and its braille "
                         "punch-card rendering (UrlDetails.positions)")
@@ -1048,6 +1056,21 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps(row))
             elif args.clustered:
                 t = s.search_clustered(args.query)
+                for row in t.to_pylist():
+                    print(json.dumps(row))
+            elif args.profile:
+                from .pipelines import profiles as pf
+
+                sets = {}
+                for spec in args.search_set:
+                    name, _, repos_csv = spec.partition("=")
+                    sets[name.upper()] = [
+                        r for r in repos_csv.split(",") if r
+                    ]
+                t = pf.search_with_profile(
+                    s, args.query, args.profile, search_sets=sets,
+                    k=args.k, decorate=args.decorate, pruned=args.pruned,
+                )
                 for row in t.to_pylist():
                     print(json.dumps(row))
             else:

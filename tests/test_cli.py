@@ -492,3 +492,24 @@ def test_cli_serve_clustered(cli_dirs, capsys, monkeypatch):
         <= set(c)
         for c in clusters
     )
+
+
+def test_cli_profile(cli_dirs, capsys):
+    """--profile applies a named filter; --search-set resolves set names."""
+    root, _corpus, _delta = cli_dirs
+    # wiki profile: generator:wiki fires on ordinal % 7 == 3
+    out = _run(
+        ["query", "--index", str(root / "base"), "--profile", "wiki",
+         "-k", "40", "license"],
+        capsys,
+    )
+    rows = [json.loads(l) for l in out]
+    assert rows and all(r["doc_id"] % 7 == 3 for r in rows)
+    # default profile needs the POPULAR set resolved
+    out2 = _run(
+        ["query", "--index", str(root / "base"), "--profile", "default",
+         "--search-set", "POPULAR=org0000/repo0000", "-k", "40", "license"],
+        capsys,
+    )
+    rows2 = [json.loads(l) for l in out2]
+    assert rows2
