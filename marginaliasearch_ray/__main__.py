@@ -683,6 +683,18 @@ def main(argv: list[str] | None = None) -> int:
                         t = s.search_clustered(req["query"])
                         out = {"query": req["query"],
                                "clusters": t.to_pylist()}
+                    elif req.get("profile"):
+                        from .pipelines import profiles as pf
+
+                        t = pf.search_with_profile(
+                            s,
+                            req["query"],
+                            req["profile"],
+                            search_sets=req.get("search_sets"),
+                            k=int(req.get("k", args.k)),
+                        )
+                        out = {"query": req["query"],
+                               "results": t.to_pylist()}
                     else:
                         t = s.search(
                             req["query"],

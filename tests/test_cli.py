@@ -513,3 +513,23 @@ def test_cli_profile(cli_dirs, capsys):
     )
     rows2 = [json.loads(l) for l in out2]
     assert rows2
+
+
+def test_cli_serve_profile(cli_dirs, capsys, monkeypatch):
+    """serve answers a profile request line."""
+    import sys as _sys
+
+    from marginaliasearch_ray.state import manifest as mf
+
+    root, _corpus, _delta = cli_dirs
+    chain = str(root / "SERVE_PROFILE.json")
+    mf.publish_chain([str(root / "base")], chain)
+
+    class Lines:
+        def __iter__(self):
+            yield '{"query": "license", "profile": "wiki", "k": 40}\n'
+
+    monkeypatch.setattr(_sys, "stdin", Lines())
+    out = _run(["serve", "--chain", chain], capsys)
+    rows = json.loads(out[0])["results"]
+    assert rows and all(r["doc_id"] % 7 == 3 for r in rows)
