@@ -3554,15 +3554,7 @@ class IndexSearch:
         if tbl.num_rows == 0:
             # covers the early-return empty shapes too (repo: miss /
             # empty filter_spec repo set), which carry no deco columns
-            return pa.table(
-                {
-                    "cluster_rank": pa.array([], pa.int64()),
-                    "member_rank": pa.array([], pa.int64()),
-                    "repo": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "score_r": pa.array([], pa.float64()),
-                }
-            )
+            return _cluster_table([])
         paths = tbl["path"].to_pylist()
         titles = tbl["title"].to_pylist()
         hashes = tbl["data_hash"].to_pylist()
@@ -3597,24 +3589,11 @@ class IndexSearch:
             # noOp strategy: every kept result is its own cluster, in
             # presentation order (ClusteredUrlDetails(onlyFirst)) — noOp
             # ignores the cluster total (SearchResultClusterer:27-34)
-            rows_noop = [
-                (ci, 1, repos[i], doc_ids[i], scores[i])
-                for ci, i in enumerate(kept, start=1)
-            ]
-            return pa.table(
-                {
-                    "cluster_rank": pa.array(
-                        [r[0] for r in rows_noop], pa.int64()
-                    ),
-                    "member_rank": pa.array(
-                        [r[1] for r in rows_noop], pa.int64()
-                    ),
-                    "repo": pa.array([r[2] for r in rows_noop], pa.string()),
-                    "doc_id": pa.array([r[3] for r in rows_noop], pa.int64()),
-                    "score_r": pa.array(
-                        [r[4] for r in rows_noop], pa.float64()
-                    ),
-                }
+            return _cluster_table(
+                [
+                    (ci, 1, repos[i], doc_ids[i], scores[i])
+                    for ci, i in enumerate(kept, start=1)
+                ]
             )
 
         # byDomain clustering: first-occurrence order of repos IS the
@@ -3639,15 +3618,7 @@ class IndexSearch:
             for mrank, i in enumerate(shown, start=1):
                 rows.append((crank, mrank, r, doc_ids[i], scores[i]))
 
-        return pa.table(
-            {
-                "cluster_rank": pa.array([r[0] for r in rows], pa.int64()),
-                "member_rank": pa.array([r[1] for r in rows], pa.int64()),
-                "repo": pa.array([r[2] for r in rows], pa.string()),
-                "doc_id": pa.array([r[3] for r in rows], pa.int64()),
-                "score_r": pa.array([r[4] for r in rows], pa.float64()),
-            }
-        )
+        return _cluster_table(rows)
 
     def _merge_facet_partials(
         self, partials: list[dict], facet: str, facet_k: int
@@ -3764,6 +3735,21 @@ def _facet_table(by: str, rows: list[tuple]) -> pa.Table:
     )
     return pa.table(
         {by: key_col, "n": pa.array([int(r[1]) for r in rows], pa.int64())}
+    )
+
+
+def _cluster_table(rows) -> pa.Table:
+    """(cluster_rank, member_rank, repo, doc_id, score_r) rows -> the
+    clustered-display result table (shared by the byDomain, noOp and
+    empty paths of IndexSearch.search_clustered)."""
+    return pa.table(
+        {
+            "cluster_rank": pa.array([r[0] for r in rows], pa.int64()),
+            "member_rank": pa.array([r[1] for r in rows], pa.int64()),
+            "repo": pa.array([r[2] for r in rows], pa.string()),
+            "doc_id": pa.array([r[3] for r in rows], pa.int64()),
+            "score_r": pa.array([r[4] for r in rows], pa.float64()),
+        }
     )
 
 
