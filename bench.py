@@ -335,6 +335,19 @@ def run_bench() -> dict:
     nf = timed("facet_set", run_facets)
     extras["facet_queries_per_s"] = round(nf / timings["facet_set"], 1)
 
+    # 3b''') search-service display pipeline: top-100 normalized fetch +
+    # UrlDeduplicator + byDomain clustering + sibling prune per query
+    def run_display():
+        n = 0
+        for _ in range(3):
+            for q in ("license import", "copyright the", "merge_buffer"):
+                idx.search_clustered(q)
+                n += 1
+        return n
+
+    nd = timed("query_display", run_display)
+    extras["display_queries_per_s"] = round(nd / timings["query_display"], 1)
+
     # 3c) per-query latency percentiles (PerfTestMain.java:44-67,150-199
     # protocol: warmup pass, then a timed run, percentiles over
     # individual query latencies)
