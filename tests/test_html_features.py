@@ -156,3 +156,48 @@ def test_default_build_is_featureless(ray_session, tmp_path_factory):
     seg = ix.searchers[0].seg
     assert int(np.abs(seg.fwd_features).sum()) == 0
     assert int(np.abs(seg.fwd_meta & 0xFF).sum()) == 0
+
+
+def test_combined_build_options(ray_session, tmp_path_factory):
+    """html_features + link_keywords + anchor_regions in ONE build: each
+    synthetic-keyword family coexists (injection order must not corrupt
+    the per-doc segment layout) and stays searchable."""
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("combo_idx"))
+    build_index(
+        ray.data.from_arrow(_corpus()),
+        out,
+        BuildConfig(num_parts=2, num_buckets=4, num_salts=1,
+                    hot_df_threshold=1000, html_features=True,
+                    link_keywords=True, anchor_regions=True),
+    )
+    ix = IndexSearch(out, use_actors=False)
+    # feature keywords
+    ads = set(ix.search("special:ads", k=70)["doc_id"].to_pylist())
+    assert ads == {o for o in range(70) if o % 11 == 5}
+    # link keywords: every doc links somewhere, so some links: term with
+    # hits exists; check a specific derived pair via the scalar formula
+    repos = sorted({f"org{o % 2}/r{o % 2}" for o in range(70)})
+    s0 = repos.index("org0/r0")
+    span = 1 + s0 % 7
+    expect = set()
+    for o in range(70):
+        if o % 2 != 0:
+            continue
+        nc = len("alpha beta " + " ".join(f"w{k}" for k in range(5 + o % 40)))
+        for j in (1, 2):
+            t = (s0 + 1 + (o * 7 + 13 * j + nc) % span) % len(repos)
+            if t != s0:
+                expect.add((o, repos[t]))
+    for dst in {d for _o, d in expect}:
+        got = set(
+            ix.search(f"repo:org0/r0 links:{dst}", k=70)["doc_id"]
+            .to_pylist()
+        )
+        assert got == {o for o, d in expect if d == dst}
+    # anchor regions: URL words (path tokens) become searchable terms
+    got = ix.search("f_3", k=5)
+    assert got.num_rows == 1 and got["doc_id"][0].as_py() == 3
+    # body search still exact
+    assert ix.search("alpha", k=100).num_rows == 70
