@@ -2245,6 +2245,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modern",
         search_sets=_profile_search_sets(sf),
     ).select(["doc_id", "score_r"])
+    # advice-only + bare-site queries (promoteNonRankingTerms,
+    # SearchQuery.java:218-226 + the QueryFactory.java:141-147 dummy
+    # site: term): the advice keyword becomes the scored term
+    q["bm25_advice_only"] = lambda sf: _search(sf, "generator:wiki", k=20)
+    q["bm25_site_browse"] = lambda sf: _search(sf, "repo:src2", k=50)
     # HtmlFeature keywords + flagsPenalty over the feature index
     # variant: special:ads is an ORDINARY scored keyword; the penalty
     # joins the document-bonus family (truncated like the Java cast)
@@ -2337,6 +2342,9 @@ _DRIVER_WINDOW_FIRST = [
     # NEW this round: HtmlFeature keywords + flagsPenalty
     "bm25_special_term",
     "bm25_feature_penalty",
+    # NEW this round: advice-term promotion + bare-site enumeration
+    "bm25_advice_only",
+    "bm25_site_browse",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2375,10 +2383,8 @@ _DRIVER_WINDOW_FIRST = [
     # --- (c) oldest evidence, ascending ---
     # last green r01 (2)
     "ann_cosine_top10",
-    "events_sliding_1h_15m",
     # last green r02 (22) — the scoring-variant family displaced by the
     # r3/r4 windows, now all re-certified
-    "bm25_single",
     "bm25_meta_quality",
     "bm25_head_weighted",
     "bm25_nested",
@@ -2414,6 +2420,11 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_doc_bonus",
     "bm25_proximity",
     "bm25_first_position",
+    # displaced for the advice-promotion pair: single-term BM25 is the
+    # substrate of EVERY in-window bm25_* entry; sliding windows share
+    # the session-window family with r4-green events_sessions
+    "bm25_single",
+    "events_sliding_1h_15m",
     "journal_sizes",
     "forward_docmeta",
     "posting_list_merge",
@@ -4096,6 +4107,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_set_term": _bm25_sql(
             ["customer", "merge"], sources_sql=_pagerank_sql("search_set")
         ),
+        "bm25_advice_only": _bm25_sql(["generator:wiki"], k=20),
+        "bm25_site_browse": _bm25_sql(["site:src2"], k=50, source="src2"),
         "bm25_special_term": _bm25_sql(
             ["special:ads"], k=100, html_features=True
         ),

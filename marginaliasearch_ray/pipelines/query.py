@@ -3152,6 +3152,18 @@ class IndexSearch:
             expand_wordnum=expand_wordnum,
             expand_ngram_all=expand_ngram_all,
         )
+        # a query with NO ranking terms: a bare repo: query first gains
+        # the site:<repo> dummy keyword so the domain's documents can be
+        # enumerated (QueryFactory.java:141-147 "Ensure we can enumerate
+        # documents from a website"), then advice terms PROMOTE to
+        # scored query terms (SearchQuery.promoteNonRankingTerms:218-226)
+        if not cq.include and not cq.groups and cq.tree is None:
+            if cq.repo is not None and not cq.advice:
+                cq.advice.append(f"site:{cq.repo}")
+            if cq.advice:
+                cq.include = list(cq.advice)
+                cq.advice = []
+
         # qs= token in the query string wins over the call parameter
         # (QueryParser's QsTerm lands in the spec the same way); validate
         # on the driver, before any fan-out

@@ -159,3 +159,21 @@ def test_set_token_restricts_and_validates(strat_index):
         filter_spec={"repos": ["orgB/widget"]},
     )
     assert t3.num_rows == 0  # empty intersection
+
+
+def test_advice_only_query_promotes(strat_index):
+    """promoteNonRankingTerms (SearchQuery.java:218-226): a query with no
+    ranking terms scores its advice keyword instead of matching nothing."""
+    got = _ids(strat_index.search("generator:wiki", k=120))
+    want = {o for o in list(range(1, 7)) + list(range(50, 150)) if o % 7 == 3}
+    assert got == want and got
+
+
+def test_bare_site_query_enumerates_domain(strat_index):
+    """A bare repo: query gains the site:<repo> dummy keyword
+    (QueryFactory.java:141-147) and enumerates the domain's documents."""
+    got = _ids(strat_index.search("repo:orgF/filler", k=200))
+    assert got == set(range(50, 150))
+    # an advice term alongside repo: stays advisory but is promoted too
+    got2 = _ids(strat_index.search("repo:orgA/plain", k=20))
+    assert got2 == {1, 2, 4, 5, 6}
