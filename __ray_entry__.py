@@ -2245,6 +2245,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modern",
         search_sets=_profile_search_sets(sf),
     ).select(["doc_id", "score_r"])
+    # NSFW filter tiers (NsfwDomainFilter.isBlocked:64-74): tier 2
+    # blocks the union of the tier-1 and tier-2 repo blocklists
+    q["bm25_nsfw_tier"] = lambda sf: _search(
+        sf,
+        "customer merge",
+        nsfw_tier=2,
+        nsfw_blocklists={1: ["src3"], 2: ["src7", "src12"]},
+    )
     # advice-only + bare-site queries (promoteNonRankingTerms,
     # SearchQuery.java:218-226 + the QueryFactory.java:141-147 dummy
     # site: term): the advice keyword becomes the scored term
@@ -2345,6 +2353,8 @@ _DRIVER_WINDOW_FIRST = [
     # NEW this round: advice-term promotion + bare-site enumeration
     "bm25_advice_only",
     "bm25_site_browse",
+    # NEW this round: NSFW blocklist tiers
+    "bm25_nsfw_tier",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2381,8 +2391,7 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_linktext",
     "bm25_linktext_phrase",
     # --- (c) oldest evidence, ascending ---
-    # last green r01 (2)
-    "ann_cosine_top10",
+    # last green r01
     # last green r02 (22) — the scoring-variant family displaced by the
     # r3/r4 windows, now all re-certified
     "bm25_meta_quality",
@@ -2425,6 +2434,9 @@ _DRIVER_WINDOW_FIRST = [
     # the session-window family with r4-green events_sessions
     "bm25_single",
     "events_sliding_1h_15m",
+    # brute-force-cosine family: r4-green ann_topk_per_label +
+    # embedding_top_pairs siblings certify the same kernels
+    "ann_cosine_top10",
     "journal_sizes",
     "forward_docmeta",
     "posting_list_merge",
@@ -2528,6 +2540,7 @@ def _bm25_sql(
     source: str | None = None,
     sources: list[str] | None = None,
     sources_sql: str | None = None,
+    sources_exclude: list[str] | None = None,
     priority: list[str] | None = None,
     groups: list[list[str]] | None = None,
     size_gt: int | None = None,
@@ -2723,6 +2736,9 @@ def _bm25_sql(
     if sources_sql:
         # repo restriction computed by a subquery (RankingSearchSet path)
         extra.append(f"c.source IN ({sources_sql})")
+    if sources_exclude:
+        vals_ex = ", ".join(f"'{s}'" for s in sources_exclude)
+        extra.append(f"c.source NOT IN ({vals_ex})")
     if lang is not None:
         extra.append(f"c.lang = '{lang}'")
     for t in advice or []:
@@ -4106,6 +4122,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_set_term": _bm25_sql(
             ["customer", "merge"], sources_sql=_pagerank_sql("search_set")
+        ),
+        "bm25_nsfw_tier": _bm25_sql(
+            ["customer", "merge"],
+            sources_exclude=["src3", "src7", "src12"],
         ),
         "bm25_advice_only": _bm25_sql(["generator:wiki"], k=20),
         "bm25_site_browse": _bm25_sql(["site:src2"], k=50, source="src2"),

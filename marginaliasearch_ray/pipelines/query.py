@@ -3123,6 +3123,8 @@ class IndexSearch:
         query_strategy: str = "AUTO",
         positions_render: bool = False,
         search_sets: "dict[str, list[str]] | None" = None,
+        nsfw_tier: int = 0,
+        nsfw_blocklists: "dict[int, list[str]] | None" = None,
     ) -> "pa.Table | tuple[pa.Table, pa.Table]":
         """Fan-out + merge.  ``domain_cap`` limits results per repo
         (ResultPriorityQueue.limitByDomain analog, IndexQueryExecution
@@ -3163,6 +3165,27 @@ class IndexSearch:
             if cq.advice:
                 cq.include = list(cq.advice)
                 cq.advice = []
+
+        # NSFW filter tiers (NsfwDomainFilter.isBlocked:64-74): tier 0
+        # disables; a tier-T query blocks the union of every blocklist
+        # at level <= T.  Blocklists are repo sets (the reference's
+        # downloaded domain lists resolved to ids) folded into the
+        # filter-spec domain rejection.
+        if nsfw_tier and nsfw_blocklists:
+            blocked = sorted(
+                {
+                    r
+                    for t, lst in nsfw_blocklists.items()
+                    if nsfw_tier >= int(t)
+                    for r in lst
+                }
+            )
+            if blocked:
+                fs = dict(filter_spec or {})
+                fs["repos_exclude"] = sorted(
+                    set(fs.get("repos_exclude", [])) | set(blocked)
+                )
+                filter_spec = fs
 
         # qs= token in the query string wins over the call parameter
         # (QueryParser's QsTerm lands in the spec the same way); validate

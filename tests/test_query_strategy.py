@@ -177,3 +177,20 @@ def test_bare_site_query_enumerates_domain(strat_index):
     # an advice term alongside repo: stays advisory but is promoted too
     got2 = _ids(strat_index.search("repo:orgA/plain", k=20))
     assert got2 == {1, 2, 4, 5, 6}
+
+
+def test_nsfw_tier_filter(strat_index):
+    """NsfwDomainFilter.isBlocked:64-74 — tier T blocks the union of
+    blocklists at levels <= T; tier 0 disables."""
+    lists = {1: ["orgA/plain"], 2: ["orgB/widget"]}
+    base = _ids(strat_index.search("widget", k=10))
+    assert base == {1, 2, 3, 4, 5}
+    t0 = _ids(strat_index.search("widget", k=10, nsfw_tier=0,
+                                 nsfw_blocklists=lists))
+    assert t0 == base
+    t1 = _ids(strat_index.search("widget", k=10, nsfw_tier=1,
+                                 nsfw_blocklists=lists))
+    assert t1 == {3}  # orgA/plain blocked; orgB/widget (tier 2) survives
+    t2 = _ids(strat_index.search("widget", k=10, nsfw_tier=2,
+                                 nsfw_blocklists=lists))
+    assert t2 == set()
