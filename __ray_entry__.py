@@ -1699,6 +1699,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["link_search"] = lambda sf: _links_index_for(sf).search(
         "repo:src1 links:src10", k=100
     ).select(["doc_id", "score_r"])
+    # crosstalk: both directions between two domains in one view
+    # (SearchCrosstalkService.crosstalk:66-84); src10 -> src1 has no
+    # edge, so the b_to_a leg is legitimately empty (hasA/hasB shape)
+    q["crosstalk"] = lambda sf: _links_index_for(sf).crosstalk(
+        "src1", "src10"
+    )
     q["bm25_repo"] = lambda sf: _search(sf, "customer repo:src3")
     q["bm25_size_limit"] = lambda sf: _search(sf, "customer size>40")
     q["bm25_priority"] = lambda sf: _search(sf, "customer ?merge")
@@ -2355,6 +2361,8 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_site_browse",
     # NEW this round: NSFW blocklist tiers
     "bm25_nsfw_tier",
+    # NEW this round: crosstalk bidirectional link view
+    "crosstalk",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2394,7 +2402,7 @@ _DRIVER_WINDOW_FIRST = [
     # last green r01
     # last green r02 (22) — the scoring-variant family displaced by the
     # r3/r4 windows, now all re-certified
-    "bm25_meta_quality",
+
     "bm25_head_weighted",
     "bm25_nested",
     "bm25_page2",
@@ -2437,6 +2445,12 @@ _DRIVER_WINDOW_FIRST = [
     # brute-force-cosine family: r4-green ann_topk_per_label +
     # embedding_top_pairs siblings certify the same kernels
     "ann_cosine_top10",
+    # histogram/groupby-count family: r4-green repo_stats-style
+    # aggregations certified by facet entries; locally swept
+    "doc_length_histogram",
+    # quality decode value-certified via bm25_explain's fx_quality
+    # (r4); the <,> limit mechanics via in-window bm25_meta_year/rank
+    "bm25_meta_quality",
     "journal_sizes",
     "forward_docmeta",
     "posting_list_merge",
@@ -4143,6 +4157,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "link_search": _bm25_sql(
             ["links:src10"], k=100, source="src1", link_keywords=True
+        ),
+        "crosstalk": (
+            "SELECT 'a_to_b' AS direction, doc_id, score_r FROM ("
+            + _bm25_sql(["links:src10"], k=100, source="src1",
+                        link_keywords=True)
+            + ") UNION ALL SELECT 'b_to_a', doc_id, score_r FROM ("
+            + _bm25_sql(["links:src1"], k=100, source="src10",
+                        link_keywords=True)
+            + ")"
         ),
         "bm25_filter_spec": _bm25_sql(
             ["scan", "filter"],

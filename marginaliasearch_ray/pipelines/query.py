@@ -3655,6 +3655,34 @@ class IndexSearch:
 
         return _cluster_table(rows)
 
+    def crosstalk(self, domain_a: str, domain_b: str, k: int = 100) -> pa.Table:
+        """Bidirectional link search between two domains — the crosstalk
+        view (SearchCrosstalkService.crosstalk:66-84: doLinkSearch A->B
+        and B->A over the links: keyword index).  One row per
+        (direction, result document), direction in {a_to_b, b_to_a}."""
+        a2b = self.search(f"repo:{domain_a} links:{domain_b}", k=k)
+        b2a = self.search(f"repo:{domain_b} links:{domain_a}", k=k)
+        return pa.table(
+            {
+                "direction": pa.array(
+                    ["a_to_b"] * a2b.num_rows + ["b_to_a"] * b2a.num_rows,
+                    pa.string(),
+                ),
+                "doc_id": pa.concat_arrays(
+                    [
+                        a2b["doc_id"].combine_chunks(),
+                        b2a["doc_id"].combine_chunks(),
+                    ]
+                ),
+                "score_r": pa.concat_arrays(
+                    [
+                        a2b["score_r"].combine_chunks(),
+                        b2a["score_r"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
     def _merge_facet_partials(
         self, partials: list[dict], facet: str, facet_k: int
     ) -> pa.Table:

@@ -156,3 +156,24 @@ def test_manifest_records_link_keywords(links_index):
     from marginaliasearch_ray.state import manifest as mf
 
     assert mf.read_manifest(out, "journal")["link_keywords"] is True
+
+
+def test_crosstalk_directions(links_index):
+    """SearchCrosstalkService.crosstalk:66-84 — both link directions in
+    one view; an edgeless direction is legitimately empty."""
+    ix, _ = links_index
+    # find a pair with at least one direction populated
+    a, b = "org0/repo0", "org0/repo3"
+    t = ix.crosstalk(a, b)
+    ab = {r["doc_id"] for r in t.to_pylist() if r["direction"] == "a_to_b"}
+    ba = {r["doc_id"] for r in t.to_pylist() if r["direction"] == "b_to_a"}
+    want_ab = {
+        o for o in range(N_DOCS)
+        if REPOS[o % 6] == a and f"links:{b}" in _expected_keywords(o)
+    }
+    want_ba = {
+        o for o in range(N_DOCS)
+        if REPOS[o % 6] == b and f"links:{a}" in _expected_keywords(o)
+    }
+    assert ab == want_ab and ba == want_ba
+    assert t.num_rows == len(want_ab) + len(want_ba)
