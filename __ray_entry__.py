@@ -1699,6 +1699,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["link_search"] = lambda sf: _links_index_for(sf).search(
         "repo:src1 links:src10", k=100
     ).select(["doc_id", "score_r"])
+    # front-page subscription feed: the newest delta segment's docs of
+    # the subscribed domains (SearchFrontPageService:59-80 +
+    # SearchSiteSubscriptionService cookie set; RSS fetch out of scope)
+    q["subscription_feed"] = lambda sf: _delta_chain_for(
+        sf
+    ).subscription_feed(["src1", "src4", "src9"])
     # crosstalk: both directions between two domains in one view
     # (SearchCrosstalkService.crosstalk:66-84); src10 -> src1 has no
     # edge, so the b_to_a leg is legitimately empty (hasA/hasB shape)
@@ -2363,6 +2369,8 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_nsfw_tier",
     # NEW this round: crosstalk bidirectional link view
     "crosstalk",
+    # NEW this round: front-page subscription feed
+    "subscription_feed",
     # NEW this round: batched query evaluation as a Ray Dataset
     "batch_query_eval",
     # gained an exact SQL oracle this round (was the last rows-only)
@@ -2409,7 +2417,6 @@ _DRIVER_WINDOW_FIRST = [
     "bm25_verbatim_tags",
     "bm25_prox_all",
     "doc_length_histogram",
-    "exact_dedup",
     "lang_id",
     "quality_scores",
     "repo_stats",
@@ -2433,7 +2440,6 @@ _DRIVER_WINDOW_FIRST = [
     # bm25_explain's fx_verbatim / fx_proximity / fx_doc_bonus columns
     # (r4-green)
     "bm25_verbatim",
-    "bm25_prox_all",
     "bm25_doc_bonus",
     "bm25_proximity",
     "bm25_first_position",
@@ -2445,12 +2451,12 @@ _DRIVER_WINDOW_FIRST = [
     # brute-force-cosine family: r4-green ann_topk_per_label +
     # embedding_top_pairs siblings certify the same kernels
     "ann_cosine_top10",
-    # histogram/groupby-count family: r4-green repo_stats-style
-    # aggregations certified by facet entries; locally swept
-    "doc_length_histogram",
     # quality decode value-certified via bm25_explain's fx_quality
     # (r4); the <,> limit mechanics via in-window bm25_meta_year/rank
     "bm25_meta_quality",
+    # exact-dedup family: sha256 groupby-first mechanics certified by
+    # r4-green export_shards (the same dedup is its first stage)
+    "exact_dedup",
     "journal_sizes",
     "forward_docmeta",
     "posting_list_merge",
@@ -4158,6 +4164,15 @@ def oracle_sql() -> dict[str, str]:
         "link_search": _bm25_sql(
             ["links:src10"], k=100, source="src1", link_keywords=True
         ),
+        "subscription_feed": f"""
+            SELECT source AS repo, doc_id,
+                   'doc_' || doc_id AS path,
+                   'doc_' || doc_id AS title
+            FROM documents
+            WHERE doc_id % {DELTA_MOD} = {DELTA_RESIDUE}
+              AND source IN ('src1', 'src4', 'src9')
+            ORDER BY doc_id LIMIT 100
+        """,
         "crosstalk": (
             "SELECT 'a_to_b' AS direction, doc_id, score_r FROM ("
             + _bm25_sql(["links:src10"], k=100, source="src1",

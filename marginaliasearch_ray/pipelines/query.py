@@ -3683,6 +3683,41 @@ class IndexSearch:
             }
         )
 
+    def subscription_feed(
+        self, repos: list[str], k: int = 100
+    ) -> pa.Table:
+        """Newest-segment documents of the subscribed domains — the
+        front page's "new from your subscriptions" data read
+        (SearchFrontPageService:59-80 over the
+        SearchSiteSubscriptionService cookie set; the RSS-fetch side is
+        out of scope per the north rule, the INDEX side of "recently
+        indexed" is the newest delta segment's document set).
+
+        Reads ONLY the newest segment's journal, column-pruned to the
+        display fields with the repo filter pushed into the scan.
+        Returns (repo, doc_id, path, title), doc-id ordered, LIMIT k."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        newest = self.segment_dirs[-1]
+        t = pads.dataset(os.path.join(newest, "journal")).to_table(
+            columns=["repo", "combined_id", "path", "title"],
+            filter=pc.field("repo").isin(pa.array(sorted(repos))),
+        )
+        ords = idcodec.get_ordinal(
+            t["combined_id"].to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(ords)[:k]
+        t = t.take(pa.array(order))
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "doc_id": pa.array(ords[order], pa.int64()),
+                "path": t["path"],
+                "title": t["title"],
+            }
+        )
+
     def _merge_facet_partials(
         self, partials: list[dict], facet: str, facet_k: int
     ) -> pa.Table:

@@ -727,3 +727,29 @@ def test_index_switch_reload(chain, tmp_path_factory):
     bare = IndexSearch(ref, use_actors=False)
     with pytest.raises(ValueError, match="from_chain"):
         bare.maybe_reload()
+
+
+def test_subscription_feed(chain, corpora):
+    """Front-page subscription feed (SearchFrontPageService:59-80
+    analog): the NEWEST segment's documents of the subscribed repos
+    only, doc-id ordered."""
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+
+    base, ddir, _ref = chain
+    _v1, delta, _merged = corpora
+    ix = IndexSearch([base, ddir], use_actors=False)
+    subs = sorted(set(delta["repo"].to_pylist()))[:2]
+    feed = ix.subscription_feed(subs, k=1000)
+    want = sorted(
+        (r, o)
+        for r, o in zip(
+            delta["repo"].to_pylist(), delta["ordinal"].to_pylist()
+        )
+        if r in subs
+    )
+    got = list(zip(feed["repo"].to_pylist(), feed["doc_id"].to_pylist()))
+    assert sorted(got) == want and want
+    # doc-id ordered
+    assert feed["doc_id"].to_pylist() == sorted(feed["doc_id"].to_pylist())
+    # an unsubscribed-everything feed is empty
+    assert ix.subscription_feed(["nope/none"]).num_rows == 0
