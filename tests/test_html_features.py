@@ -201,3 +201,45 @@ def test_combined_build_options(ray_session, tmp_path_factory):
     assert got.num_rows == 1 and got["doc_id"][0].as_py() == 3
     # body search still exact
     assert ix.search("alpha", k=100).num_rows == 70
+
+
+def test_delta_inherits_html_features(feats_index, tmp_path, ray_session):
+    """A delta over a feature-enabled base derives feature bits +
+    special:* keywords for its fresh documents (manifest inheritance)."""
+    import pyarrow as pa
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.delta import build_delta_index
+    from marginaliasearch_ray.state import manifest as mf
+
+    # the fixture's base dir is recoverable from the searcher state
+    base = feats_index.segment_dirs[0]
+    # rewrite doc 5 (ADVERTISEMENT: 5 % 11 == 5) with fresh content
+    delta = pa.table(
+        {
+            "repo": pa.array(["org1/r1"], pa.string()),
+            "path": pa.array(["f_5.py"], pa.string()),
+            "commit": pa.array(["1" * 40], pa.string()),
+            "lang": pa.array(["py"], pa.string()),
+            "content": pa.array(["alpha freshfeat words here"], pa.string()),
+            "ordinal": pa.array([5], pa.int32()),
+        }
+    )
+    ddir = str(tmp_path / "fdelta")
+    from marginaliasearch_ray.pipelines.build_index import BuildConfig
+
+    build_delta_index(
+        ray.data.from_arrow(delta), [base], ddir,
+        BuildConfig(num_parts=2, num_buckets=4, num_salts=1,
+                    hot_df_threshold=1000),  # html_features NOT set here
+    )
+    assert mf.read_manifest(ddir, "journal")["html_features"] is True
+
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+
+    chain = IndexSearch([base, ddir], use_actors=False)
+    # the rewritten doc keeps its ordinal-derived special:ads keyword
+    assert 5 in set(
+        chain.search("special:ads", k=100)["doc_id"].to_pylist()
+    )
+    assert set(chain.search("freshfeat", k=5)["doc_id"].to_pylist()) == {5}

@@ -177,3 +177,47 @@ def test_crosstalk_directions(links_index):
     }
     assert ab == want_ab and ba == want_ba
     assert t.num_rows == len(want_ab) + len(want_ba)
+
+
+def test_delta_inherits_link_keywords(links_index, tmp_path, ray_session):
+    """A delta over a link-keyword base injects links: terms for its
+    fresh documents too (manifest inheritance) — updated docs must not
+    fall out of backlink queries."""
+    import ray.data
+
+    from marginaliasearch_ray.pipelines.delta import build_delta_index
+    from marginaliasearch_ray.state import manifest as mf
+
+    ix, base = links_index
+    # rewrite doc 0 (repo org0/repo0) with new content
+    delta = pa.table(
+        {
+            "repo": pa.array([REPOS[0]], pa.string()),
+            "path": pa.array(["f_0.py"], pa.string()),
+            "commit": pa.array(["1" * 40], pa.string()),
+            "lang": pa.array(["py"], pa.string()),
+            "content": pa.array([_content(0) + " freshword"], pa.string()),
+            "ordinal": pa.array([0], pa.int32()),
+        }
+    )
+    ddir = str(tmp_path / "delta")
+    # cfg WITHOUT link_keywords: the base manifest must force it on
+    from marginaliasearch_ray.pipelines.build_index import BuildConfig
+
+    build_delta_index(
+        ray.data.from_arrow(delta), [base], ddir,
+        BuildConfig(num_parts=2, num_buckets=4, num_salts=1,
+                    hot_df_threshold=1000),
+    )
+    assert mf.read_manifest(ddir, "journal")["link_keywords"] is True
+
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+
+    chain = IndexSearch([base, ddir], use_actors=False)
+    # doc 0's links: keywords still present via the DELTA segment
+    for kw in _expected_keywords(0):
+        assert 0 in set(
+            chain.search(kw, k=N_DOCS + 10)["doc_id"].to_pylist()
+        ), kw
+    # and the fresh body term resolves to the updated doc
+    assert set(chain.search("freshword", k=5)["doc_id"].to_pylist()) == {0}
