@@ -221,3 +221,26 @@ def test_delta_inherits_link_keywords(links_index, tmp_path, ray_session):
         ), kw
     # and the fresh body term resolves to the updated doc
     assert set(chain.search("freshword", k=5)["doc_id"].to_pylist()) == {0}
+
+
+def test_compaction_preserves_link_keywords(links_index, tmp_path,
+                                            ray_session):
+    """compact_segments rebuilds from the merged journal, whose rows
+    already CARRY the injected links: terms — no re-tokenize, keywords
+    survive the fold byte-for-byte."""
+    from marginaliasearch_ray.pipelines.build_index import BuildConfig
+    from marginaliasearch_ray.pipelines.delta import compact_segments
+    from marginaliasearch_ray.pipelines.query import IndexSearch
+
+    ix, base = links_index
+    out = str(tmp_path / "compacted")
+    compact_segments(
+        [base], out,
+        BuildConfig(num_parts=2, num_buckets=4, num_salts=1,
+                    hot_df_threshold=1000),
+    )
+    cix = IndexSearch(out, use_actors=False)
+    kw = sorted(_expected_keywords(0))[0]
+    before = set(ix.search(kw, k=N_DOCS + 10)["doc_id"].to_pylist())
+    after = set(cix.search(kw, k=N_DOCS + 10)["doc_id"].to_pylist())
+    assert before == after and before
