@@ -317,7 +317,16 @@ def apply_spec(
     ``search_sets``: search-set name -> repo list (the SearchSetsService
     resolution the reference does index-side).  An unresolvable set name
     raises — a filter naming a set the deployment doesn't have is a
-    config error, not an empty result."""
+    config error, not an empty result.
+
+    Require-term routing: terms with an advice prefix (generator:,
+    format:, …) ride the parser's advisory path — required but
+    unscored, exactly the reference's require().  Other colon keywords
+    (special:/category:) and plain words join the scored conjunction
+    (the engine-wide filter-spec require contract certified by
+    bm25_filter_spec); the candidate set is identical either way, and
+    for keywords the corpus does not carry the two are fully
+    indistinguishable."""
     q = query
     fs: dict = {}
     for t in spec.terms_require:
