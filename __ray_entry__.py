@@ -2276,6 +2276,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25_special_term"] = lambda sf: _features_index_for(sf).search(
         "special:ads", k=100
     ).select(["doc_id", "score_r"])
+    # format:<lang> advice keyword (the converter's document-format
+    # keyword; PlainTextDocumentProcessorPlugin format:plain analog) —
+    # the driver corpus langs are ISO codes, 'fr' here
+    q["bm25_format_advice"] = lambda sf: _features_index_for(sf).search(
+        "customer format:fr", k=20
+    ).select(["doc_id", "score_r"])
     q["bm25_feature_penalty"] = lambda sf: _features_index_for(sf).search(
         "customer merge", k=20, document_bonus_weight=1.0
     ).select(["doc_id", "score_r"])
@@ -2362,6 +2368,7 @@ _DRIVER_WINDOW_FIRST = [
     # NEW this round: HtmlFeature keywords + flagsPenalty
     "bm25_special_term",
     "bm25_feature_penalty",
+    "bm25_format_advice",
     # NEW this round: advice-term promotion + bare-site enumeration
     "bm25_advice_only",
     "bm25_site_browse",
@@ -2411,7 +2418,6 @@ _DRIVER_WINDOW_FIRST = [
     # last green r02 (22) — the scoring-variant family displaced by the
     # r3/r4 windows, now all re-certified
 
-    "bm25_head_weighted",
     "bm25_nested",
     "bm25_page2",
     "bm25_verbatim_tags",
@@ -3123,7 +3129,8 @@ fdf AS (
             "CASE WHEN doc_id % 17 = 3 THEN 'special:consent' END,"
             "CASE WHEN doc_id % 19 = 4 THEN 'special:popover' END,"
             "CASE WHEN doc_id % 13 = 5 THEN 'special:cookies' END,"
-            "CASE WHEN len(toks) < 20 THEN 'special:shorty' END"
+            "CASE WHEN len(toks) < 20 THEN 'special:shorty' END,"
+            "'format:' || lang"
             "], x -> x IS NOT NULL)"
         )
     if link_keywords:
@@ -4151,6 +4158,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_site_browse": _bm25_sql(["site:src2"], k=50, source="src2"),
         "bm25_special_term": _bm25_sql(
             ["special:ads"], k=100, html_features=True
+        ),
+        "bm25_format_advice": _bm25_sql(
+            ["customer"], k=20, advice=["format:fr"], html_features=True
         ),
         "bm25_feature_penalty": _bm25_sql(
             ["customer", "merge"],

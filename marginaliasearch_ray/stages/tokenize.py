@@ -532,12 +532,17 @@ class TokenizeStage:
             doc_flags |= (larr == "md").astype(np.int64) * int(
                 DocumentFlags.PLAIN_TEXT
             )
+            # format:<lang> rides the feature family too: the converter
+            # publishes the document format as a format: keyword
+            # (HtmlFeature PDF -> format:pdf; the code corpus's format
+            # IS the language)
             feat_kws = [
                 [
                     kw
                     for bit, kw in HTML_FEATURE_KEYWORD.items()
                     if feats[i] & int(bit)
                 ]
+                + [f"format:{langs[i]}"]
                 for i in range(n)
             ]
         total_body = int(lengths.sum())

@@ -243,3 +243,16 @@ def test_delta_inherits_html_features(feats_index, tmp_path, ray_session):
         chain.search("special:ads", k=100)["doc_id"].to_pylist()
     )
     assert set(chain.search("freshfeat", k=5)["doc_id"].to_pylist()) == {5}
+
+
+def test_format_keyword(feats_index):
+    """format:<lang> rides the feature family: the converter's
+    document-format keyword (format:pdf / format:plain analog)."""
+    js = set(
+        feats_index.search("format:js", k=70)["doc_id"].to_pylist()
+    )
+    assert js == {o for o in range(70) if o % 4 == 0}
+    py = set(
+        feats_index.search("alpha format:py", k=70)["doc_id"].to_pylist()
+    )
+    assert py == {o for o in range(70) if o % 4 != 0}
