@@ -2750,7 +2750,12 @@ def _bm25_sql(
         extra.append(f"({members})")
     if exclude:
         for t in exclude:
-            extra.append(f"NOT list_contains(c.toks, '{t}')")
+            if ":" in t:
+                # negated synthetic keyword (-special:ads): membership
+                # lives in the synth list, not the body tokens
+                extra.append(f"NOT {_has(t)}")
+            else:
+                extra.append(f"NOT list_contains(c.toks, '{t}')")
     if phrase:
         needle = "|" + "|".join(phrase) + "|"
         extra.append(f"contains(c.joined, '{needle}')")
@@ -3337,6 +3342,8 @@ def _clustered_sql(
       engine's path/filename token rule (path is 'doc_<id>' on this
       corpus, no '/' or '.' to split); UrlDomain = source tokens;
       Subjects = early mention + the tf-idf admission gate."""
+    from marginaliasearch_ray.stages.tokenize import EARLY_MENTION_POS
+
     base = _bm25_sql(terms, k=k, normalize=True, decorate=True,
                      source=source)
     if no_cluster:
@@ -3349,7 +3356,8 @@ def _clustered_sql(
     prot_parts = []
     for t in terms:
         early = (
-            f"(list_position(t.toks, '{t}') BETWEEN 1 AND 16"
+            f"(list_position(t.toks, '{t}')"
+            f" BETWEEN 1 AND {EARLY_MENTION_POS}"
             f" AND {_subj_gate_sql('t.toks', 't.maxtf', t)})"
         )
         prot_parts.append(

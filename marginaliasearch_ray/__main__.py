@@ -680,7 +680,11 @@ def main(argv: list[str] | None = None) -> int:
                         out = {"query": req["query"],
                                "facets": t.to_pylist()}
                     elif req.get("clustered"):
-                        t = s.search_clustered(req["query"])
+                        t = s.search_clustered(
+                            req["query"],
+                            k=int(req.get("k", 100)),
+                            total=int(req.get("total", 25)),
+                        )
                         out = {"query": req["query"],
                                "clusters": t.to_pylist()}
                     elif req.get("profile"):
@@ -1043,8 +1047,12 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--facet cannot be combined with --count or --batch")
             if args.clustered and (
                 args.count or args.batch or args.facet or args.explain
+                or args.profile or args.positions
             ):
                 p.error("--clustered takes a single plain query")
+            if args.positions and (args.count or args.batch or args.facet
+                                   or args.profile):
+                p.error("--positions applies to the plain query path")
             if args.batch:
                 with open(args.batch) as f:
                     batch = [ln.strip() for ln in f if ln.strip()]

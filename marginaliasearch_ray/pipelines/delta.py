@@ -362,33 +362,20 @@ def build_delta_index(
         from dataclasses import replace
 
         cfg = replace(cfg, num_parts=base_parts)
-    # the delta must also tokenize with the base's region semantics: an
-    # anchor-enabled base expects URL-word/link-text terms in every
-    # segment of the chain (pre-anchor manifests lack the key -> False)
-    base_anchor = bool(
-        mf.read_manifest(base_dir, "journal").get("anchor_regions", False)
-    )
-    if cfg.anchor_regions != base_anchor:
+    # the delta must tokenize with the base's journal semantics: an
+    # anchor/link-keyword/feature-enabled base expects the same derived
+    # terms in every segment of the chain, or updated documents silently
+    # fall out of those query families (pre-flag manifests lack the
+    # keys -> False).  One manifest read covers all three flags.
+    base_jman = mf.read_manifest(base_dir, "journal")
+    inherited = {
+        name: bool(base_jman.get(name, False))
+        for name in ("anchor_regions", "link_keywords", "html_features")
+    }
+    if any(getattr(cfg, k) != v for k, v in inherited.items()):
         from dataclasses import replace
 
-        cfg = replace(cfg, anchor_regions=base_anchor)
-    # same inheritance for links:<dst> keywords: a delta over a
-    # link-keyword base must inject them too, or updated documents
-    # silently fall out of every backlink query
-    base_links = bool(
-        mf.read_manifest(base_dir, "journal").get("link_keywords", False)
-    )
-    if cfg.link_keywords != base_links:
-        from dataclasses import replace
-
-        cfg = replace(cfg, link_keywords=base_links)
-    base_feats = bool(
-        mf.read_manifest(base_dir, "journal").get("html_features", False)
-    )
-    if cfg.html_features != base_feats:
-        from dataclasses import replace
-
-        cfg = replace(cfg, html_features=base_feats)
+        cfg = replace(cfg, **inherited)
 
     if not mf.is_committed(delta_dir, "root"):
         # materialize the delta corpus ONCE: it is delta-sized by the
@@ -817,6 +804,9 @@ def compact_segments(
         import pyarrow.dataset as pads
 
         n_docs = pads.dataset(os.path.join(out_dir, "journal")).count_rows()
+        # region/keyword semantics carry across compaction (the merged
+        # journal holds already-derived rows) — one manifest read
+        base_jman = mf.read_manifest(segment_dirs[0], "journal")
         mf.commit_manifest(
             out_dir,
             "journal",
@@ -825,23 +815,14 @@ def compact_segments(
                 "num_parts": mf.read_manifest(segment_dirs[0], "root")[
                     "num_parts"
                 ],
-                # region semantics carry across compaction (the merged
-                # journal holds the segments' already-tokenized rows)
-                "anchor_regions": bool(
-                    mf.read_manifest(segment_dirs[0], "journal").get(
-                        "anchor_regions", False
+                **{
+                    name: bool(base_jman.get(name, False))
+                    for name in (
+                        "anchor_regions",
+                        "link_keywords",
+                        "html_features",
                     )
-                ),
-                "link_keywords": bool(
-                    mf.read_manifest(segment_dirs[0], "journal").get(
-                        "link_keywords", False
-                    )
-                ),
-                "html_features": bool(
-                    mf.read_manifest(segment_dirs[0], "journal").get(
-                        "html_features", False
-                    )
-                ),
+                },
                 # same per-part sha256-XOR lineage a fresh build records
                 # (the verifier's deep audit + trace-back contract holds
                 # across compactions)

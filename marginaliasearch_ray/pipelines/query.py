@@ -563,9 +563,21 @@ def compile_query(
                 if t not in out.priority:
                     out.priority.append(t)
         elif word.startswith("-") and len(word) > 1:
-            for t in tokenize(word[1:]):
-                if t not in out.exclude:
-                    out.exclude.append(t)
+            body = word[1:]
+            if (
+                body.startswith(("links:", "special:", "category:", "js:"))
+                and len(body.split(":", 1)[1]) > 0
+            ):
+                # negated literal colon keyword: exclude the SYNTHETIC
+                # keyword itself ('-special:ads' rejects ad-flagged
+                # docs), not its colon-split word pieces
+                w = body.lower()
+                if w not in out.exclude:
+                    out.exclude.append(w)
+            else:
+                for t in tokenize(body):
+                    if t not in out.exclude:
+                        out.exclude.append(t)
         else:
             struct_tokens.append(word)
 
@@ -1947,21 +1959,28 @@ class SearcherLogic:
         #    a per-domain override factor, default 1.0 — modeled as 1.0)
         multiplicative = plan.get("multiplicative_priority", False)
         prio_adj = np.zeros(len(cand), dtype=np.float64) if multiplicative else None
+        # per-term promote amounts (SearchFilterSpec termsPromote /
+        # searchTermsPriorityWeight — the reference threads each ?term's
+        # weight into priorityTermAdjustment); default 1.0 per term
+        prio_w = plan.get("priority_weight_by_id") or {}
         for t in priority_ids:
             docs, tfs = (
                 seg.postings_subset(t, cand) if pruned else seg.postings(t)
             )
             if len(docs) == 0:
                 continue
+            amt = float(prio_w.get(t, 1.0))
             ix = np.searchsorted(docs, cand)
             present = _membership(cand, docs)
             if multiplicative:
-                prio_adj += PRIORITY_TERM_ADJ * present.astype(np.float64)
+                prio_adj += (
+                    amt * PRIORITY_TERM_ADJ * present.astype(np.float64)
+                )
                 continue
             tf = np.where(present, tfs[np.minimum(ix, len(tfs) - 1)], 0).astype(
                 np.float64
             )
-            score += PRIORITY_WEIGHT * np.where(
+            score += amt * PRIORITY_WEIGHT * np.where(
                 present,
                 bm25.bm25_term_score(total_docs, global_df.get(t, 0), tf, sizes),
                 0.0,
@@ -2102,7 +2121,18 @@ class SearcherLogic:
         terms = list(plan["include_ids"])
         for g in plan.get("group_ids") or []:
             terms.extend(g)
-        for t in terms:
+        if plan.get("tree") is not None:
+            # nested And/Or queries keep ALL their scored keywords in the
+            # tree (include/groups stay empty for non-flattenable shapes)
+            def _leaves(node):
+                if node[0] == "word":
+                    terms.append(node[1])
+                else:
+                    for p in node[1]:
+                        _leaves(p)
+
+            _leaves(plan["tree"])
+        for t in dict.fromkeys(terms):
             docs, flags = seg.term_flag_bytes(t)
             if not len(docs):
                 continue
@@ -3282,9 +3312,20 @@ class IndexSearch:
             plan["exclude_ids"] = plan["exclude_ids"] + [
                 hash_nearly_ascii(t) for t in filter_spec.get("exclude", [])
             ]
+            promote = filter_spec.get("promote", [])
             plan["priority_ids"] = plan["priority_ids"] + [
-                hash_nearly_ascii(t) for t in filter_spec.get("promote", [])
+                hash_nearly_ascii(t) for t in promote
             ]
+            amounts = filter_spec.get("promote_amounts")
+            if amounts:
+                # aligned with "promote": each term's promotion weight
+                plan["priority_weight_by_id"] = {
+                    **(plan.get("priority_weight_by_id") or {}),
+                    **{
+                        hash_nearly_ascii(t): float(a)
+                        for t, a in zip(promote, amounts)
+                    },
+                }
             repos = filter_spec.get("repos")
             if repos is not None:
                 ranges = []
